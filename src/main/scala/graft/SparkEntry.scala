@@ -16,7 +16,17 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> Relational.q1Agg _
+    "q1_agg" -> Relational.q1Agg _,
+    "q2_filter_project" -> Relational.q2FilterProject _,
+    "q3_join_agg" -> Relational.q3JoinAgg _,
+    "q4_broadcast_join" -> Relational.q4BroadcastJoin _,
+    "q5_topk" -> Relational.q5TopK _,
+    "q6_window_topk" -> Relational.q6WindowTopK _,
+    "q7_semi_join" -> Relational.q7SemiJoin _,
+    "q8_anti_join" -> Relational.q8AntiJoin _,
+    "q9_distinct_agg" -> Relational.q9DistinctAgg _,
+    "q10_rollup" -> Relational.q10Rollup _,
+    "q11_upsert_latest" -> Relational.q11UpsertLatest _
   )
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
@@ -32,6 +42,59 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_size >= 30 AND p_type LIKE 'SMALL%'""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS o_epoch,
+        |  o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_broadcast_join" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |  round(sum(s_acctbal), 4) AS total_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q5_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q6_window_topk" ->
+      """SELECT c_nationkey, rk, c_custkey, round(c_acctbal, 4) AS c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) t WHERE rk <= 3""".stripMargin,
+    "q7_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q8_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q9_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        |  count(*) AS n_suppliers, round(sum(s_acctbal), 4) AS total_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q11_upsert_latest" ->
+      """SELECT user_id, event_id, event_type, round(value, 4) AS value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events) WHERE rk = 1""".stripMargin
   )
 }

@@ -23,7 +23,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark only reads as a
+    * long under spark.sql.legacy.parquet.nanosAsLong. Normalize to a proper
+    * TimestampType column (microsecond precision, same truncation DuckDB
+    * applies) while keeping the raw long for total-order tiebreaks.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast("long")))
+    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

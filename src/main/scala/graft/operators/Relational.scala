@@ -28,4 +28,132 @@ object Relational {
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Pushdown filter + pruned projection: both the predicate and the
+    * 3-column ReadSchema must reach the parquet scan (cortex
+    * files_tool.go filter-by-language/path analogue).
+    */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_size") >= 30 && col("p_type").startsWith("SMALL"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+
+  /** Fact-fact-dim join + agg + top-k (TPC-H Q3 shape). The customer
+    * side is filtered before the join; the final top-10 is a
+    * TakeOrderedAndProject, not a global sort.
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        unix_timestamp(col("o_orderdate")).as("o_epoch"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Star join where every dimension is broadcast (region, nation are tiny
+    * at every SF; cortex joins chunks⋈files⋈language the same way).
+    */
+  def q4BroadcastJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 4).as("total_acctbal"))
+      .orderBy(col("r_name"))
+
+  /** Global top-k with total-order tiebreak → TakeOrderedAndProject (the
+    * `limit` path every cortex search result list goes through).
+    */
+  def q5TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Per-group top-N via ranking window: one shuffle on the group key
+    * (cortex "best chunks per file" shape).
+    */
+  def q6WindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("rk"), col("c_custkey"),
+        round(col("c_acctbal"), 4).as("c_acctbal"))
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one high-value
+    * order. No payload columns from the right side cross the join.
+    */
+  def q7SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000)
+    Tables.customer(spark, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders — cortex's
+    * eviction pass (chunks whose file disappeared) is this shape.
+    */
+  def q8AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Distinct aggregation (unique-symbol-count analogue). Spark expands
+    * this to a two-phase aggregate; keys are low-cardinality.
+    */
+  def q9DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Hierarchical ROLLUP (metrics-by-language/type rollups in
+    * internal/mcp/metrics.go). Null grouping slots are labelled 'ALL' so
+    * the oracle compare is unambiguous.
+    */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), round(sum(col("s_acctbal")), 4).as("total_acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("n_suppliers"), col("total_acctbal"))
+
+  /** Latest-row-per-key (incremental index upsert semantics,
+    * internal/storage/chunk_writer.go): one shuffle on the key, then a
+    * ranking window picks the newest version.
+    */
+  def q11UpsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+  }
 }
