@@ -26,8 +26,25 @@ object SparkEntry {
     "q8_anti_join" -> Relational.q8AntiJoin _,
     "q9_distinct_agg" -> Relational.q9DistinctAgg _,
     "q10_rollup" -> Relational.q10Rollup _,
-    "q11_upsert_latest" -> Relational.q11UpsertLatest _
+    "q11_upsert_latest" -> Relational.q11UpsertLatest _,
+    "vec_knn_brute" -> SearchOps.vecKnnBrute _,
+    "vec_knn_ivf" -> SearchOps.vecKnnIvf _,
+    "vec_knn_join" -> SearchOps.vecKnnJoin _,
+    "fts_term_score" -> SearchOps.ftsTermScore _,
+    "fts_phrase" -> SearchOps.ftsPhrase _,
+    "hybrid_search" -> SearchOps.hybridSearch _,
+    "tag_filter_search" -> SearchOps.tagFilterSearch _
   )
+
+  /** DuckDB cosine over double-cast lists — same double-accumulation the
+    * codegen'd CosineSimilarity expression performs. */
+  private def duckCos(a: String, b: String): String =
+    s"(list_inner_product($a, $b) / " +
+      s"(sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
+
+  private val duckToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private val duckTermScore =
+    s"len(list_filter($duckToks, t -> list_contains(['data','query','table'], t)))"
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
   def oracleSql: Map[String, String] = Map(
@@ -95,6 +112,48 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, round(value, 4) AS value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |                               ORDER BY ts DESC, event_id DESC) AS rk
-        |  FROM events) WHERE rk = 1""".stripMargin
+        |  FROM events) WHERE rk = 1""".stripMargin,
+    "vec_knn_brute" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(${duckCos("embedding::DOUBLE[]", "q_emb")}, 4) AS score
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "vec_knn_ivf" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, round(${duckCos("embedding::DOUBLE[]", "q_emb")}, 4) AS score
+         |FROM embeddings, q WHERE label = 2 AND vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "vec_knn_join" ->
+      s"""WITH pairs AS (
+         |  SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(${duckCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 4) AS score
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |SELECT label, a_id, b_id, score, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY a_id
+         |                               ORDER BY score DESC, b_id) AS rk
+         |  FROM pairs) WHERE rk <= 3""".stripMargin,
+    "fts_term_score" ->
+      s"""SELECT doc_id, $duckTermScore AS score FROM documents
+         |WHERE $duckTermScore > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "fts_phrase" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE contains(lower(text), 'data query')
+        |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin,
+    "hybrid_search" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+         |tok AS (SELECT doc_id, $duckToks AS toks FROM documents)
+         |SELECT t.doc_id AS doc_id,
+         |  round(0.5 * ${duckCos("e.embedding::DOUBLE[]", "q_emb")} +
+         |    0.5 * (len(list_filter(t.toks, x -> list_contains(['data','query','table'], x)))::DOUBLE
+         |           / greatest(len(t.toks), 1)), 4) AS score
+         |FROM tok t JOIN embeddings e ON t.doc_id = e.vec_id, q
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "tag_filter_search" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE lang = 'en' AND source IN ('src0','src1','src2')
+        |  AND n_chars BETWEEN 100 AND 400
+        |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin
   )
 }

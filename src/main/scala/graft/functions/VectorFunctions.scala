@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graft.SqlBridge
+
+/** Cosine similarity over two float/double array columns as a native
+  * Catalyst expression: stays inside whole-stage codegen (a Scala UDF here
+  * would box every row and break the codegen span — this is the hot inner
+  * loop of every KNN scan).
+  *
+  * Reference analogue: project-cortex's KNN is sqlite-vec's C cosine distance
+  * (internal/mcp/search_sqlite.go:53); here the same math is a codegen'd
+  * tight loop over parquet-resident vectors, accumulated in double.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+      val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val den = ctx.freshName("den")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = (double) $a.$lGet($i);
+         |  double y = (double) $b.$rGet($i);
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Codegen'd cosine similarity between two array<float|double> columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    SqlBridge.column(CosineSimilarity(SqlBridge.expression(a), SqlBridge.expression(b)))
+}

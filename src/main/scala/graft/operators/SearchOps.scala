@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions.cosineSim
+
+/** Search-domain operators: vector KNN (brute / IVF-pruned / batch join),
+  * FTS-style term scoring, phrase filter, hybrid rank fusion, tag filters.
+  *
+  * Reference analogue: project-cortex's vector search
+  * (internal/mcp/search_sqlite.go:53, sqlite-vec cosine KNN + filters) and
+  * FTS5 keyword search (internal/mcp/exact_sqlite.go:42).
+  *
+  * Scale posture: brute KNN is a single codegen'd scan + TakeOrdered (no
+  * shuffle, no sort of the full set); IVF prunes to one coarse cell via a
+  * parquet-pushed label filter; the KNN self-join only pairs rows within a
+  * cell — never a global cross join.
+  */
+object SearchOps {
+
+  /** The deterministic probe vector: embedding of vec_id 0 (label 2). */
+  private val QueryVecId = 0
+  private val QueryLabel = 2
+
+  private def queryVec(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === QueryVecId)
+      .select(col("embedding").as("q_emb"))
+
+  /** Rounded cosine between two embedding columns (codegen'd expression). */
+  private def score(a: Column, b: Column): Column = round(cosineSim(a, b), 4)
+
+  private val Terms = Seq("data", "query", "table")
+
+  private def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Term frequency of the probe terms in a token array. */
+  private def termScore(toks: Column): Column =
+    size(filter(toks, t => t.isin(Terms: _*)))
+
+  /** Brute-force cosine top-k against a broadcast single-row query vector.
+    * One scan, no shuffle; the limit is a TakeOrderedAndProject.
+    */
+  def vecKnnBrute(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("vec_id"), score(col("embedding"), col("q_emb")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+
+  /** IVF-style KNN: the coarse quantizer cell is the `label` column, so the
+    * candidate set is one cell — the label predicate pushes down to the
+    * parquet scan and only ~1/L of the data is read.
+    */
+  def vecKnnIvf(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("label") === QueryLabel && col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("vec_id"), col("label"),
+        score(col("embedding"), col("q_emb")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+
+  /** Batch KNN: top-3 neighbours for every vector, pairing only within the
+    * same coarse cell (shuffle on label, then a per-cell block join), ranked
+    * by a single window shuffle on the left id.
+    */
+  def vecKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("score").desc, col("b_id"))
+    a.join(b, col("label") === col("b_label") && col("a_id") =!= col("b_id"))
+      .select(col("label"), col("a_id"), col("b_id"),
+        score(col("a_emb"), col("b_emb")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+
+  /** FTS term scoring: term frequency of the probe terms over regex tokens,
+    * top-20. Pure codegen string/array ops — no UDF (cortex FTS5 bm25
+    * analogue, internal/mcp/exact_sqlite.go:141).
+    */
+  def ftsTermScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), termScore(tokens(col("text"))).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
+  /** Phrase containment filter + deterministic rank (FTS5 phrase query
+    * analogue). The contains() predicate is a codegen'd substring scan.
+    */
+  def ftsPhrase(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(contains(lower(col("text")), lit("data query")))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(20)
+
+  /** Hybrid rank fusion: alpha*cosine + beta*normalized-term-frequency over
+    * documents joined 1:1 to their embeddings (cortex returns fused vector +
+    * keyword hits through one MCP search tool).
+    */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("doc_id"),
+        round(lit(0.5) * cosineSim(col("embedding"), col("q_emb")) +
+          lit(0.5) * (termScore(col("toks")).cast("double") /
+            greatest(size(col("toks")), lit(1))), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** Filtered search: language/source/length predicates all push down to
+    * the parquet scan before any ranking work (cortex tag/language/limit
+    * filters, internal/mcp/search_sqlite.go:101).
+    */
+  def tagFilterSearch(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("lang") === "en" &&
+        col("source").isin("src0", "src1", "src2") &&
+        col("n_chars").between(100, 400))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(20)
+}
