@@ -33,8 +33,28 @@ object SparkEntry {
     "fts_term_score" -> SearchOps.ftsTermScore _,
     "fts_phrase" -> SearchOps.ftsPhrase _,
     "hybrid_search" -> SearchOps.hybridSearch _,
-    "tag_filter_search" -> SearchOps.tagFilterSearch _
+    "tag_filter_search" -> SearchOps.tagFilterSearch _,
+    "dedup_exact" -> DedupOps.dedupExact _,
+    "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccard _,
+    "dedup_minhash_lsh" -> DedupOps.dedupMinhashLsh _,
+    "dedup_simhash" -> DedupOps.dedupSimhash _,
+    "dedup_embedding" -> DedupOps.dedupEmbedding _,
+    "text_langid" -> TextOps.textLangid _,
+    "text_quality" -> TextOps.textQuality _,
+    "text_tokens" -> TextOps.textTokens _,
+    "text_fingerprint" -> TextOps.textFingerprint _
   )
+
+  private val duckTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  /** Word-3-gram shingle CTE shared by the dedup oracles. */
+  private val duckNg =
+    s"""tok AS (SELECT doc_id, lang, (n_chars // 100) AS lb, $duckTok AS ts FROM documents),
+       |ng AS (SELECT doc_id, lang, lb,
+       |  list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)),
+       |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gs FROM tok)""".stripMargin
+  private val duckJac =
+    "round(len(list_intersect(x.gs, y.gs))::DOUBLE / " +
+      "greatest(len(list_distinct(x.gs || y.gs)), 1), 4)"
 
   /** DuckDB cosine over double-cast lists — same double-accumulation the
     * codegen'd CosineSimilarity expression performs. */
@@ -154,6 +174,86 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE lang = 'en' AND source IN ('src0','src1','src2')
         |  AND n_chars BETWEEN 100 AND 400
-        |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $duckNg
+         |SELECT x.doc_id AS a_id, y.doc_id AS b_id, $duckJac AS jac
+         |FROM ng x JOIN ng y ON x.lang = y.lang AND x.lb = y.lb
+         |  AND x.doc_id < y.doc_id
+         |WHERE jac >= 0.5""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $duckNg,
+         |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS hv
+         |      FROM ng, unnest(gs) AS u(g)),
+         |hi AS (SELECT doc_id, hv, ix.i AS i
+         |       FROM h CROSS JOIN unnest(range(0, 16)) AS ix(i)),
+         |minh AS (SELECT doc_id, i,
+         |    min(((i*2+1)*hv + (i*12345+7)) % 2147483647) AS mh
+         |  FROM hi GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, (i // 2) AS band,
+         |    concat(sum(CASE WHEN i % 2 = 0 THEN mh END), '_',
+         |           sum(CASE WHEN i % 2 = 1 THEN mh END)) AS sig
+         |  FROM minh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT p.doc_id AS a_id, q.doc_id AS b_id
+         |  FROM bands p JOIN bands q ON p.band = q.band AND p.sig = q.sig
+         |    AND p.doc_id < q.doc_id)
+         |SELECT a_id, b_id, $duckJac AS jac
+         |FROM cand JOIN ng x ON cand.a_id = x.doc_id
+         |  JOIN ng y ON cand.b_id = y.doc_id
+         |WHERE jac >= 0.5""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $duckNg,
+         |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 4294967296 AS hv
+         |      FROM ng, unnest(gs) AS u(g)),
+         |hi AS (SELECT doc_id, hv, ix.i AS i
+         |       FROM h CROSS JOIN unnest(range(0, 32)) AS ix(i)),
+         |bits AS (SELECT doc_id, i,
+         |    sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM hi GROUP BY 1, 2),
+         |sh AS (SELECT doc_id,
+         |    sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS sig
+         |  FROM bits GROUP BY 1),
+         |k AS (SELECT t.doc_id, t.lang, t.lb, sh.sig
+         |      FROM tok t JOIN sh ON t.doc_id = sh.doc_id)
+         |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         |  bit_count(xor(x.sig, y.sig)) AS hamming
+         |FROM k x JOIN k y ON x.lang = y.lang AND x.lb = y.lb
+         |  AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 5""".stripMargin,
+    "dedup_embedding" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${duckCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 4) AS score
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE score >= 0.42""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN s_en >= s_code AND s_en >= s_data THEN 'en'
+         |       WHEN s_code >= s_data THEN 'code' ELSE 'data' END AS pred_lang
+         |FROM (SELECT doc_id, lang,
+         |  len(list_filter($duckTok, t -> list_contains(['the','a','is'], t))) AS s_en,
+         |  len(list_filter($duckTok, t -> list_contains(['table','query','join'], t))) AS s_code,
+         |  len(list_filter($duckTok, t -> list_contains(['data','stream','batch'], t))) AS s_data
+         |  FROM documents)""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, len(ts) AS n_tokens,
+         |  round(0.3 * least(len(ts)::DOUBLE / 50.0, 1.0)
+         |    + 0.4 * (len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+         |             / greatest(n_chars, 1))
+         |    + 0.3 * (1.0 - len(list_filter(ts, t -> list_contains(['the','a'], t)))::DOUBLE
+         |             / greatest(len(ts), 1)), 4) AS quality
+         |FROM (SELECT doc_id, n_chars, text, $duckTok AS ts FROM documents)""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id, len($duckTok) AS n_tokens,
+         |  len(list_distinct($duckTok)) AS n_unique,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish
+         |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($duckTok)), ' ')) AS fp
+         |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions.cosineSim
+
+/** Deduplication operators for a training-data pipeline: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Reference analogue: project-cortex's change detection dedups chunks by
+  * content hash (internal/indexer/extractor.go SHA-256 file hash +
+  * internal/storage/chunk_writer.go upsert); the near-dup family extends
+  * that to the fuzzy matching a large corpus pipeline needs.
+  *
+  * Scale posture: no operator ever forms a global cross join. Candidate
+  * pairs come only from (lang, length-bucket) blocks, LSH band buckets, or
+  * IVF label cells — each bounded and salting-ready. Exact/minhash group
+  * keys shuffle once; everything else is codegen'd array math.
+  */
+object DedupOps {
+
+  private def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Distinct word-3-gram shingles via zip_with over shifted slices.
+    *
+    * Deliberately NOT transform(sequence(...), i -> element_at(toks, i)...):
+    * when the optimizer collapses the token projection into the lambda,
+    * each element_at re-evaluates the tokenizing regex per ELEMENT (~20x
+    * slowdown measured at sf0.1). zip_with's array arguments are evaluated
+    * once per row no matter how the plan collapses, so the cost stays
+    * O(tokens), not O(tokens * regex).
+    *
+    * zip_with pads the shorter (shifted) side with null; concat propagates
+    * the null and the final filter drops the short tail, so docs with < 3
+    * tokens yield an empty shingle set.
+    */
+  private def trigrams(toks: Column): Column = {
+    val sl2 = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val sl3 = slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))
+    val bi = zip_with(toks, sl2, (a, b) => concat(a, lit(" "), b))
+    array_distinct(filter(zip_with(bi, sl3, (ab, c) => concat(ab, lit(" "), c)),
+      x => x.isNotNull))
+  }
+
+  /** documents with a `gs` distinct-shingle column, persisted and memoized
+    * per (session, dir): every dedup operator self-joins this relation, so
+    * without materialization Spark would re-tokenize the corpus once per
+    * join branch. This is the cortex design point — build the index once,
+    * query it many times (internal/storage/chunk_writer.go) — and at
+    * cluster scale it would be a written-out bucketed table.
+    */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.computeIfAbsent(s"${System.identityHashCode(spark)}@$dir", _ =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / 100).cast("long").as("lb"),
+          trigrams(tokens(col("text"))).as("gs"))
+        .persist())
+
+  /** Stable 60-bit token hash from the md5 hex prefix — identical bytes on
+    * any engine (the oracle recomputes it in DuckDB), unlike murmur/xxhash
+    * whose seeds differ across systems. */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val P = 2147483647L // 2^31 - 1, the minhash modulus
+
+  /** Exact duplicate groups by content hash (cortex change-detect hash,
+    * internal/indexer/extractor.go). One shuffle on the digest. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_dups") >= 2)
+
+  /** Word-3-gram Jaccard near-dup pairs (>= 0.5) via an inverted-index
+    * join: explode distinct shingles, pair docs only where they SHARE a
+    * shingle inside a (lang, length-bucket) block, count common shingles
+    * per pair, then jac = common / (|A| + |B| - common).
+    *
+    * This never materializes the blocked cross product — work scales with
+    * actual shingle collisions, not block-size^2 (the same reason cortex
+    * looks up chunks through an index instead of scanning all pairs).
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ng = shingled(spark, dir)
+    val sizes = ng.select(col("doc_id"), size(col("gs")).as("n"))
+    val inv = ng.select(col("lang"), col("lb"), col("doc_id"), explode(col("gs")).as("g"))
+    val common = inv
+      .join(inv.select(col("lang").as("y_lang"), col("lb").as("y_lb"),
+          col("doc_id").as("b_id"), col("g").as("y_g")),
+        col("lang") === col("y_lang") && col("lb") === col("y_lb") &&
+          col("g") === col("y_g") && col("doc_id") < col("b_id"))
+      .groupBy(col("doc_id").as("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("common").cast("double") /
+          greatest(col("na") + col("nb") - col("common"), lit(1)), 4).as("jac"))
+      .filter(col("jac") >= 0.5)
+  }
+
+  /** MinHash signatures (16 hashes = 8 bands x 2 rows) over 3-gram shingles,
+    * LSH band-bucket join for candidates, exact Jaccard verify >= 0.5.
+    *
+    * The band join is the scale path: candidates only materialize for docs
+    * agreeing on a full band, so work is proportional to true collisions
+    * (P[candidate] = 1-(1-j^2)^8), not to n^2.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val ng = shingled(spark, dir)
+    val h = ng.select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), (hash60(col("g")) % P).as("hv"))
+    // all 16 minhashes as parallel aggregates: one shuffle on doc_id, no
+    // 16x row replication — each min((2i+1)*hv + 12345i+7 mod P) is a
+    // codegen'd partial aggregate
+    val mhAggs = (0 until 16).map { i =>
+      min((col("hv") * (i * 2 + 1) + (i * 12345 + 7)) % P).as(s"mh$i")
+    }
+    val minh = h.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    // bands pair signatures (2j, 2j+1); explode 8 band structs per doc
+    val bandStructs = (0 until 8).map { j =>
+      struct(lit(j.toLong).as("band"),
+        concat_ws("_", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")).as("sig"))
+    }
+    val bands = minh
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    val cand = bands.select(col("band"), col("sig"), col("doc_id").as("a_id"))
+      .join(bands.select(col("band").as("b_band"), col("sig").as("b_sig"),
+          col("doc_id").as("b_id")),
+        col("band") === col("b_band") && col("sig") === col("b_sig") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(ng.select(col("doc_id").as("a_id"), col("gs").as("a_gs")), "a_id")
+      .join(ng.select(col("doc_id").as("b_id"), col("gs").as("b_gs")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_gs"), col("b_gs"))).cast("double") /
+          greatest(size(array_distinct(concat(col("a_gs"), col("b_gs")))), lit(1)), 4)
+          .as("jac"))
+      .filter(col("jac") >= 0.5)
+  }
+
+  /** 32-bit SimHash over 3-gram shingle hashes; near-dup = hamming <= 5
+    * within (lang, length-bucket) blocks. All bit math stays in codegen
+    * (floor-div bit probe, bitwiseXOR + bit_count verify). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val ng = shingled(spark, dir)
+    val h = ng.select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), (hash60(col("g")) % 4294967296L).as("hv"))
+    // bit_i vote (+1 set / -1 clear) as 32 parallel codegen'd aggregates:
+    // one shuffle on doc_id, no 32x row replication
+    val voteAggs = (0 until 32).map { i =>
+      sum(when(shiftright(col("hv"), i) % 2 === 1, 1).otherwise(-1)).as(s"s$i")
+    }
+    val votes = h.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val sig = votes.select(col("doc_id"),
+      (0 until 32).map { i =>
+        when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as("sig"))
+    val keyed = ng.select(col("doc_id"), col("lang"), col("lb"))
+      .join(sig, "doc_id")
+    val a = keyed.select(col("lang"), col("lb"), col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = keyed.select(col("lang").as("b_lang"), col("lb").as("b_lb"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, col("lang") === col("b_lang") && col("lb") === col("b_lb") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .filter(col("hamming") <= 5)
+  }
+
+  /** Embedding-cosine near-dup pairs (>= 0.42) inside IVF label cells —
+    * the codegen'd CosineSimilarity expression over a cell-blocked join. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosineSim(col("a_emb"), col("b_emb")), 4).as("score"))
+      .filter(col("score") >= 0.42)
+  }
+}
