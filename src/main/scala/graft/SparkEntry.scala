@@ -42,7 +42,17 @@ object SparkEntry {
     "text_langid" -> TextOps.textLangid _,
     "text_quality" -> TextOps.textQuality _,
     "text_tokens" -> TextOps.textTokens _,
-    "text_fingerprint" -> TextOps.textFingerprint _
+    "text_fingerprint" -> TextOps.textFingerprint _,
+    "chunk_documents" -> ChunkOps.chunkDocuments _,
+    "change_detect" -> ChunkOps.changeDetect _,
+    "doc_stats" -> ChunkOps.docStats _,
+    "mm_binary_meta" -> MultimodalOps.mmBinaryMeta _,
+    "mm_frame_sample" -> MultimodalOps.mmFrameSample _,
+    "graph_khop" -> GraphOps.graphKhop _,
+    "graph_impact" -> GraphOps.graphImpact _,
+    "graph_degree" -> GraphOps.graphDegree _,
+    "stream_window_agg" -> graft.streaming.StreamingOps.streamWindowAgg _,
+    "stream_sessionize" -> graft.streaming.StreamingOps.streamSessionize _
   )
 
   private val duckTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -254,6 +264,74 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($duckTok)), ' ')) AS fp
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    "chunk_documents" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents)
+         |SELECT doc_id, (u.s - 1) // 15 AS chunk_idx,
+         |  len(list_slice(ts, u.s, u.s + 19)) AS n_chunk_tokens,
+         |  array_to_string(list_slice(ts, u.s, u.s + 19), ' ') AS chunk_text
+         |FROM tok CROSS JOIN unnest(range(1, greatest(len(ts), 1) + 1, 15)) AS u(s)""".stripMargin,
+    "change_detect" ->
+      """WITH old AS (SELECT doc_id AS o_id, md5(text) AS o_hash FROM documents),
+        |neu AS (SELECT doc_id AS n_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS n_hash
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(o_id, n_id) AS doc_id,
+        |  CASE WHEN o_id IS NULL THEN 'added' WHEN n_id IS NULL THEN 'deleted'
+        |       WHEN o_hash <> n_hash THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM old FULL OUTER JOIN neu ON o_id = n_id
+        |WHERE status <> 'unchanged'""".stripMargin,
+    "doc_stats" ->
+      """SELECT coalesce(source, 'ALL') AS source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars, round(avg(n_chars), 4) AS avg_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY ROLLUP (source)""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |       ELSE 'webp' END AS format,
+        |  64 + (ascii(substr(text, 1, 1)) % 16) * 8 AS width,
+        |  64 + (ascii(substr(text, 1, 1)) % 8) * 16 AS height
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, (u.s - 1) // 100 AS frame_idx,
+        |  ascii(substr(text, u.s::INT, 1)) AS byte_val
+        |FROM documents
+        |CROSS JOIN unnest(range(1, least(n_chars, 701) + 1, 100)) AS u(s)""".stripMargin,
+    "graph_khop" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |h1 AS (SELECT DISTINCT dst FROM e WHERE src < 10),
+        |h2 AS (SELECT DISTINCT e.src FROM e JOIN h1 ON e.dst = h1.dst WHERE e.src >= 10)
+        |SELECT 1 AS hop, 'part' AS node_type, dst AS node_id FROM h1
+        |UNION ALL
+        |SELECT 2 AS hop, 'supplier' AS node_type, src AS node_id FROM h2""".stripMargin,
+    "graph_impact" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem)
+        |SELECT a.src AS root, count(DISTINCT b.src) AS n_impacted
+        |FROM e a JOIN e b ON a.dst = b.dst AND b.src <> a.src
+        |WHERE a.src < 10 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_degree" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem)
+        |SELECT 'supplier' AS node_type, src AS node_id, count(*) AS degree
+        |FROM e GROUP BY 2
+        |UNION ALL
+        |SELECT 'part' AS node_type, dst AS node_id, count(*) AS degree
+        |FROM e GROUP BY 2""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+        |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tn FROM events),
+        |l AS (SELECT user_id, tn, event_id,
+        |    lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) AS pt FROM e),
+        |c AS (SELECT user_id, tn,
+        |    sum(CASE WHEN pt IS NULL OR tn - pt > 1800000000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tn, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM l)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |  (min(tn) // 1000000000) AS start_epoch, (max(tn) // 1000000000) AS end_epoch
+        |FROM c GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Indexing-pipeline operators: token-budget document chunking, snapshot
+  * change detection, and corpus statistics.
+  *
+  * Reference analogue: project-cortex's chunker splits docs under a token
+  * budget with overlap (internal/indexer/chunker.go:31), its indexer diffs
+  * file hashes to decide re-embedding (internal/indexer/indexer.go change
+  * detection), and the metrics tool rolls up corpus stats
+  * (internal/mcp/metrics.go).
+  */
+object ChunkOps {
+
+  private def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Chunk size / stride in tokens (overlap = ChunkTokens - Stride). */
+  private val ChunkTokens = 20
+  private val Stride = 15
+
+  /** Token-budget chunking with overlap: one posexplode over the start
+    * offsets (1, 16, 31, ...), then a slice per chunk. Scales as a single
+    * narrow Generate — no shuffle, no UDF; at cluster scale each task
+    * chunks its own parquet split (cortex chunker.go:31 does the same
+    * sliding window per file).
+    */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        posexplode(sequence(lit(1), greatest(size(col("ts")), lit(1)), lit(Stride))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        size(slice(col("ts"), col("col"), lit(ChunkTokens))).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("ts"), col("col"), lit(ChunkTokens))).as("chunk_text"))
+
+  /** Snapshot diff by content hash. Old snapshot = the full corpus; new
+    * snapshot drops every 7th doc (deleted), adds none, and rewrites every
+    * 5th (changed, simulated by an appended revision marker). A full outer
+    * join on the key + md5 compare classifies every doc; `unchanged` rows
+    * are filtered out (cortex only re-embeds changed files).
+    */
+  def changeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.select(col("doc_id").as("o_id"), md5(col("text")).as("o_hash"))
+    val neu = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("n_id"),
+        md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("n_hash"))
+    old.join(neu, col("o_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("o_id"), col("n_id")).as("doc_id"),
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "deleted")
+          .when(col("o_hash") =!= col("n_hash"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
+  /** Per-source corpus stats with a grand-total rollup slot. */
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("total_chars"), col("avg_chars"), col("n_langs"))
+}

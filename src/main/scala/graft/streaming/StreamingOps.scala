@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Streaming analogues of cortex's watch mode (internal/mcp/watcher.go:
+  * file events stream in, the index updates incrementally).
+  *
+  * Each operator has a BATCH twin (verified against the DuckDB oracle —
+  * identical results over the same events table) and a STRUCTURED
+  * STREAMING twin exercised in the test suite over a MemoryStream with
+  * watermarks; the aggregation logic is shared so batch correctness
+  * transfers to the streaming plan.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour window aggregation (batch twin). One shuffle on the
+    * (window, event_type) key with partial aggregation map-side. */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("window_start")).as("window_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming twin of [[streamWindowAgg]]: same aggregate over a streaming
+    * DataFrame with a 2-hour watermark. Used by the test suite. */
+  def streamingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows per user with a 30-minute inactivity gap (batch twin):
+    * classic lag + running-sum session assignment — one shuffle on user_id,
+    * both windows share the same partitioning. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gapNs = 30L * 60 * 1000000000L
+    Tables.events(spark, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        // integer `div`, not `/`: long/long promotes to double, and nanos
+        // since epoch exceed double's 53-bit mantissa
+        expr("min(ts_ns) div 1000000000").as("start_epoch"),
+        expr("max(ts_ns) div 1000000000").as("end_epoch"))
+  }
+
+  /** Streaming twin of [[streamSessionize]]: Structured Streaming's native
+    * session_window with a watermark. Session extents match the batch twin
+    * for gap-separated data. Used by the test suite. */
+  def streamingSessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+}
