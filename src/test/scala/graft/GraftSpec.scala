@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs. */
+trait SparkFixture extends BeforeAndAfterAll { self: AnyFunSuite =>
+  lazy val spark: SparkSession = SparkFixture.session
+  val SfDir = "/root/testdata/sf0.001"
+  override def afterAll(): Unit = () // session shared across suites
+}
+
+object SparkFixture {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Every SparkEntry query runs at sf0.001 and the plan-shape contract
+  * (pushdown, broadcast, no cartesian surprises) holds. */
+class SparkEntrySpec extends AnyFunSuite with SparkFixture {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has a matching oracle or is explicitly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name runs at sf0.001 with a non-degenerate schema") {
+      val df = fn(spark, SfDir)
+      assert(df.schema.fields.nonEmpty)
+      df.count() // must execute without throwing
+    }
+  }
+
+  test("q2 filter and projection push down to the parquet scan") {
+    val plan = Relational_q2Explain()
+    assert(plan.contains("PushedFilters"), "expected parquet PushedFilters")
+    assert(plan.contains("p_size"), "p_size predicate should reach the scan")
+    assert(!plan.toLowerCase.contains("p_brand"),
+      "pruned column p_brand must not be read")
+  }
+
+  private def Relational_q2Explain(): String = {
+    val df = operators.Relational.q2FilterProject(spark, SfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("vec_knn_ivf prunes by label at the scan") {
+    val plan = operators.SearchOps.vecKnnIvf(spark, SfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      "label cell predicate should be pushed to the embeddings scan")
+  }
+
+  test("q4 uses broadcast joins for the dimension tables") {
+    val plan = operators.Relational.q4BroadcastJoin(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q5 global top-k avoids a global sort") {
+    val plan = operators.Relational.q5TopK(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}
+
+/** CosineSimilarity: native expression vs a plain Scala reference, on both
+  * codegen and interpreted paths. */
+class CosineSimilaritySpec extends AnyFunSuite with SparkFixture {
+  import functions.VectorFunctions.cosineSim
+
+  private def refCos(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val den = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  private def viaSpark(a: Seq[Float], b: Seq[Float], codegen: Boolean): Double = {
+    val mode = if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN"
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    try {
+      import spark.implicits._
+      Seq((a, b)).toDF("a", "b")
+        .select(cosineSim(col("a"), col("b")).as("c"))
+        .head().getDouble(0)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  private val cases = Seq(
+    (Seq(1f, 2f, 3f), Seq(3f, 2f, 1f)),
+    (Seq(1f, 0f), Seq(0f, 1f)),
+    (Seq(0.5f, -2.5f, 4f, 0f), Seq(-1f, 1f, 1f, 9f)),
+    (Seq(0f, 0f), Seq(1f, 1f)))
+
+  for (((a, b), i) <- cases.zipWithIndex; cg <- Seq(true, false)) {
+    test(s"case $i matches scala reference (codegen=$cg)") {
+      val got = viaSpark(a, b, cg)
+      val want = refCos(a.map(_.toDouble), b.map(_.toDouble))
+      assert(math.abs(got - want) < 1e-12, s"got $got want $want")
+    }
+  }
+
+  test("null array yields null") {
+    import spark.implicits._
+    val r = Seq((Option.empty[Seq[Float]], Option(Seq(1f))))
+      .toDF("a", "b").select(cosineSim(col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+  }
+}
+
+/** Dedup invariants at sf0.001. */
+class DedupSpec extends AnyFunSuite with SparkFixture {
+  import operators.DedupOps
+
+  test("ngram jaccard pairs are canonical (a<b) and within threshold") {
+    val rows = DedupOps.dedupNgramJaccard(spark, SfDir).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall { r => val j = r.getDouble(2); j >= 0.5 && j <= 1.0 })
+  }
+
+  test("minhash-lsh verified pairs all truly exceed the jaccard threshold") {
+    val rows = DedupOps.dedupMinhashLsh(spark, SfDir).collect()
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("simhash near-dup pairs hamming within threshold") {
+    val rows = DedupOps.dedupSimhash(spark, SfDir).collect()
+    assert(rows.forall(_.getInt(2) <= 5))
+  }
+}
+
+case class Ev(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String, value: Double)
+
+/** Streaming twins vs their batch twins over a MemoryStream. */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.streaming.StreamingOps
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val events = Seq(
+    Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0),
+    Ev(3, ts(65), 1, "view", 3.0), Ev(4, ts(130), 2, "click", 4.0),
+    Ev(5, ts(140), 2, "click", 5.0), Ev(6, ts(200), 2, "view", 6.0))
+
+  test("streaming tumbling-window agg matches batch aggregation") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val q = StreamingOps.streamingWindowAgg(mem.toDF())
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("win_agg")
+      .orderBy("window_epoch", "event_type").collect().toSeq
+    val batchDf = events.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_epoch", "event_type").collect().toSeq
+    assert(streamed == batchDf)
+  }
+
+  test("streaming sessionization splits on the 30-minute gap") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val q = graft.streaming.StreamingOps.streamingSessionize(mem.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sess")
+      .select("user_id", "n_events")
+      .orderBy("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    // user 1: events at 5,20 (one session) and 65 (new session);
+    // user 2: 130,140 together, 200 alone
+    assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
+  }
+}
