@@ -48,6 +48,7 @@ object SparkEntry {
     "doc_stats" -> ChunkOps.docStats _,
     "mm_binary_meta" -> MultimodalOps.mmBinaryMeta _,
     "mm_frame_sample" -> MultimodalOps.mmFrameSample _,
+    "mm_decode_stub" -> MultimodalOps.mmDecodeStub _,
     "graph_khop" -> GraphOps.graphKhop _,
     "graph_impact" -> GraphOps.graphImpact _,
     "graph_degree" -> GraphOps.graphDegree _,
@@ -287,6 +288,13 @@ object SparkEntry {
         |  count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY ROLLUP (source)""".stripMargin,
     "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |       ELSE 'webp' END AS format,
+        |  64 + (ascii(substr(text, 1, 1)) % 16) * 8 AS width,
+        |  64 + (ascii(substr(text, 1, 1)) % 8) * 16 AS height
+        |FROM documents""".stripMargin,
+    "mm_decode_stub" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
         |       ELSE 'webp' END AS format,

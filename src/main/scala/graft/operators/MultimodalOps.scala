@@ -42,4 +42,36 @@ object MultimodalOps {
         posexplode(sequence(lit(1), least(col("n_chars"), lit(701)), lit(100))))
       .select(col("doc_id"), col("pos").as("frame_idx"),
         ascii(expr("substr(text, col, 1)")).as("byte_val"))
+
+  /** Media payload as it would arrive from an object store manifest. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  /** Typed decode output — the schema a real codec stage would produce. */
+  case class DecodedMeta(doc_id: Long, n_bytes: Int, format: String,
+      width: Int, height: Int)
+
+  /** The imperative-decode path: a typed mapPartitions over binary
+    * payloads, the Scala analogue of a `mapInPandas` decode stage. The
+    * per-partition iterator is where a real implementation hands batches
+    * to an image/audio codec; THE DECODE ITSELF IS A DETERMINISTIC STUB
+    * (header-byte arithmetic) because no codec ships in this environment.
+    * Partitioning, batch shape, typed schema, and the codegen boundary
+    * around the opaque function are the real, load-bearing parts.
+    */
+  def mmDecodeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val b0 = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
+          val fmt = (r.doc_id % 3) match {
+            case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
+          }
+          DecodedMeta(r.doc_id, r.payload.length, fmt,
+            64 + (b0 % 16) * 8, 64 + (b0 % 8) * 16)
+        }
+      }
+      .toDF()
+  }
 }

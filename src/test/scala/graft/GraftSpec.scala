@@ -16,6 +16,7 @@ object SparkFixture {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -115,6 +116,13 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkFixture {
       val want = refCos(a.map(_.toDouble), b.map(_.toDouble))
       assert(math.abs(got - want) < 1e-12, s"got $got want $want")
     }
+  }
+
+  test("cosine_sim is registered as a SQL function via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)))").head().getDouble(0)
+    assert(math.abs(r - refCos(Seq(1.0, 2.0), Seq(2.0, 3.0))) < 1e-12)
   }
 
   test("null array yields null") {
