@@ -57,6 +57,34 @@ object StreamingOps {
         expr("max(ts_ns) div 1000000000").as("end_epoch"))
   }
 
+  /** Latest observed row per user, as typed values for the state store. */
+  case class UserLatest(user_id: Long, ts_ns: Long, event_id: Long,
+      event_type: String, value: Double)
+
+  /** Streaming incremental upsert: keep the newest row per key across
+    * micro-batches with mapGroupsWithState — the cortex watch-mode loop
+    * (internal/mcp/watcher.go: file event streams in, index row replaced).
+    * State per key is one row, so the store stays O(distinct keys); the
+    * batch twin is q11_upsert_latest. Used by the test suite.
+    */
+  def streamingUpsertLatest(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), (unix_micros(col("ts")) * 1000).as("ts_ns"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UserLatest]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserLatest, UserLatest](GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val newest = (rows ++ state.getOption.iterator)
+            .maxBy(r => (r.ts_ns, r.event_id))
+          state.update(newest)
+          newest
+      }
+      .toDF()
+  }
+
   /** Streaming twin of [[streamSessionize]]: Structured Streaming's native
     * session_window with a watermark. Session extents match the batch twin
     * for gap-separated data. Used by the test suite. */

@@ -191,6 +191,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batchDf)
   }
 
+  test("mapGroupsWithState upsert keeps the newest row per key across batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.streamingUpsertLatest(mem.toDF())
+      .writeStream.format("memory").queryName("upsert")
+      .outputMode("update").start()
+    try {
+      mem.addData(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(10), 1, "stale", 9.0)) // older than event 2
+      q.processAllAvailable()
+      val latest = spark.table("upsert")
+        .groupBy("user_id").agg(max(struct(col("ts_ns"), col("event_id"),
+          col("event_type"))).as("s"))
+        .select(col("user_id"), col("s.event_type")).as[(Long, String)]
+        .collect().toMap
+      // the state kept event 2 (ts 20) even after the stale event 3 arrived
+      assert(latest(1L) == "view")
+    } finally q.stop()
+  }
+
   test("streaming sessionization splits on the 30-minute gap") {
     val sparkS = spark
     import sparkS.implicits._
