@@ -34,6 +34,10 @@ object SparkEntry {
     "fts_phrase" -> SearchOps.ftsPhrase _,
     "hybrid_search" -> SearchOps.hybridSearch _,
     "tag_filter_search" -> SearchOps.tagFilterSearch _,
+    "fts_bm25" -> SearchOps.ftsBm25 _,
+    "fts_wildcard" -> SearchOps.ftsWildcard _,
+    "vec_knn_min_score" -> SearchOps.vecKnnMinScore _,
+    "graph_path" -> GraphOps.graphPath _,
     "dedup_exact" -> DedupOps.dedupExact _,
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccard _,
     "dedup_minhash_lsh" -> DedupOps.dedupMinhashLsh _,
@@ -186,6 +190,44 @@ object SparkEntry {
         |WHERE lang = 'en' AND source IN ('src0','src1','src2')
         |  AND n_chars BETWEEN 100 AND 400
         |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin,
+    "fts_bm25" ->
+      s"""WITH base AS (SELECT doc_id, len($duckTok)::DOUBLE AS dl,
+         |    len(list_filter($duckTok, t -> t = 'data'))::DOUBLE AS tf0,
+         |    len(list_filter($duckTok, t -> t = 'query'))::DOUBLE AS tf1,
+         |    len(list_filter($duckTok, t -> t = 'table'))::DOUBLE AS tf2
+         |  FROM documents),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+         |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+         |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+         |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+         |  FROM base)
+         |SELECT doc_id, round(
+         |    ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1) * (tf0 * 2.2)
+         |      / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         |  + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * 2.2)
+         |      / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         |  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * 2.2)
+         |      / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+         |FROM base, stats
+         |WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "fts_wildcard" ->
+      s"""SELECT doc_id,
+         |  len(list_filter($duckTok, t -> t LIKE 'dat%')) AS score
+         |FROM documents
+         |WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "vec_knn_min_score" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(${duckCos("embedding::DOUBLE[]", "q_emb")}, 4) AS score
+         |FROM embeddings, q WHERE vec_id <> 0 AND score >= 0.25
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "graph_path" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem)
+        |SELECT a.src AS a_id, b.src AS b_id, count(DISTINCT a.dst) AS n_paths
+        |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+        |WHERE a.src < 10 AND b.src < 10
+        |GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1 HAVING count(*) >= 2""".stripMargin,

@@ -57,6 +57,22 @@ object GraphOps {
       .orderBy(col("root"))
   }
 
+  /** Path query between seed roots (cortex `path`, searcher_sql.go): for
+    * every ordered seed pair, the number of distinct length-2 paths
+    * (shared parts). Both sides filter to seeds BEFORE the join, so the
+    * join input is seeds' edges only, not the full edge table.
+    */
+  def graphPath(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val a = e.filter(col("src") < SeedMax)
+      .select(col("src").as("a_id"), col("dst"))
+    val b = e.filter(col("src") < SeedMax)
+      .select(col("src").as("b_id"), col("dst").as("b_dst"))
+    a.join(b, col("dst") === col("b_dst") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(countDistinct(col("dst")).as("n_paths"))
+  }
+
   /** In/out degree for every node of the bipartite graph (cortex
     * callers/callees counts): suppliers count distinct parts shipped,
     * parts count distinct shipping suppliers.

@@ -121,6 +121,63 @@ object SearchOps {
       .limit(10)
   }
 
+  /** BM25 ranking over the probe terms (k1=1.2, b=0.75) — the actual FTS5
+    * scorer cortex uses (internal/mcp/exact_sqlite.go:141 ORDER BY bm25).
+    *
+    * Corpus stats (N, avgdl, per-term document frequencies) reduce to a
+    * single broadcast row — one tiny aggregate, then a stateless codegen'd
+    * scoring scan; no shuffle of the corpus itself.
+    */
+  def ftsBm25(spark: SparkSession, dir: String): DataFrame = {
+    val baseCols = Seq(col("doc_id"), size(col("ts")).cast("double").as("dl")) ++
+      Terms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("ts"), x => x === t)).cast("double").as(s"tf$i")
+      }
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(baseCols: _*)
+    val statCols = Seq(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")) ++
+      Terms.indices.map { i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i")
+      }
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val k1 = 1.2; val b = 0.75
+    val score = Terms.indices.map { i =>
+      val idf = log((col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1)
+      val norm = col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+      idf * (col(s"tf$i") * lit(k1 + 1)) / norm
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Wildcard (prefix) term search: rank by the number of tokens matching
+    * `dat*` (FTS5 wildcard query analogue). */
+  def ftsWildcard(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        size(filter(col("ts"), t => t.startsWith("dat"))).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
+  /** KNN with a minimum-score floor (cortex's min_score search parameter,
+    * internal/mcp/search_sqlite.go:101): the threshold filters before the
+    * top-k so fewer rows reach the TakeOrdered heap. */
+  def vecKnnMinScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("vec_id"), score(col("embedding"), col("q_emb")).as("score"))
+      .filter(col("score") >= 0.25)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+
   /** Filtered search: language/source/length predicates all push down to
     * the parquet scan before any ranking work (cortex tag/language/limit
     * filters, internal/mcp/search_sqlite.go:101).
