@@ -35,6 +35,7 @@ object SparkEntry {
     "hybrid_search" -> SearchOps.hybridSearch _,
     "tag_filter_search" -> SearchOps.tagFilterSearch _,
     "fts_bm25" -> SearchOps.ftsBm25 _,
+    "fts_snippet" -> SearchOps.ftsSnippet _,
     "fts_wildcard" -> SearchOps.ftsWildcard _,
     "vec_knn_min_score" -> SearchOps.vecKnnMinScore _,
     "graph_path" -> GraphOps.graphPath _,
@@ -211,6 +212,11 @@ object SparkEntry {
          |FROM base, stats
          |WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "fts_snippet" ->
+      """SELECT doc_id, instr(lower(text), 'data query') AS hit_pos,
+        |  substr(text, greatest(instr(lower(text), 'data query') - 20, 1), 60) AS snippet
+        |FROM documents WHERE contains(lower(text), 'data query')
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
     "fts_wildcard" ->
       s"""SELECT doc_id,
          |  len(list_filter($duckTok, t -> t LIKE 'dat%')) AS score

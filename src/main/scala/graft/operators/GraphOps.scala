@@ -18,11 +18,21 @@ import graft.Tables
   */
 object GraphOps {
 
-  /** Distinct supplier→part edges. */
+  /** Distinct supplier→part edges, persisted and memoized per
+    * (session, dir): every graph query references the edge relation from
+    * at least two plan branches, and without materialization each branch
+    * would re-scan and re-distinct lineitem (cortex materializes its edge
+    * tables for the same reason, internal/storage/schema.go).
+    */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def edges(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
-      .distinct()
+    edgeCache.computeIfAbsent(s"${System.identityHashCode(spark)}@$dir", _ =>
+      Tables.lineitem(spark, dir)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+        .persist())
 
   private val SeedMax = 10 // seed roots: suppliers with key < 10
 

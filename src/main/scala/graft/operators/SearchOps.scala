@@ -166,6 +166,21 @@ object SearchOps {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
 
+  /** Snippet highlighting: a fixed-width window of context around the
+    * first phrase hit (FTS5 snippet() analogue,
+    * internal/mcp/exact_sqlite.go snippet extraction). Pure codegen
+    * string ops on the already-filtered rows. */
+  def ftsSnippet(spark: SparkSession, dir: String): DataFrame = {
+    val pos = instr(lower(col("text")), "data query")
+    Tables.documents(spark, dir)
+      .filter(contains(lower(col("text")), lit("data query")))
+      .select(col("doc_id"), pos.as("hit_pos"),
+        expr("substr(text, greatest(instr(lower(text), 'data query') - 20, 1), 60)")
+          .as("snippet"))
+      .orderBy(col("doc_id"))
+      .limit(20)
+  }
+
   /** KNN with a minimum-score floor (cortex's min_score search parameter,
     * internal/mcp/search_sqlite.go:101): the threshold filters before the
     * top-k so fewer rows reach the TakeOrdered heap. */

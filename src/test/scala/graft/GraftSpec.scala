@@ -17,6 +17,7 @@ object SparkFixture {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -151,6 +152,39 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   test("simhash near-dup pairs hamming within threshold") {
     val rows = DedupOps.dedupSimhash(spark, SfDir).collect()
     assert(rows.forall(_.getInt(2) <= 5))
+  }
+}
+
+/** Bucketed index-store layout: co-located joins must be shuffle-free. */
+class IndexStoreSpec extends AnyFunSuite with SparkFixture {
+  import graft.sources.IndexStore
+
+  test("tables bucketed on the same key join without a shuffle") {
+    val docs = Tables.documents(spark, SfDir).select(col("doc_id"), col("lang"))
+    val emb = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id").as("doc_id"), col("label"))
+    IndexStore.writeBucketed(docs, "docs_bkt", "doc_id", 4)
+    IndexStore.writeBucketed(emb, "emb_bkt", "doc_id", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("docs_bkt").join(spark.table("emb_bkt"), "doc_id")
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned store prunes by the partition column") {
+    IndexStore.writePartitioned(
+      Tables.documents(spark, SfDir).select(col("doc_id"), col("n_chars"), col("lang")),
+      "docs_part", "lang")
+    val q = spark.table("docs_part").filter(col("lang") === "en")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || q.count() > 0)
+    assert(q.count() == Tables.documents(spark, SfDir)
+      .filter(col("lang") === "en").count())
   }
 }
 
