@@ -22,6 +22,7 @@ object SparkEntry {
     "q4_broadcast_join" -> Relational.q4BroadcastJoin _,
     "q5_topk" -> Relational.q5TopK _,
     "q6_window_topk" -> Relational.q6WindowTopK _,
+    "q6b_topk_agg" -> Relational.q6TopkAgg _,
     "q7_semi_join" -> Relational.q7SemiJoin _,
     "q8_anti_join" -> Relational.q8AntiJoin _,
     "q9_distinct_agg" -> Relational.q9DistinctAgg _,
@@ -121,6 +122,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q6_window_topk" ->
+      """SELECT c_nationkey, rk, c_custkey, round(c_acctbal, 4) AS c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) t WHERE rk <= 3""".stripMargin,
+    "q6b_topk_agg" ->
       """SELECT c_nationkey, rk, c_custkey, round(c_acctbal, 4) AS c_acctbal FROM (
         |  SELECT c_nationkey, c_custkey, c_acctbal,
         |    row_number() OVER (PARTITION BY c_nationkey

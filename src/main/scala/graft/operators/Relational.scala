@@ -97,6 +97,19 @@ object Relational {
         round(col("c_acctbal"), 4).as("c_acctbal"))
   }
 
+  /** Per-group top-N as a bounded-heap aggregate (graft.functions.TopKAgg):
+    * same result as [[q6WindowTopK]], but partial aggregation trims to k
+    * rows per group MAP-SIDE, so the shuffle moves k*|groups| rows instead
+    * of the whole table — the formulation that survives a 100x scale-up.
+    */
+  def q6TopkAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(graft.functions.TopKAgg.topK(col("c_acctbal"), col("c_custkey"), 3).as("top"))
+      .select(col("c_nationkey"), posexplode(col("top")))
+      .select(col("c_nationkey"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("c_custkey"), round(col("col.score"), 4).as("c_acctbal"))
+
   /** Left-semi join (EXISTS): customers having at least one high-value
     * order. No payload columns from the right side cross the join.
     */

@@ -17,7 +17,8 @@ object SparkFixture {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -74,6 +75,14 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     val plan = operators.Relational.q4BroadcastJoin(spark, SfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("heap-aggregate top-k matches the window formulation exactly") {
+    val viaWindow = operators.Relational.q6WindowTopK(spark, SfDir)
+      .orderBy("c_nationkey", "rk").collect().toSeq
+    val viaAgg = operators.Relational.q6TopkAgg(spark, SfDir)
+      .orderBy("c_nationkey", "rk").collect().toSeq
+    assert(viaAgg == viaWindow)
   }
 
   test("q5 global top-k avoids a global sort") {
