@@ -52,6 +52,7 @@ object SparkEntry {
     "chunk_documents" -> ChunkOps.chunkDocuments _,
     "change_detect" -> ChunkOps.changeDetect _,
     "doc_stats" -> ChunkOps.docStats _,
+    "pipeline_incremental" -> ChunkOps.pipelineIncremental _,
     "mm_binary_meta" -> MultimodalOps.mmBinaryMeta _,
     "mm_frame_sample" -> MultimodalOps.mmFrameSample _,
     "mm_decode_stub" -> MultimodalOps.mmDecodeStub _,
@@ -349,6 +350,17 @@ object SparkEntry {
         |  64 + (ascii(substr(text, 1, 1)) % 16) * 8 AS width,
         |  64 + (ascii(substr(text, 1, 1)) % 8) * 16 AS height
         |FROM documents""".stripMargin,
+    "pipeline_incremental" ->
+      s"""WITH neu AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |old AS (SELECT doc_id AS o_id, md5(text) AS o_hash FROM documents),
+         |chg AS (SELECT n.doc_id, n.text FROM neu n JOIN old o ON n.doc_id = o.o_id
+         |        WHERE md5(n.text) <> o.o_hash),
+         |tok AS (SELECT doc_id, $duckTok AS ts FROM chg)
+         |SELECT doc_id, (u.s - 1) // 15 AS chunk_idx,
+         |  md5(array_to_string(list_slice(ts, u.s, u.s + 19), ' ')) AS chunk_fp
+         |FROM tok CROSS JOIN unnest(range(1, greatest(len(ts), 1) + 1, 15)) AS u(s)""".stripMargin,
     "mm_decode_stub" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'

@@ -59,6 +59,36 @@ object ChunkOps {
       .filter(col("status") =!= "unchanged")
   }
 
+  /** The incremental indexing pipeline end-to-end: diff the new snapshot
+    * against the old by content hash, re-chunk only the changed docs, and
+    * emit each chunk's fingerprint — the exact work queue a re-embedding
+    * stage would consume (cortex's watch loop: detect change → re-chunk →
+    * re-embed → upsert, internal/indexer/indexer.go).
+    *
+    * Only changed docs flow past the diff join, so downstream work is
+    * proportional to churn, not corpus size — the property that makes
+    * incremental indexing viable at 100 TB.
+    */
+  def pipelineIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val neu = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    val old = docs.select(col("doc_id").as("o_id"), md5(col("text")).as("o_hash"))
+    val changed = neu
+      .join(old, col("doc_id") === col("o_id"))
+      .filter(md5(col("text")) =!= col("o_hash"))
+      .select(col("doc_id"), col("text"))
+    changed
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        posexplode(sequence(lit(1), greatest(size(col("ts")), lit(1)), lit(Stride))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        md5(concat_ws(" ", slice(col("ts"), col("col"), lit(ChunkTokens))))
+          .as("chunk_fp"))
+  }
+
   /** Per-source corpus stats with a grand-total rollup slot. */
   def docStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

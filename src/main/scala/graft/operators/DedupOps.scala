@@ -6,7 +6,9 @@ import graft.Tables
 import graft.functions.VectorFunctions.cosineSim
 
 /** Deduplication operators for a training-data pipeline: exact, n-gram
-  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  * Jaccard, MinHash+LSH (Broder 1997, "On the resemblance and containment
+  * of documents"), SimHash (Charikar, STOC 2002), and embedding-cosine
+  * near-dup.
   *
   * Reference analogue: project-cortex's change detection dedups chunks by
   * content hash (internal/indexer/extractor.go SHA-256 file hash +

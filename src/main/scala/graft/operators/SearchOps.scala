@@ -121,8 +121,9 @@ object SearchOps {
       .limit(10)
   }
 
-  /** BM25 ranking over the probe terms (k1=1.2, b=0.75) — the actual FTS5
-    * scorer cortex uses (internal/mcp/exact_sqlite.go:141 ORDER BY bm25).
+  /** BM25 ranking over the probe terms (k1=1.2, b=0.75; Robertson et al.,
+    * Okapi at TREC-3) — the actual FTS5 scorer cortex uses
+    * (internal/mcp/exact_sqlite.go:141 ORDER BY bm25).
     *
     * Corpus stats (N, avgdl, per-term document frequencies) reduce to a
     * single broadcast row — one tiny aggregate, then a stateless codegen'd
