@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorFunctions.cosineSim
 
@@ -66,19 +65,25 @@ object SearchOps {
       .limit(10)
 
   /** Batch KNN: top-3 neighbours for every vector, pairing only within the
-    * same coarse cell (shuffle on label, then a per-cell block join), ranked
-    * by a single window shuffle on the left id.
+    * same coarse cell (shuffle on label, then a per-cell block join).
+    *
+    * Ranking uses the bounded-heap TopKAgg, not a window: the window would
+    * re-shuffle EVERY candidate pair to its a_id partition; the aggregate
+    * trims to 3 per vector map-side, so the second shuffle moves at most
+    * 3 rows per vector regardless of cell size.
     */
   def vecKnnJoin(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val a = emb.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    val w = Window.partitionBy(col("a_id")).orderBy(col("score").desc, col("b_id"))
     a.join(b, col("label") === col("b_label") && col("a_id") =!= col("b_id"))
-      .select(col("label"), col("a_id"), col("b_id"),
-        score(col("a_emb"), col("b_emb")).as("score"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+      .select(col("label"), col("a_id"),
+        score(col("a_emb"), col("b_emb")).as("score"), col("b_id"))
+      .groupBy(col("label"), col("a_id"))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("b_id"), 3).as("top"))
+      .select(col("label"), col("a_id"), posexplode(col("top")))
+      .select(col("label"), col("a_id"), col("col.id").as("b_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** FTS term scoring: term frequency of the probe terms over regex tokens,
