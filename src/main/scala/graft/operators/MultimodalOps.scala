@@ -57,19 +57,26 @@ object MultimodalOps {
     * Partitioning, batch shape, typed schema, and the codegen boundary
     * around the opaque function are the real, load-bearing parts.
     */
+  /** Codec batch size: real decoders amortize setup over a batch the same
+    * way mapInPandas hands pandas batches to Python. */
+  private val DecodeBatch = 64
+
   def mmDecodeStub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        rows.map { r =>
-          val b0 = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
-          val fmt = (r.doc_id % 3) match {
-            case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
+        // batch the iterator: one codec invocation per DecodeBatch payloads
+        rows.grouped(DecodeBatch).flatMap { batch =>
+          batch.map { r =>
+            val b0 = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
+            val fmt = (r.doc_id % 3) match {
+              case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
+            }
+            DecodedMeta(r.doc_id, r.payload.length, fmt,
+              64 + (b0 % 16) * 8, 64 + (b0 % 8) * 16)
           }
-          DecodedMeta(r.doc_id, r.payload.length, fmt,
-            64 + (b0 % 16) * 8, 64 + (b0 % 8) * 16)
         }
       }
       .toDF()

@@ -164,6 +164,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+/** Salted join equivalence. */
+class SkewOpsSpec extends AnyFunSuite with SparkFixture {
+  test("salted join returns exactly the rows of the plain join") {
+    val big = Tables.orders(spark, SfDir)
+      .select(col("o_custkey").as("k"), col("o_orderkey"))
+    val small = Tables.customer(spark, SfDir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    val plain = big.join(small, "k")
+      .orderBy("k", "o_orderkey").collect().toSeq
+    val salted = operators.SkewOps.saltedJoin(big, small, "k", 8)
+      .select(col("k"), col("o_orderkey"), col("c_mktsegment"))
+      .orderBy("k", "o_orderkey").collect().toSeq
+    assert(salted == plain)
+  }
+}
+
 /** Bucketed index-store layout: co-located joins must be shuffle-free. */
 class IndexStoreSpec extends AnyFunSuite with SparkFixture {
   import graft.sources.IndexStore
