@@ -85,6 +85,67 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Open-session state: extent and event count of the session in flight. */
+  case class SessionState(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long)
+  /** A closed session, emitted once its 30-minute gap expires. */
+  case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long)
+
+  /** Sessionization with EXPLICIT custom state (flatMapGroupsWithState):
+    * each user's open session lives in the state store; an arriving event
+    * either extends it (gap <= 30 min) or closes it and starts a new one,
+    * and the event-time timeout flushes sessions the watermark has passed.
+    *
+    * This is the full cortex-watcher shape — unbounded keyed state with
+    * deterministic expiry — where session_window (see
+    * [[streamingSessionize]]) is the declarative special case. State per
+    * key is O(1); emission is append-mode (closed sessions only), so
+    * downstream sinks never see retractions.
+    */
+  def streamingSessionizeStateful(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      // ts stays in the projection: the watermark column must survive to
+      // the stateful operator for event-time timeouts to fire
+      .select(col("user_id"), expr("unix_micros(ts) div 1000").as("ts_ms"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(s.user_id, s.start_ms, s.end_ms, s.n_events))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end_ms <= gapMs =>
+                  cur = Some(s.copy(end_ms = t, n_events = s.n_events + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(s.user_id, s.start_ms, s.end_ms, s.n_events)
+                  cur = Some(SessionState(uid, t, t, 1))
+                case None =>
+                  cur = Some(SessionState(uid, t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end_ms + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF()
+  }
+
   /** Streaming twin of [[streamSessionize]]: Structured Streaming's native
     * session_window with a watermark. Session extents match the batch twin
     * for gap-separated data. Used by the test suite. */

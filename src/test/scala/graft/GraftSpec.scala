@@ -273,6 +273,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits closed sessions as the watermark advances") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.streamingSessionizeStateful(mem.toDF())
+      .writeStream.format("memory").queryName("sess_state")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 15 min apart -> one open session
+      mem.addData(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0))
+      q.processAllAvailable()
+      // an event far in the future advances the watermark past the gap,
+      // timing out user 1's open session
+      mem.addData(Ev(3, ts(300), 2, "view", 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(4, ts(600), 3, "view", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_state")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+      assert(closed.contains((1L, 2L)),
+        s"user 1's 2-event session should have closed, got $closed")
+    } finally q.stop()
+  }
+
   test("streaming sessionization splits on the 30-minute gap") {
     val sparkS = spark
     import sparkS.implicits._
