@@ -53,6 +53,7 @@ object SparkEntry {
     "change_detect" -> ChunkOps.changeDetect _,
     "doc_stats" -> ChunkOps.docStats _,
     "pipeline_incremental" -> ChunkOps.pipelineIncremental _,
+    "embed_stub" -> ChunkOps.embedStub _,
     "mm_binary_meta" -> MultimodalOps.mmBinaryMeta _,
     "mm_frame_sample" -> MultimodalOps.mmFrameSample _,
     "mm_decode_stub" -> MultimodalOps.mmDecodeStub _,
@@ -350,6 +351,12 @@ object SparkEntry {
         |  64 + (ascii(substr(text, 1, 1)) % 16) * 8 AS width,
         |  64 + (ascii(substr(text, 1, 1)) % 8) * 16 AS height
         |FROM documents""".stripMargin,
+    "embed_stub" -> {
+      val dims = (0 until 8).map { i =>
+        s"(('0x' || substr(md5(text || '$i'), 1, 15))::BIGINT % 1000) / 1000.0 AS e$i"
+      }.mkString(",\n  ")
+      s"SELECT doc_id,\n  $dims\nFROM documents"
+    },
     "pipeline_incremental" ->
       s"""WITH neu AS (SELECT doc_id,
          |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text

@@ -89,6 +89,24 @@ object ChunkOps {
           .as("chunk_fp"))
   }
 
+  /** Batched embedding stage with THE MODEL CALL STUBBED: a deterministic
+    * 8-dim pseudo-embedding derived from md5 of the text (no embedding
+    * model ships in this environment). The pipeline shape is the real
+    * part — cortex batches texts to an embedding API and stores vectors
+    * per chunk (internal/embed/batched.go); here each row's vector is
+    * computed scan-local with no shuffle, and a real deployment swaps the
+    * hash for a model-serving call inside a mapPartitions batch (see
+    * MultimodalOps.mmDecodeStub for that shape).
+    */
+  def embedStub(spark: SparkSession, dir: String): DataFrame = {
+    val dims = (0 until 8).map { i =>
+      (((conv(substring(md5(concat(col("text"), lit(i.toString))), 1, 15), 16, 10)
+        .cast("long") % 1000).cast("double")) / 1000.0).as(s"e$i")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: dims: _*)
+  }
+
   /** Per-source corpus stats with a grand-total rollup slot. */
   def docStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
