@@ -31,6 +31,9 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
+    // dynamic conf so events reads work even from a caller-built session
+    // that didn't set the flag at construction time
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumnRenamed("ts", "ts_ns")
