@@ -28,6 +28,8 @@ object SparkEntry {
     "q9_distinct_agg" -> Relational.q9DistinctAgg _,
     "q10_rollup" -> Relational.q10Rollup _,
     "q11_upsert_latest" -> Relational.q11UpsertLatest _,
+    "q12_asof_join" -> Relational.q12AsofJoin _,
+    "q9b_approx_distinct" -> Relational.q9bApproxDistinct _,
     "vec_knn_brute" -> SearchOps.vecKnnBrute _,
     "vec_knn_ivf" -> SearchOps.vecKnnIvf _,
     "vec_knn_join" -> SearchOps.vecKnnJoin _,
@@ -158,6 +160,19 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |                               ORDER BY ts DESC, event_id DESC) AS rk
         |  FROM events) WHERE rk = 1""".stripMargin,
+    "q12_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tn FROM events),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tn, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_id,
+        |    last_value(CASE WHEN event_type = 'view' THEN tn END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tn, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_tn
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id, last_view_id,
+        |  (tn - last_view_tn) // 1000000000 AS gap_s
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
     "vec_knn_brute" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${duckCos("embedding::DOUBLE[]", "q_emb")}, 4) AS score

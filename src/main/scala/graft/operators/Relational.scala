@@ -155,6 +155,40 @@ object Relational {
         coalesce(col("n_name"), lit("ALL")).as("n_name"),
         col("n_suppliers"), col("total_acctbal"))
 
+  /** As-of join, the scalable way: for every purchase event, the most
+    * recent prior view by the same user. No join at all — a running
+    * last_value(ignoreNulls) over ONE user_id shuffle computes the match
+    * for every row in a single pass, where a naive inequality join would
+    * be O(purchases x views) per user.
+    */
+  def q12AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("last_view_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_view_ts",
+        last(when(col("event_type") === "view", col("ts_ns")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("last_view_id"),
+        expr("(ts_ns - last_view_ts) div 1000000000").as("gap_s"))
+  }
+
+  /** Sketch-based distinct counting (HyperLogLog++): the cardinality
+    * estimate that replaces exact distinct at 100 TB — mergeable partial
+    * sketches, one small shuffle, bounded memory per group. Engine
+    * sketches differ, so this is rows-only checked by the driver; the
+    * test suite asserts <10% relative error against the exact count.
+    */
+  def q9bApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+      .orderBy(col("o_orderpriority"))
+
   /** Latest-row-per-key (incremental index upsert semantics,
     * internal/storage/chunk_writer.go): one shuffle on the key, then a
     * ranking window picks the newest version.

@@ -38,8 +38,21 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("every query key has a matching oracle or is explicitly rows-only") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // sketch outputs are engine-specific, so these are rows-only checked
+    val rowsOnly = Set("q9b_approx_distinct")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+  }
+
+  test("approx distinct stays within 10% of the exact count") {
+    val exact = operators.Relational.q9DistinctAgg(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = operators.Relational.q9bApproxDistinct(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, a) =>
+      val e = exact(k).toDouble
+      assert(math.abs(a - e) / e < 0.1, s"$k: approx $a vs exact $e")
+    }
   }
 
   for ((name, fn) <- SparkEntry.queries) {
