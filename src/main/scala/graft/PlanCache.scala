@@ -1,0 +1,32 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Memoized persisted DataFrames, keyed by the session REFERENCE (not its
+  * identity hash — a GC'd session's hash can collide with a live one's) plus
+  * the data dir and a tag. Entries belonging to stopped sessions are evicted
+  * on every access, so the cache stays bounded by the number of live
+  * sessions; `invalidate()` is the explicit hook for data that changed under
+  * a dir. At cluster scale the equivalent of these persisted builds is the
+  * IndexStore bucketed table (build once, query many — the cortex design,
+  * internal/storage/chunk_writer.go).
+  */
+object PlanCache {
+  private val cache =
+    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def getOrBuild(spark: SparkSession, dir: String, tag: String)
+      (build: => DataFrame): DataFrame = {
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    cache.computeIfAbsent((spark, dir, tag), _ => build.persist())
+  }
+
+  /** Unpersist and drop every entry (e.g. after data under a dir changed). */
+  def invalidate(): Unit = {
+    cache.values.forEach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    cache.clear()
+  }
+}

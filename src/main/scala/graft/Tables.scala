@@ -33,11 +33,16 @@ object Tables {
     import org.apache.spark.sql.types.LongType
     // dynamic conf so events reads work even from a caller-built session
     // that didn't set the flag at construction time
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .forall(_ != "true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
+      // `div` (integral division), NOT `/`: Spark's `/` promotes to double,
+      // and nanos-since-epoch exceeds double's 53-bit mantissa — the
+      // round-trip would perturb ~µs for a fraction of rows.
       raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -60,13 +60,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val den = ctx.freshName("den")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $a.$lGet($i);
-         |  double y = (double) $b.$rGet($i);
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |  double $x = (double) $a.$lGet($i);
+         |  double $y = (double) $b.$rGet($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;

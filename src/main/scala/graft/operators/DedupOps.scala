@@ -47,22 +47,19 @@ object DedupOps {
   }
 
   /** documents with a `gs` distinct-shingle column, persisted and memoized
-    * per (session, dir): every dedup operator self-joins this relation, so
-    * without materialization Spark would re-tokenize the corpus once per
-    * join branch. This is the cortex design point — build the index once,
-    * query it many times (internal/storage/chunk_writer.go) — and at
+    * per (session, dir) via PlanCache: every dedup operator self-joins this
+    * relation, so without materialization Spark would re-tokenize the corpus
+    * once per join branch. This is the cortex design point — build the index
+    * once, query it many times (internal/storage/chunk_writer.go) — and at
     * cluster scale it would be a written-out bucketed table.
     */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent(s"${System.identityHashCode(spark)}@$dir", _ =>
+    graft.PlanCache.getOrBuild(spark, dir, "shingled") {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"),
           (col("n_chars") / 100).cast("long").as("lb"),
           trigrams(tokens(col("text"))).as("gs"))
-        .persist())
+    }
 
   /** Stable 60-bit token hash from the md5 hex prefix — identical bytes on
     * any engine (the oracle recomputes it in DuckDB), unlike murmur/xxhash

@@ -24,15 +24,12 @@ object GraphOps {
     * would re-scan and re-distinct lineitem (cortex materializes its edge
     * tables for the same reason, internal/storage/schema.go).
     */
-  private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private def edges(spark: SparkSession, dir: String): DataFrame =
-    edgeCache.computeIfAbsent(s"${System.identityHashCode(spark)}@$dir", _ =>
+    graft.PlanCache.getOrBuild(spark, dir, "edges") {
       Tables.lineitem(spark, dir)
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
         .distinct()
-        .persist())
+    }
 
   private val SeedMax = 10 // seed roots: suppliers with key < 10
 

@@ -38,6 +38,9 @@ object MultimodalOps {
     */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // empty payloads yield no frames (the oracle's range() is empty);
+      // without this guard sequence(1, 0) would throw for n_chars = 0
+      .filter(col("n_chars") >= 1)
       .select(col("doc_id"), col("text"),
         posexplode(sequence(lit(1), least(col("n_chars"), lit(701)), lit(100))))
       .select(col("doc_id"), col("pos").as("frame_idx"),

@@ -21,8 +21,15 @@ object SkewOps {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
+    // Salt derives from row CONTENT (hash of every column), never from
+    // monotonically_increasing_id(): a nondeterministic salt upstream of the
+    // shuffle can re-scatter rows differently when a task is recomputed
+    // after a fetch failure — the classic duplicated/lost-row hazard. A
+    // content hash replays identically on retry. (Identical rows salting to
+    // the same bucket is fine: uniformity suffers only if one exact row
+    // repeats at hot-key scale.)
     val salted = big.withColumn("_salt",
-      (pmod(hash(monotonically_increasing_id()), lit(salts))).cast("int"))
+      (pmod(hash(big.columns.map(col): _*), lit(salts))).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
