@@ -148,9 +148,27 @@ object DedupOps {
       .filter(col("jac") >= 0.5)
   }
 
+  /** SimHash band layout: 32 signature bits sliced into 6 (offset, width)
+    * bands. 6 bands for a hamming-5 threshold is the pigeonhole guarantee:
+    * at most 5 differing bits spread over 6 bands always leave >= 1 band
+    * untouched, so banding is EXACT candidate generation, not approximate.
+    */
+  private val SimhashBands =
+    Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 4), (28, 4))
+  private val SimhashTau = 5
+
   /** 32-bit SimHash over 3-gram shingle hashes; near-dup = hamming <= 5
     * within (lang, length-bucket) blocks. All bit math stays in codegen
-    * (floor-div bit probe, bitwiseXOR + bit_count verify). */
+    * (floor-div bit probe, bitwiseXOR + bit_count verify).
+    *
+    * Candidate generation is a hamming-LSH band join, NOT all pairs within
+    * a block: each signature explodes into 6 bit-slices and pairs
+    * materialize only where a full slice matches inside the block. A block
+    * of millions of docs no longer costs block^2 comparisons — only docs
+    * agreeing on 1/6 of the signature ever meet, and the 6-band split makes
+    * that candidate set a superset of every true hamming<=5 pair
+    * (pigeonhole over SimhashBands), so the verify step loses nothing.
+    */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val ng = shingled(spark, dir)
     val h = ng.select(col("doc_id"), explode(col("gs")).as("g"))
@@ -167,14 +185,31 @@ object DedupOps {
       }.reduce(_ + _).as("sig"))
     val keyed = ng.select(col("doc_id"), col("lang"), col("lb"))
       .join(sig, "doc_id")
-    val a = keyed.select(col("lang"), col("lb"), col("doc_id").as("a_id"), col("sig").as("a_sig"))
-    val b = keyed.select(col("lang").as("b_lang"), col("lb").as("b_lb"),
-      col("doc_id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, col("lang") === col("b_lang") && col("lb") === col("b_lb") &&
-        col("a_id") < col("b_id"))
+    val bandStructs = SimhashBands.zipWithIndex.map { case ((off, w), j) =>
+      struct(lit(j).as("band"),
+        (shiftright(col("sig"), off) % (1L << w)).as("bv"))
+    }
+    val bands = keyed
+      .select(col("doc_id"), col("lang"), col("lb"), col("sig"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("lang"), col("lb"), col("sig"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val cand = bands
+      .join(bands.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+          col("lb").as("b_lb"), col("sig").as("b_sig"),
+          col("band").as("bb"), col("bv").as("b_bv")),
+        col("band") === col("bb") && col("bv") === col("b_bv") &&
+          col("lang") === col("b_lang") && col("lb") === col("b_lb") &&
+          col("doc_id") < col("b_id"))
+      // a pair can collide on several bands; sigs ride along (they are
+      // functions of the ids) so the verify needs no extra join
+      .select(col("doc_id").as("a_id"), col("b_id"),
+        col("sig").as("a_sig"), col("b_sig"))
+      .distinct()
+    cand
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
-      .filter(col("hamming") <= 5)
+      .filter(col("hamming") <= SimhashTau)
   }
 
   /** Embedding-cosine near-dup pairs (>= 0.42) inside IVF label cells —

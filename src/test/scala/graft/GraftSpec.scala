@@ -175,6 +175,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val rows = DedupOps.dedupSimhash(spark, SfDir).collect()
     assert(rows.forall(_.getInt(2) <= 5))
   }
+
+  test("simhash 6-band split captures every hamming<=5 pair (pigeonhole)") {
+    val bands = Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 4), (28, 4))
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val a = rnd.nextLong() & 0xFFFFFFFFL
+      val flips = rnd.nextInt(6) // 0..5 bit flips
+      val b = (0 until flips).foldLeft(a)((s, _) => s ^ (1L << rnd.nextInt(32)))
+      val collide = bands.exists { case (off, w) =>
+        ((a >> off) % (1L << w)) == ((b >> off) % (1L << w))
+      }
+      assert(collide, s"sig pair $a/$b (hamming<=5) missed by every band")
+    }
+  }
+
+  test("simhash candidates come from a band join, not an all-pairs block join") {
+    val plan = DedupOps.dedupSimhash(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("band") && plan.contains("bv"),
+      "expected the hamming-LSH band columns in the join keys")
+  }
 }
 
 /** Salted join equivalence. */
