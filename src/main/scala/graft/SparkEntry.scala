@@ -60,6 +60,9 @@ object SparkEntry {
     "mm_frame_sample" -> MultimodalOps.mmFrameSample _,
     "mm_decode_stub" -> MultimodalOps.mmDecodeStub _,
     "graph_khop" -> GraphOps.graphKhop _,
+    "graph_khop_deep" -> GraphOps.graphKhopDeep _,
+    "graph_dependents" -> GraphOps.graphDependents _,
+    "graph_implementations" -> GraphOps.graphImplementations _,
     "graph_impact" -> GraphOps.graphImpact _,
     "graph_degree" -> GraphOps.graphDegree _,
     "stream_window_agg" -> graft.streaming.StreamingOps.streamWindowAgg _,
@@ -402,6 +405,38 @@ object SparkEntry {
         |SELECT 1 AS hop, 'part' AS node_type, dst AS node_id FROM h1
         |UNION ALL
         |SELECT 2 AS hop, 'supplier' AS node_type, src AS node_id FROM h2""".stripMargin,
+    "graph_khop_deep" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |s0 AS (SELECT DISTINCT src AS id FROM e WHERE src < 10),
+        |f1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN s0 ON e.src = s0.id),
+        |f2 AS (SELECT DISTINCT e.src AS id FROM e JOIN f1 ON e.dst = f1.id
+        |       WHERE e.src NOT IN (SELECT id FROM s0)),
+        |f3 AS (SELECT DISTINCT e.dst AS id FROM e JOIN f2 ON e.src = f2.id
+        |       WHERE e.dst NOT IN (SELECT id FROM f1)),
+        |f4 AS (SELECT DISTINCT e.src AS id FROM e JOIN f3 ON e.dst = f3.id
+        |       WHERE e.src NOT IN (SELECT id FROM s0)
+        |         AND e.src NOT IN (SELECT id FROM f2))
+        |SELECT 1 AS hop, 'part' AS node_type, id AS node_id FROM f1
+        |UNION ALL SELECT 2 AS hop, 'supplier' AS node_type, id AS node_id FROM f2
+        |UNION ALL SELECT 3 AS hop, 'part' AS node_type, id AS node_id FROM f3
+        |UNION ALL SELECT 4 AS hop, 'supplier' AS node_type, id AS node_id FROM f4""".stripMargin,
+    "graph_dependents" ->
+      """WITH u AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |s0 AS (SELECT DISTINCT supp AS id FROM u WHERE supp < 10),
+        |f1 AS (SELECT DISTINCT u.cust AS id FROM u JOIN s0 ON u.supp = s0.id),
+        |f2 AS (SELECT DISTINCT u.supp AS id FROM u JOIN f1 ON u.cust = f1.id
+        |       WHERE u.supp NOT IN (SELECT id FROM s0))
+        |SELECT 1 AS hop, 'customer' AS node_type, id AS node_id FROM f1
+        |UNION ALL SELECT 2 AS hop, 'supplier' AS node_type, id AS node_id FROM f2""".stripMargin,
+    "graph_implementations" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |p0 AS (SELECT DISTINCT dst AS id FROM e WHERE dst < 40),
+        |f1 AS (SELECT DISTINCT e.src AS id FROM e JOIN p0 ON e.dst = p0.id),
+        |f2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN f1 ON e.src = f1.id
+        |       WHERE e.dst NOT IN (SELECT id FROM p0))
+        |SELECT 1 AS hop, 'supplier' AS node_type, id AS node_id FROM f1
+        |UNION ALL SELECT 2 AS hop, 'part' AS node_type, id AS node_id FROM f2""".stripMargin,
     "graph_impact" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem)
         |SELECT a.src AS root, count(DISTINCT b.src) AS n_impacted

@@ -31,7 +31,112 @@ object GraphOps {
         .distinct()
     }
 
+  /** Second edge relation (the cortex analogue of `type_relationships`
+    * next to `function_calls`, internal/graph/searcher_sql.go:524):
+    * customer→supplier "uses" edges derived from orders⋈lineitem — customer
+    * c uses supplier s if any of c's orders contains a lineitem supplied by
+    * s. One shuffle join on orderkey, then distinct on the thin edge pair.
+    */
+  private def usesEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "usesEdges") {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+    }
+
   private val SeedMax = 10 // seed roots: suppliers with key < 10
+
+  /** Depth cap, as in the reference (searcher_sql.go:44 MaxDepth = 6). */
+  val MaxDepth = 6
+
+  /** Bounded-depth BFS over a typed adjacency list `adj(f_t, f_id, t_t,
+    * t_id)` from `seeds(t, id)`: per hop, expand the frontier through the
+    * adjacency, `distinct()` the new frontier, and left-anti-subtract the
+    * visited set so every node surfaces at its MINIMUM hop exactly once —
+    * the reference's recursive-CTE traversal re-expressed as `depth`
+    * self-joins (internal/graph/searcher_sql.go:146-156 recursive CTE with
+    * visited-dedup).
+    *
+    * Scale posture: the frontier and visited set are thin (type, id)
+    * relations; each hop is one shuffle join on the frontier key. Frontiers
+    * persist so hop h doesn't re-derive hops 1..h-1 (lineage would double
+    * per level otherwise) — bounded by MaxDepth small relations; a cluster
+    * deployment would checkpoint frontiers instead.
+    */
+  private def typedBfs(adj: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= MaxDepth, s"depth must be in [1, $MaxDepth]")
+    var visited = seeds
+    var frontier = seeds
+    var out: DataFrame = null
+    for (h <- 1 to depth) {
+      val next = adj
+        .join(frontier.select(col("t").as("f_t"), col("id").as("f_id")),
+          Seq("f_t", "f_id"))
+        .select(col("t_t").as("t"), col("t_id").as("id")).distinct()
+        .join(visited, Seq("t", "id"), "left_anti")
+        .persist()
+      val hopRows = next.select(lit(h).as("hop"), col("t").as("node_type"),
+        col("id").as("node_id"))
+      out = if (out == null) hopRows else out.unionAll(hopRows)
+      visited = visited.unionAll(next)
+      frontier = next
+    }
+    out
+  }
+
+  /** Undirected typed adjacency of the supplier↔part graph. */
+  private def partAdj(e: DataFrame): DataFrame =
+    e.select(lit("supplier").as("f_t"), col("src").as("f_id"),
+        lit("part").as("t_t"), col("dst").as("t_id"))
+      .unionAll(e.select(lit("part").as("f_t"), col("dst").as("f_id"),
+        lit("supplier").as("t_t"), col("src").as("t_id")))
+
+  /** Undirected typed adjacency of the customer↔supplier "uses" graph. */
+  private def usesAdj(u: DataFrame): DataFrame =
+    u.select(lit("customer").as("f_t"), col("cust").as("f_id"),
+        lit("supplier").as("t_t"), col("supp").as("t_id"))
+      .unionAll(u.select(lit("supplier").as("f_t"), col("supp").as("f_id"),
+        lit("customer").as("t_t"), col("cust").as("t_id")))
+
+  /** Depth-parameterized k-hop reachability from the seed suppliers over
+    * the supplier↔part graph (cortex `dependencies` at arbitrary depth <=
+    * MaxDepth, searcher_sql.go:44). Each node appears once, at its minimum
+    * hop. */
+  def kHop(spark: SparkSession, dir: String, depth: Int): DataFrame = {
+    val e = edges(spark, dir)
+    val seeds = e.filter(col("src") < SeedMax)
+      .select(lit("supplier").as("t"), col("src").as("id")).distinct()
+    typedBfs(partAdj(e), seeds, depth)
+  }
+
+  /** The depth-4 contract row for the parameterized traversal. */
+  def graphKhopDeep(spark: SparkSession, dir: String): DataFrame =
+    kHop(spark, dir, 4)
+
+  /** Reverse-direction traversal over the `uses` relation (cortex
+    * `dependents`, searcher_types.go): hop 1 = customers depending on the
+    * seed suppliers, hop 2 = other suppliers those customers also use. */
+  def graphDependents(spark: SparkSession, dir: String): DataFrame = {
+    val u = usesEdges(spark, dir)
+    val seeds = u.filter(col("supp") < SeedMax)
+      .select(lit("supplier").as("t"), col("supp").as("id")).distinct()
+    typedBfs(usesAdj(u), seeds, 2)
+  }
+
+  /** `implementations` / `type-usages` analogue over the second direction
+    * of the supplier↔part relation: seed parts are the "interfaces", hop 1
+    * = suppliers implementing (shipping) them, hop 2 = the other parts
+    * those suppliers also ship (the usage closure). */
+  def graphImplementations(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val seeds = e.filter(col("dst") < 40)
+      .select(lit("part").as("t"), col("dst").as("id")).distinct()
+    typedBfs(partAdj(e), seeds, 2)
+  }
 
   /** Bounded-depth (2-hop) reachability from the seed suppliers:
     * hop 1 = parts they ship, hop 2 = other suppliers shipping those

@@ -198,6 +198,47 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+/** Depth-parameterized BFS invariants at sf0.001. */
+class GraphSpec extends AnyFunSuite with SparkFixture {
+  import operators.GraphOps
+
+  test("kHop at depth 2 reproduces the fixed-depth khop contract row") {
+    val fixed = GraphOps.graphKhop(spark, SfDir)
+      .orderBy("hop", "node_type", "node_id").collect().toSeq
+    val param = GraphOps.kHop(spark, SfDir, 2)
+      .orderBy("hop", "node_type", "node_id").collect().toSeq
+    assert(param == fixed)
+  }
+
+  test("deep khop surfaces every node once, at its minimum hop") {
+    val rows = GraphOps.graphKhopDeep(spark, SfDir)
+      .select("node_type", "node_id").collect()
+    val keys = rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(keys.distinct.sizeIs == keys.size,
+      "a node must not appear at two hops (visited-set subtraction)")
+  }
+
+  test("khop hops alternate node types on the bipartite graph") {
+    val byHop = GraphOps.graphKhopDeep(spark, SfDir)
+      .select("hop", "node_type").distinct().collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(byHop.filter(_._1 % 2 == 1).values.forall(_ == "part"))
+    assert(byHop.filter(_._1 % 2 == 0).values.forall(_ == "supplier"))
+  }
+
+  test("traversal depth is capped at MaxDepth like the reference") {
+    intercept[IllegalArgumentException] {
+      GraphOps.kHop(spark, SfDir, GraphOps.MaxDepth + 1).count()
+    }
+  }
+
+  test("dependents traverses the second (uses) edge relation") {
+    val types = GraphOps.graphDependents(spark, SfDir)
+      .select("node_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types.contains("customer"), s"expected customer nodes, got $types")
+  }
+}
+
 /** Salted join equivalence. */
 class SkewOpsSpec extends AnyFunSuite with SparkFixture {
   test("salted join returns exactly the rows of the plain join") {
