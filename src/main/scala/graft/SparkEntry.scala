@@ -38,6 +38,7 @@ object SparkEntry {
     "hybrid_search" -> SearchOps.hybridSearch _,
     "tag_filter_search" -> SearchOps.tagFilterSearch _,
     "fts_bm25" -> SearchOps.ftsBm25 _,
+    "fts_boolean" -> SearchOps.ftsBoolean _,
     "fts_snippet" -> SearchOps.ftsSnippet _,
     "fts_wildcard" -> SearchOps.ftsWildcard _,
     "vec_knn_min_score" -> SearchOps.vecKnnMinScore _,
@@ -238,6 +239,16 @@ object SparkEntry {
          |      / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
          |FROM base, stats
          |WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "fts_boolean" ->
+      s"""WITH d AS (SELECT doc_id, lang, lower(text) AS lt, $duckTok AS ts
+         |           FROM documents)
+         |SELECT doc_id, len(list_filter(ts, t -> t = 'data')) AS score
+         |FROM d
+         |WHERE lang = 'en' AND list_contains(ts, 'data')
+         |  AND (contains(lt, 'hash join')
+         |       OR len(list_filter(ts, t -> t LIKE 'vec%')) > 0)
+         |  AND NOT list_contains(ts, 'slow')
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "fts_snippet" ->
       """SELECT doc_id, instr(lower(text), 'data query') AS hit_pos,

@@ -19,6 +19,62 @@ import graft.functions.VectorFunctions.cosineSim
   */
 object SearchOps {
 
+  /** Boolean full-text query AST — the cortex FTS5 MATCH composition
+    * surface (boolean operators, phrase search, prefix wildcards with
+    * field scoping, internal/mcp/exact_sqlite.go:42-72) re-expressed as a
+    * tiny AST compiled to a codegen'd Column predicate. Compilation is
+    * pure expression composition: the whole boolean tree evaluates inside
+    * one whole-stage-codegen'd scan, no joins, no UDFs.
+    */
+  sealed trait FtsQuery
+  object FtsQuery {
+    /** token equality */
+    case class Term(t: String) extends FtsQuery
+    /** exact substring phrase over the lowercased text */
+    case class Phrase(p: String) extends FtsQuery
+    /** token prefix wildcard (`vec*`) */
+    case class Prefix(p: String) extends FtsQuery
+    case class And(qs: Seq[FtsQuery]) extends FtsQuery
+    case class Or(qs: Seq[FtsQuery]) extends FtsQuery
+    case class Not(q: FtsQuery) extends FtsQuery
+
+    /** Compile the query tree against (lowercased text, token array). */
+    def compile(q: FtsQuery, lowText: Column, toks: Column): Column = q match {
+      case Term(t)   => array_contains(toks, t)
+      case Phrase(p) => contains(lowText, lit(p))
+      case Prefix(p) => exists(toks, _.startsWith(p))
+      case And(qs)   => qs.map(compile(_, lowText, toks)).reduce(_ && _)
+      case Or(qs)    => qs.map(compile(_, lowText, toks)).reduce(_ || _)
+      case Not(s)    => !compile(s, lowText, toks)
+    }
+  }
+
+  /** Field-scoped boolean search over `documents`: compile an FtsQuery to
+    * a single scan predicate, apply the language scope (pushable to the
+    * parquet scan), rank survivors by probe-term frequency. */
+  def ftsSearch(docs: DataFrame, q: FtsQuery, lang: Option[String],
+      rankTerm: String, k: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), lower(col("text")).as("lt"),
+      tokens(col("text")).as("ts"))
+    val scoped = lang.map(l => base.filter(col("lang") === l)).getOrElse(base)
+    scoped
+      .filter(FtsQuery.compile(q, col("lt"), col("ts")))
+      .select(col("doc_id"),
+        size(filter(col("ts"), t => t === rankTerm)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The contract row: data AND ("hash join" OR vec*) AND NOT slow,
+    * scoped to lang=en — one of every AST node. */
+  def ftsBoolean(spark: SparkSession, dir: String): DataFrame = {
+    import FtsQuery._
+    val q = And(Seq(Term("data"),
+      Or(Seq(Phrase("hash join"), Prefix("vec"))),
+      Not(Term("slow"))))
+    ftsSearch(Tables.documents(spark, dir), q, Some("en"), "data", 20)
+  }
+
   /** The deterministic probe vector: embedding of vec_id 0 (label 2). */
   private val QueryVecId = 0
   private val QueryLabel = 2

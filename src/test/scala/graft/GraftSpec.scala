@@ -198,6 +198,33 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+/** Boolean FTS compiler obeys set algebra on the real corpus. */
+class FtsBooleanSpec extends AnyFunSuite with SparkFixture {
+  import operators.SearchOps
+  import operators.SearchOps.FtsQuery._
+
+  private def ids(q: SearchOps.FtsQuery): Set[Long] =
+    SearchOps.ftsSearch(Tables.documents(spark, SfDir), q, None, "data", 1000000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("AND is intersection, OR is union, NOT is complement") {
+    val a = ids(Term("data")); val b = ids(Term("query"))
+    assert(ids(And(Seq(Term("data"), Term("query")))) == a.intersect(b))
+    assert(ids(Or(Seq(Term("data"), Term("query")))) == a.union(b))
+    val all = ids(Or(Seq(Term("data"), Not(Term("data")))))
+    assert(ids(Not(Term("data"))) == all.diff(a))
+  }
+
+  test("prefix matches are a superset of the exact term") {
+    assert(ids(Term("data")).subsetOf(ids(Prefix("dat"))))
+  }
+
+  test("language scope filters rows, not scores") {
+    val scoped = SearchOps.ftsBoolean(spark, SfDir).collect()
+    assert(scoped.nonEmpty)
+  }
+}
+
 /** Depth-parameterized BFS invariants at sf0.001. */
 class GraphSpec extends AnyFunSuite with SparkFixture {
   import operators.GraphOps
