@@ -53,6 +53,7 @@ object SparkEntry {
     "text_tokens" -> TextOps.textTokens _,
     "text_fingerprint" -> TextOps.textFingerprint _,
     "chunk_documents" -> ChunkOps.chunkDocuments _,
+    "chunk_structured" -> ChunkOps.chunkStructured _,
     "change_detect" -> ChunkOps.changeDetect _,
     "doc_stats" -> ChunkOps.docStats _,
     "pipeline_incremental" -> ChunkOps.pipelineIncremental _,
@@ -358,6 +359,30 @@ object SparkEntry {
          |  len(list_slice(ts, u.s, u.s + 19)) AS n_chunk_tokens,
          |  array_to_string(list_slice(ts, u.s, u.s + 19), ' ') AS chunk_text
          |FROM tok CROSS JOIN unnest(range(1, greatest(len(ts), 1) + 1, 15)) AS u(s)""".stripMargin,
+    "chunk_structured" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |ln AS (SELECT doc_id, u.j AS j,
+         |    len(list_slice(ts, u.j*10 + 1, u.j*10 + 10))::BIGINT AS n
+         |  FROM tok CROSS JOIN
+         |    unnest(range(0, greatest(ceil(len(ts)/10.0)::BIGINT, 1))) AS u(j)
+         |  WHERE len(list_slice(ts, u.j*10 + 1, u.j*10 + 10)) > 0),
+         |base AS (SELECT doc_id, j, n, j // 7 AS section_idx,
+         |    CASE WHEN j % 7 = 0 THEN 0 WHEN j % 7 <= 2 THEN 1
+         |         WHEN j % 7 <= 4 THEN 2 WHEN j % 7 = 5 THEN 3
+         |         ELSE 4 END AS para_id,
+         |    CASE WHEN j % 7 IN (3, 4) THEN 1 ELSE 0 END AS is_code,
+         |    j*10 + 1 AS start_tok
+         |  FROM ln),
+         |w AS (SELECT *, coalesce(sum(n) OVER (
+         |    PARTITION BY doc_id, section_idx ORDER BY j
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM base),
+         |p AS (SELECT *, min(cum_before) OVER (
+         |    PARTITION BY doc_id, section_idx, para_id) AS para_cum FROM w)
+         |SELECT doc_id, section_idx, (para_cum // 25)::BIGINT AS chunk_idx,
+         |  sum(n)::BIGINT AS n_tokens, min(start_tok) AS start_tok,
+         |  max(start_tok + n - 1) AS end_tok, max(is_code)::BIGINT AS has_code
+         |FROM p GROUP BY 1, 2, 3""".stripMargin,
     "change_detect" ->
       """WITH old AS (SELECT doc_id AS o_id, md5(text) AS o_hash FROM documents),
         |neu AS (SELECT doc_id AS n_id,

@@ -37,6 +37,64 @@ object ChunkOps {
         size(slice(col("ts"), col("col"), lit(ChunkTokens))).as("n_chunk_tokens"),
         concat_ws(" ", slice(col("ts"), col("col"), lit(ChunkTokens))).as("chunk_text"))
 
+  /** Structure-aware chunking (the reference chunker's semantics,
+    * internal/indexer/chunker.go:24-31: split by `##` headers, then by
+    * paragraphs under a token budget, never inside code fences, tracking
+    * start/end positions).
+    *
+    * The synthetic corpus is flat text, so structure derives
+    * deterministically first — 10-token lines, every 7th line a section
+    * header, lines 3-4 of each section an atomic code block — and the
+    * chunker then honors that structure for real: sections bound chunks
+    * (chunk_idx resets per section), paragraphs are indivisible (a chunk
+    * boundary never splits one, so the code block always travels whole,
+    * chunker.go:114), and packing is by cumulative token count against a
+    * 25-token budget. Offsets (start_tok/end_tok) are the start/end-line
+    * tracking analogue.
+    *
+    * Plan shape: one narrow Generate (line explode), ONE window
+    * shuffle+sort on (doc_id, section_idx) — the paragraph-start cumulative
+    * count propagates with last(ignoreNulls) over the same window instead
+    * of a second window partition — then the final aggregate. No UDFs.
+    */
+  def chunkStructured(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 25
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+    val nLines = greatest(ceil(size(col("ts")) / 10.0).cast("int"), lit(1))
+    val lines = docs
+      .select(col("doc_id"), col("ts"), posexplode(sequence(lit(0), nLines - 1)))
+      .select(col("doc_id"), col("col").cast("long").as("j"),
+        size(slice(col("ts"), col("col") * 10 + 1, lit(10))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val lpos = col("j") % 7
+    val base = lines.select(col("doc_id"), col("j"), col("n"),
+      floor(col("j") / 7).as("section_idx"),
+      when(lpos === 0, 0L).when(lpos <= 2, 1L).when(lpos <= 4, 2L)
+        .when(lpos === 5, 3L).otherwise(4L).as("para_id"),
+      when(lpos.isin(3L, 4L), 1L).otherwise(0L).as("is_code"),
+      (col("j") * 10 + 1).as("start_tok"))
+    val w = Window.partitionBy("doc_id", "section_idx").orderBy("j")
+    val cumBefore = coalesce(
+      sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val marked = base
+      .withColumn("cum_before", cumBefore)
+      .withColumn("para_start_cum",
+        when(lag(col("para_id"), 1).over(w).isNull ||
+          lag(col("para_id"), 1).over(w) =!= col("para_id"), col("cum_before")))
+    marked
+      .withColumn("para_cum",
+        last(col("para_start_cum"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("section_idx"),
+        floor(col("para_cum") / budget).as("chunk_idx"))
+      .agg(sum(col("n")).as("n_tokens"),
+        min(col("start_tok")).as("start_tok"),
+        max(col("start_tok") + col("n") - 1).as("end_tok"),
+        max(col("is_code")).as("has_code"))
+  }
+
   /** Snapshot diff by content hash. Old snapshot = the full corpus; new
     * snapshot drops every 7th doc (deleted), adds none, and rewrites every
     * 5th (changed, simulated by an appended revision marker). A full outer

@@ -198,6 +198,33 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+/** Structure-aware chunker invariants at sf0.001. */
+class ChunkStructuredSpec extends AnyFunSuite with SparkFixture {
+  private lazy val rows = operators.ChunkOps.chunkStructured(spark, SfDir)
+    .collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    }
+
+  test("the code block never splits across chunks") {
+    // each section holds exactly one atomic code paragraph, so at most one
+    // chunk per section may carry code
+    val codeChunks = rows.filter(_._7 == 1L)
+      .groupBy(r => (r._1, r._2)).values.map(_.size)
+    assert(codeChunks.forall(_ == 1))
+  }
+
+  test("chunk token counts stay within budget + one indivisible paragraph") {
+    assert(rows.forall(_._4 <= 45L), "25-token budget + 20-token code block")
+  }
+
+  test("chunk_idx restarts per section and offsets are consistent") {
+    val bySection = rows.groupBy(r => (r._1, r._2))
+    assert(bySection.values.forall(_.map(_._3).min == 0L))
+    assert(rows.forall(r => r._5 <= r._6 && r._4 <= r._6 - r._5 + 1))
+  }
+}
+
 /** Boolean FTS compiler obeys set algebra on the real corpus. */
 class FtsBooleanSpec extends AnyFunSuite with SparkFixture {
   import operators.SearchOps
