@@ -129,7 +129,10 @@ object SearchOps {
     * 3 rows per vector regardless of cell size.
     */
   def vecKnnJoin(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    // label-bucketed index table: the self-join below is co-located per
+    // bucket, so the only exchange left in the plan is the thin top-k
+    // aggregate's — the candidate pairs themselves never shuffle
+    val emb = spark.table(graft.sources.IndexStore.index(spark, dir).embByLabel)
     val a = emb.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("label") === col("b_label") && col("a_id") =!= col("b_id"))
@@ -168,9 +171,12 @@ object SearchOps {
     * keyword hits through one MCP search tool).
     */
   def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val emb = Tables.embeddings(spark, dir)
+    // both sides come pre-bucketed on the join key from the IndexStore
+    // (docs even pre-tokenized — index-time work), so this fact-fact join
+    // runs exchange-free; only the broadcast query vector moves
+    val idx = graft.sources.IndexStore.index(spark, dir)
+    val docs = spark.table(idx.docs).select(col("doc_id"), col("toks"))
+    val emb = spark.table(idx.embById)
       .select(col("vec_id"), col("embedding"))
     docs.join(emb, docs("doc_id") === emb("vec_id"))
       .crossJoin(broadcast(queryVec(spark, dir)))

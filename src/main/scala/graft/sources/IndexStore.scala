@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Storage layout for the materialized index: bucketed (and optionally
   * partition-pruned) parquet tables.
@@ -30,4 +32,45 @@ object IndexStore {
     df.write.mode("overwrite").format("parquet")
       .partitionBy(partCol)
       .saveAsTable(table)
+
+  /** The materialized search index for one corpus dir. */
+  final case class IndexTables(docs: String, embById: String,
+      embByLabel: String)
+
+  private val built = new ConcurrentHashMap[(SparkSession, String), IndexTables]()
+
+  private val Buckets = 8
+
+  /** Build (once per session+dir) the bucketed search index the query
+    * operators read — the cortex index-build step (chunk → tokenize →
+    * store, internal/storage/chunk_writer.go) as bucketed parquet tables:
+    *
+    *  - `docs`: pre-tokenized documents bucketed by doc_id (tokenization
+    *    is INDEX-time work, not query-time work);
+    *  - `embById`: embeddings bucketed by vec_id, co-located with `docs`
+    *    for the 1:1 hybrid join;
+    *  - `embByLabel`: embeddings bucketed by the IVF cell label for
+    *    cell-local self-joins.
+    *
+    * Joins between tables bucketed on the join key need NO exchange — at
+    * 100 TB that turns the two fact-fact search joins from full shuffles
+    * of both relations into co-located per-bucket joins.
+    */
+  def index(spark: SparkSession, dir: String): IndexTables = {
+    built.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    built.computeIfAbsent((spark, dir), _ => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val t = IndexTables(s"graft_docs$tag", s"graft_emb_id$tag",
+        s"graft_emb_lbl$tag")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+            .as("toks"))
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      writeBucketed(docs, t.docs, "doc_id", Buckets)
+      writeBucketed(emb, t.embById, "vec_id", Buckets)
+      writeBucketed(emb, t.embByLabel, "label", Buckets)
+      t
+    })
+  }
 }

@@ -330,6 +330,33 @@ class IndexStoreSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  private def countExchanges(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).size
+
+  test("hybrid_search over the bucketed index joins exchange-free") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = operators.SearchOps.hybridSearch(spark, SfDir)
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(countExchanges(plan) == 0,
+        s"bucketed docs-embeddings join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("vec_knn_join pairs stay co-located; only the thin top-k agg shuffles") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = operators.SearchOps.vecKnnJoin(spark, SfDir)
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(countExchanges(plan) <= 1,
+        s"candidate pairs must not shuffle (only the agg may):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned store prunes by the partition column") {
     IndexStore.writePartitioned(
       Tables.documents(spark, SfDir).select(col("doc_id"), col("n_chars"), col("lang")),
