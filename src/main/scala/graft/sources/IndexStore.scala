@@ -62,6 +62,17 @@ object IndexStore {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val t = IndexTables(s"graft_docs$tag", s"graft_emb_id$tag",
         s"graft_emb_lbl$tag")
+      // a prior session's warehouse dir may linger while the new session's
+      // catalog is empty — saveAsTable then fails with
+      // LOCATION_ALREADY_EXISTS, so clear both catalog entry and location
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(t.docs, t.embById, t.embByLabel).foreach { name =>
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val p = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))

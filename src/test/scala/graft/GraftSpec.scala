@@ -196,6 +196,65 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("band") && plan.contains("bv"),
       "expected the hamming-LSH band columns in the join keys")
   }
+
+  test("banded embedding dedup equals the all-pairs formulation") {
+    import functions.VectorFunctions.cosineSim
+    val emb = Tables.embeddings(spark, SfDir)
+    val a = emb.select(col("label"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val exact = a.join(b, col("label") === col("b_label") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosineSim(col("a_emb"), col("b_emb")), 4).as("score"))
+      .filter(col("score") >= 0.42)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = DedupOps.dedupEmbedding(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(banded == exact, s"banded $banded vs exact $exact")
+  }
+
+  test("embedding dedup candidates come from the hyperplane band join") {
+    val plan = DedupOps.dedupEmbedding(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hyperplanebandsigs") || plan.contains("band"),
+      "expected hyperplane band signatures in the candidate join")
+  }
+}
+
+/** HyperplaneBandSigs: codegen and interpreted paths agree with a plain
+  * Scala reference. */
+class HyperplaneSigSpec extends AnyFunSuite with SparkFixture {
+  import functions.{HyperplaneBandSigs, VectorFunctions}
+
+  private def refSigs(v: Seq[Double], seed: Int, bands: Int, bits: Int,
+      dim: Int): Seq[Long] = {
+    val planes = HyperplaneBandSigs.planes(seed, bands * bits, dim)
+    (0 until bands).map { l =>
+      (0 until bits).foldLeft(0L) { (sig, k) =>
+        val w = planes(l * bits + k)
+        val dot = v.take(dim).zipWithIndex.map { case (x, i) => x * w(i) }.sum
+        sig * 2L + (if (dot > 0) 1L else 0L)
+      }
+    }
+  }
+
+  private val vec = Seq(0.3f, -1.2f, 4.5f, 0.01f, -0.7f, 2.2f, 0f, 1f)
+
+  for (cg <- Seq(true, false)) {
+    test(s"band signatures match the scala reference (codegen=$cg)") {
+      val mode = if (cg) "CODEGEN_ONLY" else "NO_CODEGEN"
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        import spark.implicits._
+        val got = Seq(Tuple1(vec)).toDF("v")
+          .select(VectorFunctions.bandSigs(col("v"), 7, 4, 3, 8).as("s"))
+          .head().getSeq[Long](0)
+        assert(got == refSigs(vec.map(_.toDouble), 7, 4, 3, 8))
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
 
 /** Structure-aware chunker invariants at sf0.001. */
