@@ -42,6 +42,7 @@ object SparkEntry {
     "fts_snippet" -> SearchOps.ftsSnippet _,
     "fts_wildcard" -> SearchOps.ftsWildcard _,
     "vec_knn_min_score" -> SearchOps.vecKnnMinScore _,
+    "vec_knn_filtered" -> SearchOps.vecKnnFiltered _,
     "graph_path" -> GraphOps.graphPath _,
     "dedup_exact" -> DedupOps.dedupExact _,
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccard _,
@@ -266,6 +267,15 @@ object SparkEntry {
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${duckCos("embedding::DOUBLE[]", "q_emb")}, 4) AS score
          |FROM embeddings, q WHERE vec_id <> 0 AND score >= 0.25
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "vec_knn_filtered" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+         |fetched AS (
+         |  SELECT vec_id, label, round(${duckCos("embedding::DOUBLE[]", "q_emb")}, 4) AS score
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY score DESC, vec_id LIMIT 20)
+         |SELECT vec_id, label, score FROM fetched
+         |WHERE label % 2 = 1
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "graph_path" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem)

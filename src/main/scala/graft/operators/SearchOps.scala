@@ -261,6 +261,27 @@ object SearchOps {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
 
+  /** Filtered KNN with over-fetch headroom (cortex fetches 2x the limit
+    * before post-filtering so metadata filters don't starve the result
+    * list, internal/mcp/search_sqlite.go:81): retrieve the 2k nearest
+    * vectors first (TakeOrdered, no global sort), THEN apply the tag
+    * filter, then cut to k. Distinct from filter-first KNN — the filter
+    * consumes retrieval headroom instead of reshaping the candidate set.
+    */
+  def vecKnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("vec_id"), col("label"),
+        score(col("embedding"), col("q_emb")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(2 * k)
+      .filter(col("label") % 2 === 1)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Filtered search: language/source/length predicates all push down to
     * the parquet scan before any ranking work (cortex tag/language/limit
     * filters, internal/mcp/search_sqlite.go:101).
