@@ -39,6 +39,7 @@ object SparkEntry {
     "tag_filter_search" -> SearchOps.tagFilterSearch _,
     "fts_bm25" -> SearchOps.ftsBm25 _,
     "fts_boolean" -> SearchOps.ftsBoolean _,
+    "fts_fuzzy" -> SearchOps.ftsFuzzy _,
     "fts_snippet" -> SearchOps.ftsSnippet _,
     "fts_wildcard" -> SearchOps.ftsWildcard _,
     "vec_knn_min_score" -> SearchOps.vecKnnMinScore _,
@@ -240,6 +241,12 @@ object SparkEntry {
          |  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * 2.2)
          |      / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
          |FROM base, stats
+         |WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "fts_fuzzy" ->
+      s"""SELECT doc_id,
+         |  len(list_filter($duckTok, t -> levenshtein(t, 'querry') <= 1)) AS score
+         |FROM documents
          |WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "fts_boolean" ->

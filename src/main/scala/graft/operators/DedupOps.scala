@@ -77,33 +77,50 @@ object DedupOps {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("min_doc_id"))
       .filter(col("n_dups") >= 2)
 
-  /** Word-3-gram Jaccard near-dup pairs (>= 0.5) via an inverted-index
-    * join: explode distinct shingles, pair docs only where they SHARE a
-    * shingle inside a (lang, length-bucket) block, count common shingles
-    * per pair, then jac = common / (|A| + |B| - common).
+  private val JaccardTau = 0.5
+
+  /** Word-3-gram Jaccard near-dup pairs (>= 0.5) via an EXACT prefix
+    * filter (AllPairs/PPJoin family, Bayardo et al., WWW 2007): order all
+    * shingles rarest-first by global document frequency, index only each
+    * doc's first n - ceil(τ·n) + 1 shingles in that order, and generate
+    * candidates from prefix collisions inside a (lang, length-bucket)
+    * block. Any pair with jac >= τ must collide inside both prefixes —
+    * if all of A's matches hid in its suffix of length ceil(τ|A|) - 1,
+    * the intersection would already be < τ|A| <= τ|A∪B| — so the filter
+    * is lossless; an array_intersect verify computes the true Jaccard.
     *
-    * This never materializes the blocked cross product — work scales with
-    * actual shingle collisions, not block-size^2 (the same reason cortex
-    * looks up chunks through an index instead of scanning all pairs).
+    * The rarest-first order is the hot-shingle defense: a shingle shared
+    * by millions of docs sorts LAST and falls out of every prefix, so no
+    * single hot token can create a quadratic collision group — the
+    * failure mode of a plain inverted-index join at 100 TB.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ng = shingled(spark, dir)
-    val sizes = ng.select(col("doc_id"), size(col("gs")).as("n"))
-    val inv = ng.select(col("lang"), col("lb"), col("doc_id"), explode(col("gs")).as("g"))
-    val common = inv
-      .join(inv.select(col("lang").as("y_lang"), col("lb").as("y_lb"),
+    val inv = ng.select(col("lang"), col("lb"), col("doc_id"),
+      size(col("gs")).as("n"), explode(col("gs")).as("g"))
+    // global document frequency -> canonical rarest-first total order
+    val df = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefixLen = (col("n") - ceil(col("n") * JaccardTau) + 1).cast("int")
+    val prefix = inv.join(df, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("lang"), col("lb"), col("doc_id"), col("g"))
+    val cand = prefix
+      .join(prefix.select(col("lang").as("y_lang"), col("lb").as("y_lb"),
           col("doc_id").as("b_id"), col("g").as("y_g")),
         col("lang") === col("y_lang") && col("lb") === col("y_lb") &&
           col("g") === col("y_g") && col("doc_id") < col("b_id"))
-      .groupBy(col("doc_id").as("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+    cand
+      .join(ng.select(col("doc_id").as("a_id"), col("gs").as("a_gs")), "a_id")
+      .join(ng.select(col("doc_id").as("b_id"), col("gs").as("b_gs")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(col("common").cast("double") /
-          greatest(col("na") + col("nb") - col("common"), lit(1)), 4).as("jac"))
-      .filter(col("jac") >= 0.5)
+        round(size(array_intersect(col("a_gs"), col("b_gs"))).cast("double") /
+          greatest(size(array_distinct(concat(col("a_gs"), col("b_gs")))), lit(1)), 4)
+          .as("jac"))
+      .filter(col("jac") >= JaccardTau)
   }
 
   /** MinHash signatures (16 hashes = 8 bands x 2 rows) over 3-gram shingles,

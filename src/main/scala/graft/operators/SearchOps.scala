@@ -34,18 +34,21 @@ object SearchOps {
     case class Phrase(p: String) extends FtsQuery
     /** token prefix wildcard (`vec*`) */
     case class Prefix(p: String) extends FtsQuery
+    /** edit-distance fuzzy token match (FTS5 fuzzy analogue) */
+    case class Fuzzy(t: String, maxDist: Int) extends FtsQuery
     case class And(qs: Seq[FtsQuery]) extends FtsQuery
     case class Or(qs: Seq[FtsQuery]) extends FtsQuery
     case class Not(q: FtsQuery) extends FtsQuery
 
     /** Compile the query tree against (lowercased text, token array). */
     def compile(q: FtsQuery, lowText: Column, toks: Column): Column = q match {
-      case Term(t)   => array_contains(toks, t)
-      case Phrase(p) => contains(lowText, lit(p))
-      case Prefix(p) => exists(toks, _.startsWith(p))
-      case And(qs)   => qs.map(compile(_, lowText, toks)).reduce(_ && _)
-      case Or(qs)    => qs.map(compile(_, lowText, toks)).reduce(_ || _)
-      case Not(s)    => !compile(s, lowText, toks)
+      case Term(t)      => array_contains(toks, t)
+      case Phrase(p)    => contains(lowText, lit(p))
+      case Prefix(p)    => exists(toks, _.startsWith(p))
+      case Fuzzy(t, d)  => exists(toks, x => levenshtein(x, lit(t)) <= d)
+      case And(qs)      => qs.map(compile(_, lowText, toks)).reduce(_ && _)
+      case Or(qs)       => qs.map(compile(_, lowText, toks)).reduce(_ || _)
+      case Not(s)       => !compile(s, lowText, toks)
     }
   }
 
@@ -74,6 +77,19 @@ object SearchOps {
       Not(Term("slow"))))
     ftsSearch(Tables.documents(spark, dir), q, Some("en"), "data", 20)
   }
+
+  /** Fuzzy term search: rank docs by the number of tokens within edit
+    * distance 1 of a misspelled probe ("querry" → "query"), the FTS5 fuzzy
+    * matching analogue (internal/mcp/exact_sqlite.go:42). levenshtein is
+    * a built-in codegen'd expression — no UDF. */
+  def ftsFuzzy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")),
+          t => levenshtein(t, lit("querry")) <= 1)).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
 
   /** The deterministic probe vector: embedding of vec_id 0 (label 2). */
   private val QueryVecId = 0

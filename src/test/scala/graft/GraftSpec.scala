@@ -166,6 +166,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall { r => val j = r.getDouble(2); j >= 0.5 && j <= 1.0 })
   }
 
+  test("prefix-filtered jaccard equals the blocked all-pairs formulation") {
+    val docs = Tables.documents(spark, SfDir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 100).cast("long").as("lb"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ts"))
+    // brute-force pairs within (lang, lb) via collected arrays
+    val rows = toks.collect().map { r =>
+      val ts = r.getSeq[String](3)
+      val gs = ts.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      (r.getLong(0), (r.getString(1), r.getLong(2)), gs)
+    }
+    val expected = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._2 == b._2
+      inter = (a._3 intersect b._3).size.toDouble
+      uni = (a._3 union b._3).size.max(1).toDouble
+      jac = BigDecimal(inter / uni).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      if jac >= 0.5
+    } yield (a._1, b._1)).toSet
+    val got = DedupOps.dedupNgramJaccard(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"got $got want $expected")
+  }
+
   test("minhash-lsh verified pairs all truly exceed the jaccard threshold") {
     val rows = DedupOps.dedupMinhashLsh(spark, SfDir).collect()
     assert(rows.forall(_.getDouble(2) >= 0.5))
