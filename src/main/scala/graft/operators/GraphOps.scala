@@ -127,6 +127,30 @@ object GraphOps {
     typedBfs(usesAdj(u), seeds, 2)
   }
 
+  /** Direct neighbors — the cortex `callers`/`callees` operations
+    * (searcher_types.go): depth-1 directed traversal. `callees` follows
+    * the edge direction from supplier seeds (parts they ship); `callers`
+    * reverses it from part seeds (suppliers shipping them). Both are the
+    * depth-1 specialization of the same typed BFS the deep traversals
+    * use; they carry no separate `queries` row because graph_khop /
+    * graph_implementations already oracle-check the identical hop-1
+    * plans. */
+  def graphCallees(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val seeds = e.filter(col("src") < SeedMax)
+      .select(lit("supplier").as("t"), col("src").as("id")).distinct()
+    typedBfs(e.select(lit("supplier").as("f_t"), col("src").as("f_id"),
+      lit("part").as("t_t"), col("dst").as("t_id")), seeds, 1)
+  }
+
+  def graphCallers(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val seeds = e.filter(col("dst") < 40)
+      .select(lit("part").as("t"), col("dst").as("id")).distinct()
+    typedBfs(e.select(lit("part").as("f_t"), col("dst").as("f_id"),
+      lit("supplier").as("t_t"), col("src").as("t_id")), seeds, 1)
+  }
+
   /** `implementations` / `type-usages` analogue over the second direction
     * of the supplier↔part relation: seed parts are the "interfaces", hop 1
     * = suppliers implementing (shipping) them, hop 2 = the other parts

@@ -146,6 +146,19 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming exact-dedup at ingest: drop content-hash duplicates as
+    * documents stream in — the streaming twin of dedup_exact and the shape
+    * a training-data pipeline runs in front of its sink. State is BOUNDED:
+    * dropDuplicatesWithinWatermark evicts a hash once the watermark passes
+    * it, so the store holds one row per distinct hash per watermark
+    * horizon, not per corpus. Used by the test suite.
+    */
+  def streamingDedupExact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Streaming twin of [[streamSessionize]]: Structured Streaming's native
     * session_window with a watermark. Session extents match the batch twin
     * for gap-separated data. Used by the test suite. */

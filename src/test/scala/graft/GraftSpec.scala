@@ -374,6 +374,19 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .select("node_type").distinct().collect().map(_.getString(0)).toSet
     assert(types.contains("customer"), s"expected customer nodes, got $types")
   }
+
+  test("callees/callers are the hop-1 slices of the deep traversals") {
+    val callees = GraphOps.graphCallees(spark, SfDir)
+      .orderBy("node_id").collect().toSeq
+    val khopHop1 = GraphOps.graphKhopDeep(spark, SfDir)
+      .filter(col("hop") === 1).orderBy("node_id").collect().toSeq
+    assert(callees == khopHop1)
+    val callers = GraphOps.graphCallers(spark, SfDir)
+      .orderBy("node_id").collect().toSeq
+    val implHop1 = GraphOps.graphImplementations(spark, SfDir)
+      .filter(col("hop") === 1).orderBy("node_id").collect().toSeq
+    assert(callers == implHop1)
+  }
 }
 
 /** Salted join equivalence. */
@@ -534,6 +547,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .select("user_id", "n_events").as[(Long, Long)].collect().toSet
       assert(closed.contains((1L, 2L)),
         s"user 1's 2-event session should have closed, got $closed")
+    } finally q.stop()
+  }
+
+  test("streaming dedup emits one row per content hash across batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.streamingDedupExact(
+        mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(5), "alpha beta"), (2L, ts(6), "alpha beta"),
+        (3L, ts(7), "gamma"))
+      q.processAllAvailable()
+      // a duplicate arriving in a LATER micro-batch is still suppressed
+      mem.addData((4L, ts(20), "alpha beta"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream")
+        .select("text").as[String].collect().toSeq
+      assert(texts.sorted == Seq("alpha beta", "gamma"),
+        s"each distinct content hash must surface exactly once, got $texts")
     } finally q.stop()
   }
 
