@@ -33,6 +33,8 @@ object SparkEntry {
     "vec_knn_brute" -> SearchOps.vecKnnBrute _,
     "vec_knn_ivf" -> SearchOps.vecKnnIvf _,
     "vec_knn_join" -> SearchOps.vecKnnJoin _,
+    // approximate by design (LSH recall < 1) => no oracle, rows-only check
+    "vec_knn_join_ann" -> SearchOps.vecKnnJoinAnn _,
     "fts_term_score" -> SearchOps.ftsTermScore _,
     "fts_phrase" -> SearchOps.ftsPhrase _,
     "hybrid_search" -> SearchOps.hybridSearch _,

@@ -15,8 +15,7 @@ import graft.Tables
   */
 object ChunkOps {
 
-  private def tokens(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+  private def tokens(c: Column): Column = graft.functions.Tokenize.tokens(c)
 
   /** Chunk size / stride in tokens (overlap = ChunkTokens - Stride). */
   private val ChunkTokens = 20

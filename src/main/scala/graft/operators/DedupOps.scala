@@ -22,8 +22,7 @@ import graft.functions.VectorFunctions.cosineSim
   */
 object DedupOps {
 
-  private def tokens(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+  private def tokens(c: Column): Column = graft.functions.Tokenize.tokens(c)
 
   /** Distinct word-3-gram shingles via zip_with over shifted slices.
     *

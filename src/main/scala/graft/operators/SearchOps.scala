@@ -105,8 +105,7 @@ object SearchOps {
 
   private val Terms = Seq("data", "query", "table")
 
-  private def tokens(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+  private def tokens(c: Column): Column = graft.functions.Tokenize.tokens(c)
 
   /** Term frequency of the probe terms in a token array. */
   private def termScore(toks: Column): Column =
@@ -152,6 +151,44 @@ object SearchOps {
     val a = emb.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("label") === col("b_label") && col("a_id") =!= col("b_id"))
+      .select(col("label"), col("a_id"),
+        score(col("a_emb"), col("b_emb")).as("score"), col("b_id"))
+      .groupBy(col("label"), col("a_id"))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("b_id"), 3).as("top"))
+      .select(col("label"), col("a_id"), posexplode(col("top")))
+      .select(col("label"), col("a_id"), col("col.id").as("b_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  /** Approximate batch KNN — the 100 TB scale path for [[vecKnnJoin]]:
+    * instead of comparing every pair inside a label cell (cell² work,
+    * detonates when a cell holds millions of vectors), candidates come
+    * from the hyperplane-LSH band join (32×4-bit signatures, shared with
+    * dedup_embedding via PlanCache) and only collisions get scored +
+    * heap-ranked. Recall is probabilistic — P[candidate] = 1-(1-p^4)^32
+    * with p the per-bit agreement — rising with similarity, so the TRUE
+    * nearest neighbours are precisely the pairs least likely to be
+    * missed; the test suite pins recall >= 0.9 against the exact join.
+    * Approximate by design ⇒ rows-only driver check, like
+    * q9b_approx_distinct.
+    */
+  def vecKnnJoinAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.bandSigs
+    val emb = Tables.embeddings(spark, dir)
+    val bands = graft.PlanCache.getOrBuild(spark, dir, "embBands") {
+      emb.select(col("vec_id"), col("label"),
+          posexplode(bandSigs(col("embedding"), 0, 32, 4, 64)))
+        .select(col("vec_id"), col("label"), col("pos").as("band"), col("col").as("sig"))
+    }
+    val cand = bands
+      .join(bands.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+          col("band").as("b_band"), col("sig").as("b_sig")),
+        col("band") === col("b_band") && col("sig") === col("b_sig") &&
+          col("label") === col("b_label") && col("vec_id") =!= col("b_id"))
+      .select(col("label"), col("vec_id").as("a_id"), col("b_id")).distinct()
+    cand
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
       .select(col("label"), col("a_id"),
         score(col("a_emb"), col("b_emb")).as("score"), col("b_id"))
       .groupBy(col("label"), col("a_id"))

@@ -75,8 +75,7 @@ object IndexStore {
       }
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-            .as("toks"))
+          graft.functions.Tokenize.tokens(col("text")).as("toks"))
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       writeBucketed(docs, t.docs, "doc_id", Buckets)
       writeBucketed(emb, t.embById, "vec_id", Buckets)

@@ -38,8 +38,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("every query key has a matching oracle or is explicitly rows-only") {
-    // sketch outputs are engine-specific, so these are rows-only checked
-    val rowsOnly = Set("q9b_approx_distinct")
+    // sketch/ANN outputs are approximate by design, so rows-only checked
+    val rowsOnly = Set("q9b_approx_distinct", "vec_knn_join_ann")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
@@ -451,6 +451,17 @@ class IndexStoreSpec extends AnyFunSuite with SparkFixture {
       assert(countExchanges(plan) <= 1,
         s"candidate pairs must not shuffle (only the agg may):\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ANN batch KNN keeps >= 0.9 recall of the exact join's pairs") {
+    val exact = operators.SearchOps.vecKnnJoin(spark, SfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = operators.SearchOps.vecKnnJoinAnn(spark, SfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ANN recall $recall over ${exact.size} exact pairs")
   }
 
   test("partitioned store prunes by the partition column") {
