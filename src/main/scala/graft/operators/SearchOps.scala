@@ -82,14 +82,21 @@ object SearchOps {
     * distance 1 of a misspelled probe ("querry" → "query"), the FTS5 fuzzy
     * matching analogue (internal/mcp/exact_sqlite.go:42). levenshtein is
     * a built-in codegen'd expression — no UDF. */
-  def ftsFuzzy(spark: SparkSession, dir: String): DataFrame =
+  def ftsFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val probe = "querry"
+    val d = 1
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(filter(tokens(col("text")),
-          t => levenshtein(t, lit("querry")) <= 1)).as("score"))
+          // length prune first: edit distance >= |len(a) - len(b)|, so
+          // tokens outside the length band can never match and skip the
+          // O(len^2) levenshtein entirely
+          t => length(t).between(probe.length - d, probe.length + d) &&
+            levenshtein(t, lit(probe)) <= d)).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
+  }
 
   /** The deterministic probe vector: embedding of vec_id 0 (label 2). */
   private val QueryVecId = 0
