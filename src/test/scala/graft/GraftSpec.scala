@@ -266,6 +266,13 @@ class HyperplaneSigSpec extends AnyFunSuite with SparkFixture {
 
   private val vec = Seq(0.3f, -1.2f, 4.5f, 0.01f, -0.7f, 2.2f, 0f, 1f)
 
+  test("hyperplane_sigs is registered as a SQL function via GraftExtensions") {
+    val viaSql = spark.sql(
+      "SELECT hyperplane_sigs(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 7, 4, 3, 2)")
+      .head().getSeq[Long](0)
+    assert(viaSql == refSigs(Seq(1.0, -2.0), 7, 4, 3, 2))
+  }
+
   for (cg <- Seq(true, false)) {
     test(s"band signatures match the scala reference (codegen=$cg)") {
       val mode = if (cg) "CODEGEN_ONLY" else "NO_CODEGEN"
