@@ -29,6 +29,8 @@ object SparkEntry {
     "q10_rollup" -> Relational.q10Rollup _,
     "q11_upsert_latest" -> Relational.q11UpsertLatest _,
     "q12_asof_join" -> Relational.q12AsofJoin _,
+    "q13_percentiles" -> Relational.q13Percentiles _,
+    "q14_pivot" -> Relational.q14Pivot _,
     "q9b_approx_distinct" -> Relational.q9bApproxDistinct _,
     "vec_knn_brute" -> SearchOps.vecKnnBrute _,
     "vec_knn_ivf" -> SearchOps.vecKnnIvf _,
@@ -182,6 +184,20 @@ object SparkEntry {
         |SELECT event_id AS purchase_id, user_id, last_view_id,
         |  (tn - last_view_tn) // 1000000000 AS gap_s
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    "q13_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |  round(max(o_totalprice), 4) AS p100
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q14_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
     "vec_knn_brute" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${duckCos("embedding::DOUBLE[]", "q_emb")}, 4) AS score

@@ -189,6 +189,40 @@ object Relational {
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
       .orderBy(col("o_orderpriority"))
 
+  /** Exact interpolated percentiles per group (cortex's metrics tool
+    * reports size/complexity distributions, internal/mcp/metrics.go).
+    * Spark's `percentile` matches DuckDB's quantile_cont definition
+    * (linear interpolation), so the oracle verifies digit-for-digit.
+    * One shuffle on the group key; at 100 TB swap in approx_percentile
+    * the same way q9b swaps in the HLL sketch.
+    */
+  def q13Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+        round(max(col("o_totalprice")), 4).as("p100"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Pivot (long → wide): events count per user per event_type with an
+    * EXPLICIT pivot column list — at scale the list comes from the
+    * catalog, never from a discovery scan; the plan is then a single
+    * partial-aggregated shuffle on user_id, identical to a groupBy with
+    * conditional aggregates (which is exactly how the oracle states it).
+    */
+  def q14Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("view"), lit(0L)).as("n_view"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("error"), lit(0L)).as("n_error"))
+
   /** Latest-row-per-key (incremental index upsert semantics,
     * internal/storage/chunk_writer.go): one shuffle on the key, then a
     * ranking window picks the newest version.
