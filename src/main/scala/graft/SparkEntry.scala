@@ -34,6 +34,7 @@ object SparkEntry {
     "q9b_approx_distinct" -> Relational.q9bApproxDistinct _,
     "vec_knn_brute" -> SearchOps.vecKnnBrute _,
     "vec_knn_ivf" -> SearchOps.vecKnnIvf _,
+    "vec_knn_ivf_probe" -> SearchOps.vecKnnIvfProbe _,
     "vec_knn_join" -> SearchOps.vecKnnJoin _,
     // approximate by design (LSH recall < 1) => no oracle, rows-only check
     "vec_knn_join_ann" -> SearchOps.vecKnnJoinAnn _,
@@ -207,6 +208,22 @@ object SparkEntry {
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, round(${duckCos("embedding::DOUBLE[]", "q_emb")}, 4) AS score
          |FROM embeddings, q WHERE label = 2 AND vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "vec_knn_ivf_probe" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+         |cent AS (
+         |  SELECT label, list(av ORDER BY d) AS centroid FROM (
+         |    SELECT label, t.d AS d, avg(embedding[t.d + 1]) AS av
+         |    FROM embeddings CROSS JOIN range(64) t(d)
+         |    GROUP BY label, t.d)
+         |  GROUP BY label),
+         |probe AS (
+         |  SELECT label FROM cent, q
+         |  ORDER BY round(${duckCos("centroid", "q_emb")}, 4) DESC, label
+         |  LIMIT 2)
+         |SELECT vec_id, label, round(${duckCos("embedding::DOUBLE[]", "q_emb")}, 4) AS score
+         |FROM embeddings JOIN probe USING (label), q
+         |WHERE vec_id <> 0
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "vec_knn_join" ->
       s"""WITH pairs AS (

@@ -167,6 +167,50 @@ object SearchOps {
         col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk"))
   }
 
+  /** The IVF coarse quantizer, computed for real: per-label mean
+    * embedding. Built once per (session, dir) — posexplode to (label,
+    * dim, value), one aggregate, re-assemble the centroid array in dim
+    * order (array_sort on (d, avg) structs, NOT raw collect_list order,
+    * which is nondeterministic). At 100 TB this is a k-means iteration's
+    * assignment step; here labels are the fixed coarse cells.
+    */
+  private def centroids(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "ivfCentroids") {
+      Tables.embeddings(spark, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").as("d"))
+        .agg(avg(col("col")).as("cv"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("d"), col("cv")))).as("s"))
+        .select(col("label"),
+          transform(col("s"), x => x.getField("cv")).as("centroid"))
+    }
+
+  /** Multi-probe IVF KNN: rank the coarse cells by query→centroid cosine,
+    * probe the closest `nprobe` cells, and scan ONLY those for the exact
+    * top-k — the real IVF search loop (quantize → probe → refine), where
+    * [[vecKnnIvf]] is the 1-probe special case with the cell given. The
+    * probed label set broadcasts into the scan as a join filter, so the
+    * big relation still reads ~nprobe/L of its rows.
+    */
+  def vecKnnIvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    val nprobe = 2
+    val probed = centroids(spark, dir)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("label"),
+        round(cosineSim(col("centroid"), col("q_emb")), 4).as("cscore"))
+      .orderBy(col("cscore").desc, col("label"))
+      .limit(nprobe)
+    Tables.embeddings(spark, dir)
+      .join(broadcast(probed.select(col("label"))), "label")
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("vec_id"), col("label"),
+        score(col("embedding"), col("q_emb")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Approximate batch KNN — the 100 TB scale path for [[vecKnnJoin]]:
     * instead of comparing every pair inside a label cell (cell² work,
     * detonates when a cell holds millions of vectors), candidates come

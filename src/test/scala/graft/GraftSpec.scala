@@ -84,6 +84,12 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "label cell predicate should be pushed to the embeddings scan")
   }
 
+  test("multi-probe IVF scans at most nprobe cells") {
+    val labels = operators.SearchOps.vecKnnIvfProbe(spark, SfDir)
+      .select("label").distinct().collect().map(_.get(0).toString).toSet
+    assert(labels.size <= 2, s"expected <= 2 probed cells, got $labels")
+  }
+
   test("q4 uses broadcast joins for the dimension tables") {
     val plan = operators.Relational.q4BroadcastJoin(spark, SfDir)
       .queryExecution.executedPlan.toString
