@@ -17,9 +17,10 @@ object ChunkOps {
 
   private def tokens(c: Column): Column = graft.functions.Tokenize.tokens(c)
 
-  /** Chunk size / stride in tokens (overlap = ChunkTokens - Stride). */
-  private val ChunkTokens = 20
-  private val Stride = 15
+  /** Chunk size / stride in tokens (overlap = ChunkTokens - Stride).
+    * Visible to the streaming twin so batch and stream chunk identically. */
+  private[graft] val ChunkTokens = 20
+  private[graft] val Stride = 15
 
   /** Token-budget chunking with overlap: one posexplode over the start
     * offsets (1, 16, 31, ...), then a slice per chunk. Scales as a single

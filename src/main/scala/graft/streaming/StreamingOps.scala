@@ -146,6 +146,31 @@ object StreamingOps {
       .toDF()
   }
 
+  /** The cortex watch loop end-to-end as a STREAM: documents arrive →
+    * chunk (stateless Generate, same ChunkTokens/Stride as the batch
+    * pipeline) → fingerprint → fingerprint-dedup with watermark-bounded
+    * state. What comes out is exactly the re-embedding work queue:
+    * an unchanged re-notified document produces zero rows because every
+    * chunk fingerprint is already in state, while an edit emits only the
+    * chunks whose fingerprints changed — downstream work proportional to
+    * churn, the property that makes watch mode viable (the batch twin is
+    * pipeline_incremental). Used by the test suite.
+    */
+  def streamingPipelineIncremental(docs: DataFrame): DataFrame = {
+    import graft.operators.ChunkOps
+    docs
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"),
+        graft.functions.Tokenize.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("ts"), col("tk"),
+        posexplode(sequence(lit(1), greatest(size(col("tk")), lit(1)),
+          lit(ChunkOps.Stride))))
+      .select(col("doc_id"), col("ts"), col("pos").as("chunk_idx"),
+        md5(concat_ws(" ", slice(col("tk"), col("col"), lit(ChunkOps.ChunkTokens))))
+          .as("chunk_fp"))
+      .dropDuplicatesWithinWatermark("chunk_fp")
+  }
+
   /** Streaming exact-dedup at ingest: drop content-hash duplicates as
     * documents stream in — the streaming twin of dedup_exact and the shape
     * a training-data pipeline runs in front of its sink. State is BOUNDED:

@@ -574,6 +574,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming incremental pipeline emits work proportional to churn") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.streamingPipelineIncremental(
+        mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("pipe_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(5), "alpha beta gamma delta"))
+      q.processAllAvailable()
+      val afterFirst = spark.table("pipe_stream").count()
+      assert(afterFirst > 0, "first sight of a doc must emit its chunks")
+      // the same document re-notified unchanged -> every fingerprint is
+      // already in state -> zero new work
+      mem.addData((1L, ts(10), "alpha beta gamma delta"))
+      q.processAllAvailable()
+      assert(spark.table("pipe_stream").count() == afterFirst,
+        "unchanged re-notification must add no work")
+      // an edited document emits only its (new-fingerprint) chunks
+      mem.addData((1L, ts(15), "alpha beta gamma EDITED"))
+      q.processAllAvailable()
+      assert(spark.table("pipe_stream").count() > afterFirst,
+        "an edit must re-enqueue changed chunks")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits one row per content hash across batches") {
     val sparkS = spark
     import sparkS.implicits._
