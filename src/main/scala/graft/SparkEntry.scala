@@ -45,6 +45,7 @@ object SparkEntry {
     "fts_bm25" -> SearchOps.ftsBm25 _,
     "fts_boolean" -> SearchOps.ftsBoolean _,
     "fts_fuzzy" -> SearchOps.ftsFuzzy _,
+    "fts_search_page" -> SearchOps.ftsSearchPage _,
     "fts_snippet" -> SearchOps.ftsSnippet _,
     "fts_wildcard" -> SearchOps.ftsWildcard _,
     "vec_knn_min_score" -> SearchOps.vecKnnMinScore _,
@@ -294,6 +295,28 @@ object SparkEntry {
          |       OR len(list_filter(ts, t -> t LIKE 'vec%')) > 0)
          |  AND NOT list_contains(ts, 'slow')
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "fts_search_page" ->
+      s"""WITH base AS (SELECT doc_id, lang, n_chars, text, len($duckTok)::DOUBLE AS dl,
+         |    len(list_filter($duckTok, t -> t = 'data'))::DOUBLE AS tf0,
+         |    len(list_filter($duckTok, t -> t = 'query'))::DOUBLE AS tf1,
+         |    len(list_filter($duckTok, t -> t = 'table'))::DOUBLE AS tf2
+         |  FROM documents),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+         |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+         |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+         |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+         |  FROM base)
+         |SELECT doc_id, lang, n_chars, round(
+         |    ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1) * (tf0 * 2.2)
+         |      / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         |  + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * 2.2)
+         |      / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         |  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * 2.2)
+         |      / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) AS score,
+         |  substr(text, greatest(instr(lower(text), 'data') - 20, 1), 60) AS snippet
+         |FROM base, stats
+         |WHERE lang = 'en' AND tf0 > 0 AND tf1 > 0
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "fts_snippet" ->
       """SELECT doc_id, instr(lower(text), 'data query') AS hit_pos,
         |  substr(text, greatest(instr(lower(text), 'data query') - 20, 1), 60) AS snippet

@@ -300,13 +300,20 @@ object SearchOps {
     * single broadcast row — one tiny aggregate, then a stateless codegen'd
     * scoring scan; no shuffle of the corpus itself.
     */
-  def ftsBm25(spark: SparkSession, dir: String): DataFrame = {
-    val baseCols = Seq(col("doc_id"), size(col("ts")).cast("double").as("dl")) ++
+  /** Every document with its BM25 score over the probe terms, plus the
+    * columns downstream consumers rank/filter/snippet on. Corpus stats
+    * (N, avgdl, dfs) are INDEX-wide — computed over the whole corpus
+    * before any query-time filter, as FTS5's rank is — and reduce to a
+    * single broadcast row. */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+    val baseCols = Seq(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+      lower(col("text")).as("lt"), col("ts"),
+      size(col("ts")).cast("double").as("dl")) ++
       Terms.zipWithIndex.map { case (t, i) =>
         size(filter(col("ts"), x => x === t)).cast("double").as(s"tf$i")
       }
     val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .withColumn("ts", tokens(col("text")))
       .select(baseCols: _*)
     val statCols = Seq(
       count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")) ++
@@ -321,10 +328,33 @@ object SearchOps {
       idf * (col(s"tf$i") * lit(k1 + 1)) / norm
     }.reduce(_ + _)
     base.crossJoin(broadcast(stats))
-      .select(col("doc_id"), round(score, 4).as("score"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        col("lt"), col("ts"), round(score, 4).as("score"))
+  }
+
+  def ftsBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir)
+      .select(col("doc_id"), col("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
+
+  /** The reference's complete search-result surface in ONE query
+    * (exact_sqlite.go:61-70 SELECT path, rank, snippet(...), language,
+    * line counts ... MATCH ? AND language = ? ORDER BY rank LIMIT 15):
+    * boolean match + field scope filter the scan, index-wide BM25 ranks,
+    * a context snippet and metadata ride along, default limit 15.
+    */
+  def ftsSearchPage(spark: SparkSession, dir: String): DataFrame = {
+    import FtsQuery._
+    val q = And(Seq(Term("data"), Term("query")))
+    bm25Scored(spark, dir)
+      .filter(col("lang") === "en" && FtsQuery.compile(q, col("lt"), col("ts")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("score"),
+        expr("substr(text, greatest(instr(lower(text), 'data') - 20, 1), 60)")
+          .as("snippet"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(15)
   }
 
   /** Wildcard (prefix) term search: rank by the number of tokens matching
