@@ -40,7 +40,10 @@ object Tables {
     if (raw.schema("ts").dataType == LongType)
       // `div` (integral division), NOT `/`: Spark's `/` promotes to double,
       // and nanos-since-epoch exceeds double's 53-bit mantissa — the
-      // round-trip would perturb ~µs for a fraction of rows.
+      // round-trip would perturb ~µs for a fraction of rows. `div`
+      // truncates toward zero, which matches DuckDB's ns→µs conversion;
+      // pre-epoch (negative) timestamps would need floor semantics instead,
+      // and this corpus has none.
       raw.withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)

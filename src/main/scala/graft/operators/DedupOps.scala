@@ -253,6 +253,19 @@ object DedupOps {
   private val EmbSeed = 0
   private val EmbDim = 64
 
+  /** THE hyperplane band relation for a corpus dir — the single source of
+    * the LSH geometry, shared by dedup_embedding and vec_knn_join_ann
+    * through one PlanCache entry so the two can never silently build
+    * signatures with different parameters under the same cache key. */
+  private[operators] def embBands(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "embBands") {
+      import graft.functions.VectorFunctions.bandSigs
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(bandSigs(col("embedding"), EmbSeed, EmbBands, EmbBits, EmbDim)))
+        .select(col("vec_id"), col("label"), col("pos").as("band"), col("col").as("sig"))
+    }
+
   /** Embedding-cosine near-dup pairs (>= 0.42) inside IVF label cells.
     *
     * Candidate generation is random-hyperplane LSH (Charikar, STOC 2002),
@@ -266,15 +279,8 @@ object DedupOps {
     * cell², in pair comparisons.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.bandSigs
     val emb = Tables.embeddings(spark, dir)
-    // signature/band relation built once per (session, dir): the candidate
-    // join reads it from both sides
-    val bands = graft.PlanCache.getOrBuild(spark, dir, "embBands") {
-      emb.select(col("vec_id"), col("label"),
-          posexplode(bandSigs(col("embedding"), EmbSeed, EmbBands, EmbBits, EmbDim)))
-        .select(col("vec_id"), col("label"), col("pos").as("band"), col("col").as("sig"))
-    }
+    val bands = embBands(spark, dir)
     val cand = bands
       .join(bands.select(col("vec_id").as("b_id"), col("label").as("b_label"),
           col("band").as("b_band"), col("sig").as("b_sig")),

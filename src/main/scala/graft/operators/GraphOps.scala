@@ -64,8 +64,10 @@ object GraphOps {
     * Scale posture: the frontier and visited set are thin (type, id)
     * relations; each hop is one shuffle join on the frontier key. Frontiers
     * persist so hop h doesn't re-derive hops 1..h-1 (lineage would double
-    * per level otherwise) — bounded by MaxDepth small relations; a cluster
-    * deployment would checkpoint frontiers instead.
+    * per level otherwise) — and every public BFS operator memoizes its
+    * OUTPUT through PlanCache, so the per-hop frontier caches are created
+    * at most once per (session, dir, op) rather than accumulating on every
+    * invocation; a cluster deployment would checkpoint frontiers instead.
     */
   private def typedBfs(adj: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
     require(depth >= 1 && depth <= MaxDepth, s"depth must be in [1, $MaxDepth]")
@@ -107,10 +109,13 @@ object GraphOps {
     * MaxDepth, searcher_sql.go:44). Each node appears once, at its minimum
     * hop. */
   def kHop(spark: SparkSession, dir: String, depth: Int): DataFrame = {
-    val e = edges(spark, dir)
-    val seeds = e.filter(col("src") < SeedMax)
-      .select(lit("supplier").as("t"), col("src").as("id")).distinct()
-    typedBfs(partAdj(e), seeds, depth)
+    require(depth >= 1 && depth <= MaxDepth, s"depth must be in [1, $MaxDepth]")
+    graft.PlanCache.getOrBuild(spark, dir, s"bfs:khop:$depth") {
+      val e = edges(spark, dir)
+      val seeds = e.filter(col("src") < SeedMax)
+        .select(lit("supplier").as("t"), col("src").as("id")).distinct()
+      typedBfs(partAdj(e), seeds, depth)
+    }
   }
 
   /** The depth-4 contract row for the parameterized traversal. */
@@ -120,12 +125,13 @@ object GraphOps {
   /** Reverse-direction traversal over the `uses` relation (cortex
     * `dependents`, searcher_types.go): hop 1 = customers depending on the
     * seed suppliers, hop 2 = other suppliers those customers also use. */
-  def graphDependents(spark: SparkSession, dir: String): DataFrame = {
-    val u = usesEdges(spark, dir)
-    val seeds = u.filter(col("supp") < SeedMax)
-      .select(lit("supplier").as("t"), col("supp").as("id")).distinct()
-    typedBfs(usesAdj(u), seeds, 2)
-  }
+  def graphDependents(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "bfs:dependents") {
+      val u = usesEdges(spark, dir)
+      val seeds = u.filter(col("supp") < SeedMax)
+        .select(lit("supplier").as("t"), col("supp").as("id")).distinct()
+      typedBfs(usesAdj(u), seeds, 2)
+    }
 
   /** Direct neighbors — the cortex `callers`/`callees` operations
     * (searcher_types.go): depth-1 directed traversal. `callees` follows
@@ -135,32 +141,35 @@ object GraphOps {
     * use; they carry no separate `queries` row because graph_khop /
     * graph_implementations already oracle-check the identical hop-1
     * plans. */
-  def graphCallees(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
-    val seeds = e.filter(col("src") < SeedMax)
-      .select(lit("supplier").as("t"), col("src").as("id")).distinct()
-    typedBfs(e.select(lit("supplier").as("f_t"), col("src").as("f_id"),
-      lit("part").as("t_t"), col("dst").as("t_id")), seeds, 1)
-  }
+  def graphCallees(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "bfs:callees") {
+      val e = edges(spark, dir)
+      val seeds = e.filter(col("src") < SeedMax)
+        .select(lit("supplier").as("t"), col("src").as("id")).distinct()
+      typedBfs(e.select(lit("supplier").as("f_t"), col("src").as("f_id"),
+        lit("part").as("t_t"), col("dst").as("t_id")), seeds, 1)
+    }
 
-  def graphCallers(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
-    val seeds = e.filter(col("dst") < 40)
-      .select(lit("part").as("t"), col("dst").as("id")).distinct()
-    typedBfs(e.select(lit("part").as("f_t"), col("dst").as("f_id"),
-      lit("supplier").as("t_t"), col("src").as("t_id")), seeds, 1)
-  }
+  def graphCallers(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "bfs:callers") {
+      val e = edges(spark, dir)
+      val seeds = e.filter(col("dst") < 40)
+        .select(lit("part").as("t"), col("dst").as("id")).distinct()
+      typedBfs(e.select(lit("part").as("f_t"), col("dst").as("f_id"),
+        lit("supplier").as("t_t"), col("src").as("t_id")), seeds, 1)
+    }
 
   /** `implementations` / `type-usages` analogue over the second direction
     * of the supplier↔part relation: seed parts are the "interfaces", hop 1
     * = suppliers implementing (shipping) them, hop 2 = the other parts
     * those suppliers also ship (the usage closure). */
-  def graphImplementations(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
-    val seeds = e.filter(col("dst") < 40)
-      .select(lit("part").as("t"), col("dst").as("id")).distinct()
-    typedBfs(partAdj(e), seeds, 2)
-  }
+  def graphImplementations(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "bfs:implementations") {
+      val e = edges(spark, dir)
+      val seeds = e.filter(col("dst") < 40)
+        .select(lit("part").as("t"), col("dst").as("id")).distinct()
+      typedBfs(partAdj(e), seeds, 2)
+    }
 
   /** Bounded-depth (2-hop) reachability from the seed suppliers:
     * hop 1 = parts they ship, hop 2 = other suppliers shipping those

@@ -46,8 +46,12 @@ object SearchOps {
       case Phrase(p)    => contains(lowText, lit(p))
       case Prefix(p)    => exists(toks, _.startsWith(p))
       case Fuzzy(t, d)  => exists(toks, x => levenshtein(x, lit(t)) <= d)
-      case And(qs)      => qs.map(compile(_, lowText, toks)).reduce(_ && _)
-      case Or(qs)       => qs.map(compile(_, lowText, toks)).reduce(_ || _)
+      // empty conjunction/disjunction use the standard identities so
+      // dynamically-assembled query trees never crash plan construction
+      case And(qs)      => qs.map(compile(_, lowText, toks))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      case Or(qs)       => qs.map(compile(_, lowText, toks))
+        .reduceOption(_ || _).getOrElse(lit(false))
       case Not(s)       => !compile(s, lowText, toks)
     }
   }
@@ -224,13 +228,8 @@ object SearchOps {
     * q9b_approx_distinct.
     */
   def vecKnnJoinAnn(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.bandSigs
     val emb = Tables.embeddings(spark, dir)
-    val bands = graft.PlanCache.getOrBuild(spark, dir, "embBands") {
-      emb.select(col("vec_id"), col("label"),
-          posexplode(bandSigs(col("embedding"), 0, 32, 4, 64)))
-        .select(col("vec_id"), col("label"), col("pos").as("band"), col("col").as("sig"))
-    }
+    val bands = DedupOps.embBands(spark, dir)
     val cand = bands
       .join(bands.select(col("vec_id").as("b_id"), col("label").as("b_label"),
           col("band").as("b_band"), col("sig").as("b_sig")),

@@ -62,25 +62,33 @@ object IndexStore {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val t = IndexTables(s"graft_docs$tag", s"graft_emb_id$tag",
         s"graft_emb_lbl$tag")
-      // a prior session's warehouse dir may linger while the new session's
-      // catalog is empty — saveAsTable then fails with
-      // LOCATION_ALREADY_EXISTS, so clear both catalog entry and location
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(t.docs, t.embById, t.embByLabel).foreach { name =>
-        spark.sql(s"DROP TABLE IF EXISTS $name")
-        val p = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
-        if (fs.exists(p)) fs.delete(p, true)
+      val names = Seq(t.docs, t.embById, t.embByLabel)
+      if (names.forall(spark.catalog.tableExists)) {
+        // another session sharing this catalog already built the index for
+        // this dir — REUSE it; dropping here would yank tables out from
+        // under that session's running queries
+        t
+      } else {
+        // a prior PROCESS's warehouse dir may linger while this catalog is
+        // empty — saveAsTable then fails with LOCATION_ALREADY_EXISTS, so
+        // clear both catalog entry and physical location before writing
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        names.foreach { name =>
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+          val p = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val docs = graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            graft.functions.Tokenize.tokens(col("text")).as("toks"))
+        val emb = graft.Tables.embeddings(spark, dir)
+        writeBucketed(docs, t.docs, "doc_id", Buckets)
+        writeBucketed(emb, t.embById, "vec_id", Buckets)
+        writeBucketed(emb, t.embByLabel, "label", Buckets)
+        t
       }
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          graft.functions.Tokenize.tokens(col("text")).as("toks"))
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      writeBucketed(docs, t.docs, "doc_id", Buckets)
-      writeBucketed(emb, t.embById, "vec_id", Buckets)
-      writeBucketed(emb, t.embByLabel, "label", Buckets)
-      t
     })
   }
 }

@@ -168,7 +168,10 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"), col("pos").as("chunk_idx"),
         md5(concat_ws(" ", slice(col("tk"), col("col"), lit(ChunkOps.ChunkTokens))))
           .as("chunk_fp"))
-      .dropDuplicatesWithinWatermark("chunk_fp")
+      // state key includes doc_id: change detection is PER DOCUMENT (as in
+      // the batch twin) — a different doc that happens to contain an
+      // identical chunk must still be indexed, not suppressed
+      .dropDuplicatesWithinWatermark("doc_id", "chunk_fp")
   }
 
   /** Streaming exact-dedup at ingest: drop content-hash duplicates as
