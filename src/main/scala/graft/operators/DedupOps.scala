@@ -37,7 +37,7 @@ object DedupOps {
     * the null and the final filter drops the short tail, so docs with < 3
     * tokens yield an empty shingle set.
     */
-  private def trigrams(toks: Column): Column = {
+  private[graft] def trigrams(toks: Column): Column = {
     val sl2 = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
     val sl3 = slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))
     val bi = zip_with(toks, sl2, (a, b) => concat(a, lit(" "), b))

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests: the compiled Column machinery agrees with plain-Scala
+  * model implementations on randomized inputs — a different kind of
+  * evidence than the fixed-corpus oracles, because the generators explore
+  * corners the corpus never hits (empty docs, one-token docs, nested
+  * NOT/AND/OR trees, token multiplicity).
+  */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+
+  /** Deterministic sampling: scalacheck generators driven by fixed seeds
+    * (no scalatest bridge in this environment, and fixed seeds make a
+    * failure reproducible by its seed number anyway). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  import operators.SearchOps.FtsQuery
+  import operators.SearchOps.FtsQuery._
+
+  private val vocab = Seq("data", "query", "table", "scan", "agg", "x1")
+
+  private val genLeaf: Gen[FtsQuery] = Gen.oneOf(
+    Gen.oneOf(vocab).map(Term.apply),
+    Gen.oneOf(vocab).map(t => Phrase(t.take(3))),
+    Gen.oneOf(vocab).map(t => Prefix(t.take(2))))
+
+  private def genTree(depth: Int): Gen[FtsQuery] =
+    if (depth == 0) genLeaf
+    else Gen.frequency(
+      2 -> genLeaf,
+      2 -> Gen.listOfN(2, genTree(depth - 1)).map(And.apply),
+      2 -> Gen.listOfN(2, genTree(depth - 1)).map(Or.apply),
+      1 -> genTree(depth - 1).map(Not.apply))
+
+  private val genDoc: Gen[Seq[String]] =
+    Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+
+  /** The model: evaluate a query tree against a token list directly. */
+  private def evalModel(q: FtsQuery, toks: Seq[String]): Boolean = q match {
+    case Term(t)     => toks.contains(t)
+    case Phrase(p)   => toks.mkString(" ").contains(p)
+    case Prefix(p)   => toks.exists(_.startsWith(p))
+    case Fuzzy(t, d) => toks.exists(x => levenshteinModel(x, t) <= d)
+    case And(qs)     => qs.forall(evalModel(_, toks))
+    case Or(qs)      => qs.exists(evalModel(_, toks))
+    case Not(s)      => !evalModel(s, toks)
+  }
+
+  private def levenshteinModel(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("FtsQuery.compile agrees with the model on random trees and docs") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val cases = samples(Gen.zip(Gen.listOfN(6, genDoc), genTree(3)), 40)
+    cases.foreach { case (docs, q) =>
+        val df = docs.zipWithIndex
+          .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+          .toDF("doc_id", "text")
+          .select(col("doc_id"), lower(col("text")).as("lt"),
+            graft.functions.Tokenize.tokens(col("text")).as("ts"))
+        val got = df.filter(FtsQuery.compile(q, col("lt"), col("ts")))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val want = docs.zipWithIndex
+          .collect { case (toks, i) if evalModel(q, toks) => i.toLong }.toSet
+        assert(got == want, s"query $q on $docs")
+    }
+  }
+
+  test("zip_with trigram builder agrees with the sliding-window model") {
+    val sparkS = spark
+    import sparkS.implicits._
+    samples(Gen.listOfN(4, genDoc), 40).foreach { docs =>
+      // exercises the zip_with/slice construction (short docs, empty docs,
+      // exact-3-token docs are the corners) against a direct model
+      val gs = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), operators.DedupOps.trigrams(
+          graft.functions.Tokenize.tokens(col("text"))).as("gs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      docs.zipWithIndex.foreach { case (toks, i) =>
+        val want = toks.map(_.toLowerCase)
+          .sliding(3).filter(_.sizeIs == 3).map(_.mkString(" ")).toSet
+        assert(gs(i.toLong) == want, s"doc $toks")
+      }
+    }
+  }
+}
