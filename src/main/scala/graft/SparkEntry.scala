@@ -31,6 +31,8 @@ object SparkEntry {
     "q12_asof_join" -> Relational.q12AsofJoin _,
     "q13_percentiles" -> Relational.q13Percentiles _,
     "q14_pivot" -> Relational.q14Pivot _,
+    "dsl_agg" -> QueryDsl.dslAgg _,
+    "dsl_join_filter" -> QueryDsl.dslJoinFilter _,
     "q9b_approx_distinct" -> Relational.q9bApproxDistinct _,
     "vec_knn_brute" -> SearchOps.vecKnnBrute _,
     "vec_knn_ivf" -> SearchOps.vecKnnIvf _,
@@ -186,6 +188,20 @@ object SparkEntry {
         |SELECT event_id AS purchase_id, user_id, last_view_id,
         |  (tn - last_view_tn) // 1000000000 AS gap_s
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    "dsl_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS total_price,
+        |  round(max(o_totalprice), 4) AS max_price
+        |FROM orders GROUP BY o_orderpriority
+        |HAVING count(*) > 100
+        |ORDER BY o_orderpriority""".stripMargin,
+    "dsl_join_filter" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal BETWEEN 9000 AND 10000
+        |  AND n_name LIKE '%A%'
+        |  AND c_mktsegment NOT IN ('MACHINERY', 'HOUSEHOLD')
+        |ORDER BY c_custkey LIMIT 25 OFFSET 5""".stripMargin,
     "q13_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

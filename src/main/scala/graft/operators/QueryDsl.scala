@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Structured-query DSL — the cortex `cortex_files` tool surface
+  * (internal/mcp/files_tool.go: JSON queries with SELECT fields, WHERE
+  * with =/!=/>/>=/</<=/LIKE/IN/BETWEEN, JOINs, GROUP BY + COUNT/SUM/AVG/
+  * MIN/MAX, HAVING, ORDER BY, LIMIT/OFFSET) compiled to a DataFrame plan
+  * instead of a SQL string.
+  *
+  * Compilation is pure plan construction: predicates become Catalyst
+  * expressions the optimizer pushes into scans, joins go through the
+  * normal broadcast/shuffle selection, ORDER BY + LIMIT collapses to
+  * TakeOrderedAndProject — the DSL adds zero execution machinery of its
+  * own, which is the point of compiling onto Spark.
+  */
+object QueryDsl {
+
+  sealed trait Pred
+  /** op ∈ =, !=, >, >=, <, <=, LIKE (SQL % wildcards) */
+  final case class Cmp(field: String, op: String, value: Any) extends Pred
+  final case class In(field: String, values: Seq[Any]) extends Pred
+  final case class Between(field: String, lo: Any, hi: Any) extends Pred
+  final case class AndP(ps: Seq[Pred]) extends Pred
+  final case class OrP(ps: Seq[Pred]) extends Pred
+  final case class NotP(p: Pred) extends Pred
+
+  /** function ∈ COUNT (field optional), SUM, AVG, MIN, MAX; `round`
+    * applies ROUND(x, n) so float aggregates verify across engines. */
+  final case class Agg(function: String, field: Option[String],
+      alias: String, round: Option[Int] = None)
+
+  final case class Order(field: String, desc: Boolean = false)
+
+  /** INNER equi-join to another table. */
+  final case class Join(table: String, leftField: String, rightField: String)
+
+  final case class QuerySpec(
+      from: String,
+      fields: Seq[String] = Nil,
+      joins: Seq[Join] = Nil,
+      where: Option[Pred] = None,
+      groupBy: Seq[String] = Nil,
+      aggregations: Seq[Agg] = Nil,
+      having: Option[Pred] = None,
+      orderBy: Seq[Order] = Nil,
+      limit: Option[Int] = None,
+      offset: Int = 0)
+
+  private def compilePred(p: Pred): Column = p match {
+    case Cmp(f, "=", v)    => col(f) === lit(v)
+    case Cmp(f, "!=", v)   => col(f) =!= lit(v)
+    case Cmp(f, ">", v)    => col(f) > lit(v)
+    case Cmp(f, ">=", v)   => col(f) >= lit(v)
+    case Cmp(f, "<", v)    => col(f) < lit(v)
+    case Cmp(f, "<=", v)   => col(f) <= lit(v)
+    case Cmp(f, "LIKE", v) => col(f).like(v.toString)
+    case Cmp(_, op, _)     =>
+      throw new IllegalArgumentException(s"unsupported operator: $op")
+    case In(f, vs)         => col(f).isin(vs: _*)
+    case Between(f, lo, hi) => col(f).between(lit(lo), lit(hi))
+    case AndP(ps) => ps.map(compilePred).reduceOption(_ && _).getOrElse(lit(true))
+    case OrP(ps)  => ps.map(compilePred).reduceOption(_ || _).getOrElse(lit(false))
+    case NotP(s)  => !compilePred(s)
+  }
+
+  private def compileAgg(a: Agg): Column = {
+    val base = (a.function.toUpperCase, a.field) match {
+      case ("COUNT", None)    => count(lit(1))
+      case ("COUNT", Some(f)) => count(col(f))
+      case ("SUM", Some(f))   => sum(col(f))
+      case ("AVG", Some(f))   => avg(col(f))
+      case ("MIN", Some(f))   => min(col(f))
+      case ("MAX", Some(f))   => max(col(f))
+      case (fn, f) =>
+        throw new IllegalArgumentException(s"unsupported aggregation: $fn($f)")
+    }
+    a.round.map(n => round(base, n)).getOrElse(base).as(a.alias)
+  }
+
+  /** Compile a QuerySpec against the corpus tables under `dir`. */
+  def compile(spark: SparkSession, dir: String, q: QuerySpec): DataFrame = {
+    var df = Tables.load(spark, dir, q.from)
+    q.joins.foreach { j =>
+      df = df.join(Tables.load(spark, dir, j.table),
+        col(j.leftField) === col(j.rightField))
+    }
+    q.where.foreach(p => df = df.filter(compilePred(p)))
+    if (q.groupBy.nonEmpty || q.aggregations.nonEmpty) {
+      val aggs = q.aggregations.map(compileAgg)
+      df =
+        if (q.groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else df.groupBy(q.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    q.having.foreach(p => df = df.filter(compilePred(p)))
+    if (q.fields.nonEmpty) df = df.select(q.fields.map(col): _*)
+    if (q.orderBy.nonEmpty)
+      df = df.orderBy(q.orderBy.map(o =>
+        if (o.desc) col(o.field).desc else col(o.field).asc): _*)
+    if (q.offset > 0) df = df.offset(q.offset)
+    q.limit.foreach(n => df = df.limit(n))
+    df
+  }
+
+  /** JSON front-end, same wire shape as the cortex tool:
+    * `{"from": "...", "fields": [...], "where": {"field","operator",
+    * "value"} | {"and":[...]} | {"or":[...]} | {"not":...}, "joins":
+    * [{"table","leftField","rightField"}], "groupBy": [...],
+    * "aggregations": [{"function","field","alias","round"}], "having":
+    * ..., "orderBy": [{"field","direction"}], "limit", "offset"}`.
+    * Parsed with Jackson (already on Spark's classpath) — no new
+    * dependency.
+    */
+  def parse(json: String): QuerySpec = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    val root = new ObjectMapper().readTree(json)
+
+    def value(n: JsonNode): Any =
+      if (n.isIntegralNumber) n.asLong()
+      else if (n.isNumber) n.asDouble()
+      else if (n.isBoolean) n.asBoolean()
+      else n.asText()
+
+    def pred(n: JsonNode): Pred =
+      if (n.has("and")) AndP(n.get("and").elements().asScala.map(pred).toSeq)
+      else if (n.has("or")) OrP(n.get("or").elements().asScala.map(pred).toSeq)
+      else if (n.has("not")) NotP(pred(n.get("not")))
+      else {
+        val f = n.get("field").asText()
+        n.get("operator").asText().toUpperCase match {
+          case "IN" =>
+            In(f, n.get("value").elements().asScala.map(value).toSeq)
+          case "BETWEEN" =>
+            val vs = n.get("value").elements().asScala.map(value).toSeq
+            Between(f, vs.head, vs(1))
+          case op => Cmp(f, op, value(n.get("value")))
+        }
+      }
+
+    def strings(field: String): Seq[String] =
+      if (root.has(field)) root.get(field).elements().asScala.map(_.asText()).toSeq
+      else Nil
+
+    QuerySpec(
+      from = root.get("from").asText(),
+      fields = strings("fields"),
+      joins =
+        if (root.has("joins"))
+          root.get("joins").elements().asScala.map { j =>
+            Join(j.get("table").asText(), j.get("leftField").asText(),
+              j.get("rightField").asText())
+          }.toSeq
+        else Nil,
+      where = if (root.has("where")) Some(pred(root.get("where"))) else None,
+      groupBy = strings("groupBy"),
+      aggregations =
+        if (root.has("aggregations"))
+          root.get("aggregations").elements().asScala.map { a =>
+            Agg(a.get("function").asText(),
+              if (a.has("field")) Some(a.get("field").asText()) else None,
+              a.get("alias").asText(),
+              if (a.has("round")) Some(a.get("round").asInt()) else None)
+          }.toSeq
+        else Nil,
+      having = if (root.has("having")) Some(pred(root.get("having"))) else None,
+      orderBy =
+        if (root.has("orderBy"))
+          root.get("orderBy").elements().asScala.map { o =>
+            Order(o.get("field").asText(),
+              o.has("direction") && o.get("direction").asText().equalsIgnoreCase("DESC"))
+          }.toSeq
+        else Nil,
+      limit = if (root.has("limit")) Some(root.get("limit").asInt()) else None,
+      offset = if (root.has("offset")) root.get("offset").asInt() else 0)
+  }
+
+  /** Contract row 1: grouped aggregation with HAVING and ordering —
+    * "count files by language" shape from the tool's own examples. */
+  def dslAgg(spark: SparkSession, dir: String): DataFrame =
+    compile(spark, dir, QuerySpec(
+      from = "orders",
+      groupBy = Seq("o_orderpriority"),
+      aggregations = Seq(
+        Agg("COUNT", None, "n_orders"),
+        Agg("SUM", Some("o_totalprice"), "total_price", round = Some(4)),
+        Agg("MAX", Some("o_totalprice"), "max_price", round = Some(4))),
+      having = Some(Cmp("n_orders", ">", 100L)),
+      orderBy = Seq(Order("o_orderpriority"))))
+
+  /** Contract row 2 (via the JSON front-end): join + WHERE with
+    * IN/BETWEEN/LIKE + projection + pagination — the "find large files"
+    * shape. Parsed from the literal wire format to pin the parser too. */
+  def dslJoinFilter(spark: SparkSession, dir: String): DataFrame =
+    compile(spark, dir, parse("""{
+      "from": "customer",
+      "joins": [{"table": "nation", "leftField": "c_nationkey",
+                 "rightField": "n_nationkey"}],
+      "where": {"and": [
+        {"field": "c_acctbal", "operator": "BETWEEN", "value": [9000, 10000]},
+        {"field": "n_name", "operator": "LIKE", "value": "%A%"},
+        {"not": {"field": "c_mktsegment", "operator": "IN",
+                 "value": ["MACHINERY", "HOUSEHOLD"]}}
+      ]},
+      "fields": ["c_custkey", "c_name", "n_name", "c_acctbal"],
+      "orderBy": [{"field": "c_custkey", "direction": "ASC"}],
+      "limit": 25, "offset": 5
+    }"""))
+}

@@ -294,6 +294,52 @@ class HyperplaneSigSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+/** QueryDsl: JSON wire format and AST compile to identical plans. */
+class QueryDslSpec extends AnyFunSuite with SparkFixture {
+  import operators.QueryDsl
+  import operators.QueryDsl._
+
+  test("JSON parse produces the equivalent AST result") {
+    val viaAst = QueryDsl.compile(spark, SfDir, QuerySpec(
+      from = "orders",
+      where = Some(AndP(Seq(
+        Cmp("o_orderpriority", "=", "1-URGENT"),
+        Cmp("o_totalprice", ">", 200000L)))),
+      fields = Seq("o_orderkey", "o_custkey"),
+      orderBy = Seq(Order("o_orderkey")),
+      limit = Some(10)))
+      .collect().toSeq
+    val viaJson = QueryDsl.compile(spark, SfDir, QueryDsl.parse("""{
+      "from": "orders",
+      "where": {"and": [
+        {"field": "o_orderpriority", "operator": "=", "value": "1-URGENT"},
+        {"field": "o_totalprice", "operator": ">", "value": 200000}
+      ]},
+      "fields": ["o_orderkey", "o_custkey"],
+      "orderBy": [{"field": "o_orderkey"}],
+      "limit": 10
+    }""")).collect().toSeq
+    assert(viaJson == viaAst && viaAst.nonEmpty)
+  }
+
+  test("DSL predicates push down to the parquet scan") {
+    val plan = QueryDsl.compile(spark, SfDir, QuerySpec(
+      from = "part",
+      where = Some(Cmp("p_size", ">=", 30L)),
+      fields = Seq("p_partkey", "p_name")))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("p_size"),
+      "compiled WHERE must reach the scan as a pushed filter")
+  }
+
+  test("unsupported operators fail loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      QueryDsl.compile(spark, SfDir, QuerySpec(
+        from = "orders", where = Some(Cmp("o_orderkey", "~", 1L)))).count()
+    }
+  }
+}
+
 /** Structure-aware chunker invariants at sf0.001. */
 class ChunkStructuredSpec extends AnyFunSuite with SparkFixture {
   private lazy val rows = operators.ChunkOps.chunkStructured(spark, SfDir)
