@@ -19,7 +19,19 @@ object PlanCache {
   def getOrBuild(spark: SparkSession, dir: String, tag: String)
       (build: => DataFrame): DataFrame = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    cache.computeIfAbsent((spark, dir, tag), _ => build.persist())
+    val key = (spark, dir, tag)
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
+      // NOT computeIfAbsent: a build closure may itself call getOrBuild
+      // for a dependency relation (BFS memo -> edge relation), and nested
+      // computeIfAbsent on one ConcurrentHashMap throws "Recursive
+      // update" depending on bin layout. get + putIfAbsent is reentrant;
+      // if two threads race, the loser unpersists its duplicate build.
+      val built = build.persist()
+      val prev = cache.putIfAbsent(key, built)
+      if (prev != null) { built.unpersist(); prev } else built
+    }
   }
 
   /** Unpersist and drop every entry (e.g. after data under a dir changed). */

@@ -84,11 +84,17 @@ object QueryDsl {
   def compile(spark: SparkSession, dir: String, q: QuerySpec): DataFrame = {
     var df = Tables.load(spark, dir, q.from)
     q.joins.foreach { j =>
-      df = df.join(Tables.load(spark, dir, j.table),
-        col(j.leftField) === col(j.rightField))
+      // reference the key through each side's own DataFrame: an
+      // unqualified col() is ambiguous whenever both sides share the
+      // join-key column name (id=id joins, self-joins)
+      val right = Tables.load(spark, dir, j.table)
+      df = df.join(right, df(j.leftField) === right(j.rightField))
     }
     q.where.foreach(p => df = df.filter(compilePred(p)))
     if (q.groupBy.nonEmpty || q.aggregations.nonEmpty) {
+      if (q.aggregations.isEmpty)
+        throw new IllegalArgumentException(
+          s"groupBy ${q.groupBy.mkString(",")} requires at least one aggregation")
       val aggs = q.aggregations.map(compileAgg)
       df =
         if (q.groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
@@ -118,6 +124,16 @@ object QueryDsl {
     import scala.jdk.CollectionConverters._
     val root = new ObjectMapper().readTree(json)
 
+    // this is the untrusted boundary — every malformed shape must come
+    // back as IllegalArgumentException with a usable message, never a
+    // raw NPE/NoSuchElement from deep inside Jackson accessors
+    def req(n: JsonNode, name: String, ctx: String): JsonNode = {
+      val v = n.get(name)
+      if (v == null || v.isNull)
+        throw new IllegalArgumentException(s"$ctx: missing required '$name'")
+      v
+    }
+
     def value(n: JsonNode): Any =
       if (n.isIntegralNumber) n.asLong()
       else if (n.isNumber) n.asDouble()
@@ -129,14 +145,18 @@ object QueryDsl {
       else if (n.has("or")) OrP(n.get("or").elements().asScala.map(pred).toSeq)
       else if (n.has("not")) NotP(pred(n.get("not")))
       else {
-        val f = n.get("field").asText()
-        n.get("operator").asText().toUpperCase match {
+        val f = req(n, "field", "predicate").asText()
+        req(n, "operator", s"predicate on $f").asText().toUpperCase match {
           case "IN" =>
-            In(f, n.get("value").elements().asScala.map(value).toSeq)
+            In(f, req(n, "value", s"IN on $f").elements().asScala.map(value).toSeq)
           case "BETWEEN" =>
-            val vs = n.get("value").elements().asScala.map(value).toSeq
+            val vs = req(n, "value", s"BETWEEN on $f")
+              .elements().asScala.map(value).toSeq
+            if (vs.sizeIs != 2)
+              throw new IllegalArgumentException(
+                s"BETWEEN on $f: value must be a 2-element array, got $vs")
             Between(f, vs.head, vs(1))
-          case op => Cmp(f, op, value(n.get("value")))
+          case op => Cmp(f, op, value(req(n, "value", s"$op on $f")))
         }
       }
 
@@ -145,13 +165,14 @@ object QueryDsl {
       else Nil
 
     QuerySpec(
-      from = root.get("from").asText(),
+      from = req(root, "from", "query").asText(),
       fields = strings("fields"),
       joins =
         if (root.has("joins"))
           root.get("joins").elements().asScala.map { j =>
-            Join(j.get("table").asText(), j.get("leftField").asText(),
-              j.get("rightField").asText())
+            Join(req(j, "table", "join").asText(),
+              req(j, "leftField", "join").asText(),
+              req(j, "rightField", "join").asText())
           }.toSeq
         else Nil,
       where = if (root.has("where")) Some(pred(root.get("where"))) else None,
@@ -159,9 +180,9 @@ object QueryDsl {
       aggregations =
         if (root.has("aggregations"))
           root.get("aggregations").elements().asScala.map { a =>
-            Agg(a.get("function").asText(),
+            Agg(req(a, "function", "aggregation").asText(),
               if (a.has("field")) Some(a.get("field").asText()) else None,
-              a.get("alias").asText(),
+              req(a, "alias", "aggregation").asText(),
               if (a.has("round")) Some(a.get("round").asInt()) else None)
           }.toSeq
         else Nil,
@@ -169,8 +190,15 @@ object QueryDsl {
       orderBy =
         if (root.has("orderBy"))
           root.get("orderBy").elements().asScala.map { o =>
-            Order(o.get("field").asText(),
-              o.has("direction") && o.get("direction").asText().equalsIgnoreCase("DESC"))
+            val dir =
+              if (o.has("direction")) o.get("direction").asText().toUpperCase
+              else "ASC"
+            // reject typos instead of silently sorting the wrong way —
+            // the worst failure mode for a wire-format parser
+            if (dir != "ASC" && dir != "DESC")
+              throw new IllegalArgumentException(
+                s"orderBy direction must be ASC or DESC, got '$dir'")
+            Order(req(o, "field", "orderBy").asText(), dir == "DESC")
           }.toSeq
         else Nil,
       limit = if (root.has("limit")) Some(root.get("limit").asInt()) else None,

@@ -338,6 +338,30 @@ class QueryDslSpec extends AnyFunSuite with SparkFixture {
         from = "orders", where = Some(Cmp("o_orderkey", "~", 1L)))).count()
     }
   }
+
+  test("malformed wire-format queries are rejected with clear errors") {
+    // BETWEEN with a scalar instead of a 2-array
+    intercept[IllegalArgumentException] { QueryDsl.parse(
+      """{"from":"orders","where":{"field":"x","operator":"BETWEEN","value":9}}""") }
+    // missing from
+    intercept[IllegalArgumentException] { QueryDsl.parse("""{"fields":["a"]}""") }
+    // typo'd sort direction must not silently sort ascending
+    intercept[IllegalArgumentException] { QueryDsl.parse(
+      """{"from":"orders","orderBy":[{"field":"x","direction":"DESCENDING"}]}""") }
+    // groupBy without aggregations
+    intercept[IllegalArgumentException] {
+      QueryDsl.compile(spark, SfDir, QuerySpec(
+        from = "orders", groupBy = Seq("o_orderpriority")))
+    }
+  }
+
+  test("id=id joins resolve unambiguously through side-qualified keys") {
+    // both sides expose the join key under the SAME name
+    val viaDsl = QueryDsl.compile(spark, SfDir, QuerySpec(
+      from = "nation",
+      joins = Seq(Join("nation", "n_regionkey", "n_regionkey"))))
+    assert(viaDsl.count() > 0)
+  }
 }
 
 /** Structure-aware chunker invariants at sf0.001. */

@@ -27,7 +27,8 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
   private val genLeaf: Gen[FtsQuery] = Gen.oneOf(
     Gen.oneOf(vocab).map(Term.apply),
     Gen.oneOf(vocab).map(t => Phrase(t.take(3))),
-    Gen.oneOf(vocab).map(t => Prefix(t.take(2))))
+    Gen.oneOf(vocab).map(t => Prefix(t.take(2))),
+    Gen.oneOf(vocab).map(t => Fuzzy(t.dropRight(1) + "x", 1)))
 
   private def genTree(depth: Int): Gen[FtsQuery] =
     if (depth == 0) genLeaf
