@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe (dev tool, like Probe — not part of the driver
+  * contract): synthesize corpora N× the sf0.1 documents table by unioning
+  * PERTURBED copies (each copy appends a distinct marker token, so the
+  * near-dup structure stays sparse instead of exploding quadratically with
+  * true duplicates), then measure banded-LSH candidate generation against
+  * the all-pairs-in-block baseline on identical signatures.
+  *
+  * This is the measurement behind the 100 TB claim for the dedup family:
+  * all-pairs cost grows with block², band-join cost with true signature
+  * collisions. Results land in docs/SCALE_NOTES.md.
+  */
+object ScaleProbe {
+
+  private def synth(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
+    val docs = Tables.documents(spark, baseDir)
+    val parts = (0 until copies).map { c =>
+      docs.select(
+        (col("doc_id") + lit(c.toLong * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" copymark$c")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    parts.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+  }
+
+  /** All-pairs-in-(lang, lb)-block candidate generation over the SAME
+    * signatures the banded operator uses — the round-1 formulation, kept
+    * as the baseline under measurement. */
+  private def allPairsSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = operators.DedupOps.simhashBands(spark, dir)
+      .select(col("doc_id"), col("lang"), col("lb"), col("sig")).distinct()
+    sigs.join(sigs.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("lb").as("b_lb"), col("sig").as("b_sig")),
+      col("lang") === col("b_lang") && col("lb") === col("b_lb") &&
+        col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"),
+        bit_count(col("sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .filter(col("hamming") <= 5)
+  }
+
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "/root/testdata/sf0.1"
+    val copiesList = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 4, 8)
+    copiesList.foreach { copies =>
+      val dir = s"/tmp/graft_scale/x$copies"
+      synth(spark, base, dir, copies)
+      // warm signature build once so both strategies time candidate
+      // generation + verify, not the shared signature pipeline
+      operators.DedupOps.simhashBands(spark, dir).count()
+      val (tBand, nBand) = time(operators.DedupOps.dedupSimhash(spark, dir).count())
+      val (tAll, nAll) = time(allPairsSimhash(spark, dir).count())
+      println(f"SCALE copies=$copies%2d docs=${copies * 5000}%6d " +
+        f"banded=$tBand%6.2fs allpairs=$tAll%6.2fs ratio=${tAll / tBand}%5.2fx " +
+        f"pairs(banded=$nBand, allpairs=$nAll)")
+    }
+    spark.stop()
+  }
+}

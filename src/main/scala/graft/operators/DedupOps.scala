@@ -182,23 +182,12 @@ object DedupOps {
     Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 4), (28, 4))
   private val SimhashTau = 5
 
-  /** 32-bit SimHash over 3-gram shingle hashes; near-dup = hamming <= 5
-    * within (lang, length-bucket) blocks. All bit math stays in codegen
-    * (floor-div bit probe, bitwiseXOR + bit_count verify).
-    *
-    * Candidate generation is a hamming-LSH band join, NOT all pairs within
-    * a block: each signature explodes into 6 bit-slices and pairs
-    * materialize only where a full slice matches inside the block. A block
-    * of millions of docs no longer costs block^2 comparisons — only docs
-    * agreeing on 1/6 of the signature ever meet, and the 6-band split makes
-    * that candidate set a superset of every true hamming<=5 pair
-    * (pigeonhole over SimhashBands), so the verify step loses nothing.
-    */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val ng = shingled(spark, dir)
-    // signature/band relation built once per (session, dir): the candidate
-    // join reads it from both sides
-    val bands = graft.PlanCache.getOrBuild(spark, dir, "simhashBands") {
+  /** The simhash signature/band relation, built once per (session, dir);
+    * the candidate join reads it from both sides, and the scale probe
+    * derives its all-pairs baseline from the same signatures. */
+  private[graft] def simhashBands(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "simhashBands") {
+      val ng = shingled(spark, dir)
       val h = ng.select(col("doc_id"), explode(col("gs")).as("g"))
         .select(col("doc_id"), (hash60(col("g")) % 4294967296L).as("hv"))
       // bit_i vote (+1 set / -1 clear) as 32 parallel codegen'd aggregates:
@@ -223,6 +212,21 @@ object DedupOps {
         .select(col("doc_id"), col("lang"), col("lb"), col("sig"),
           col("b.band").as("band"), col("b.bv").as("bv"))
     }
+
+  /** 32-bit SimHash over 3-gram shingle hashes; near-dup = hamming <= 5
+    * within (lang, length-bucket) blocks. All bit math stays in codegen
+    * (floor-div bit probe, bitwiseXOR + bit_count verify).
+    *
+    * Candidate generation is a hamming-LSH band join, NOT all pairs within
+    * a block: each signature explodes into 6 bit-slices and pairs
+    * materialize only where a full slice matches inside the block. A block
+    * of millions of docs no longer costs block^2 comparisons — only docs
+    * agreeing on 1/6 of the signature ever meet, and the 6-band split makes
+    * that candidate set a superset of every true hamming<=5 pair
+    * (pigeonhole over SimhashBands), so the verify step loses nothing.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val bands = simhashBands(spark, dir)
     val cand = bands
       .join(bands.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
           col("lb").as("b_lb"), col("sig").as("b_sig"),
