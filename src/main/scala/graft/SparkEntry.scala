@@ -63,6 +63,7 @@ object SparkEntry {
     "text_quality" -> TextOps.textQuality _,
     "text_tokens" -> TextOps.textTokens _,
     "text_fingerprint" -> TextOps.textFingerprint _,
+    "text_winnow" -> TextOps.textWinnow _,
     "chunk_documents" -> ChunkOps.chunkDocuments _,
     "chunk_structured" -> ChunkOps.chunkStructured _,
     "change_detect" -> ChunkOps.changeDetect _,
@@ -445,6 +446,19 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($duckTok)), ' ')) AS fp
          |FROM documents""".stripMargin,
+    "text_winnow" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(1, greatest(len(ts) - 2, 1)),
+         |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS gs
+         |  FROM tok),
+         |h AS (SELECT doc_id, list_transform(gs,
+         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs FROM g),
+         |w AS (SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 1)),
+         |    i -> list_min(list_slice(hs, i, i + 4))) AS mins FROM h),
+         |s AS (SELECT doc_id, list_sort(list_distinct(mins)) AS sel FROM w)
+         |SELECT doc_id, len(sel) AS n_fps,
+         |  md5(array_to_string(sel, ',')) AS fp_digest
+         |FROM s""".stripMargin,
     "chunk_documents" ->
       s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents)
          |SELECT doc_id, (u.s - 1) // 15 AS chunk_idx,

@@ -17,8 +17,7 @@ import graft.Tables
   */
 object TextOps {
 
-  private def tokens(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+  private def tokens(c: Column): Column = graft.functions.Tokenize.tokens(c)
 
   private def tf(toks: Column, terms: Seq[String]): Column =
     size(filter(toks, t => t.isin(terms: _*)))
@@ -72,4 +71,49 @@ object TextOps {
       .select(col("doc_id"),
         md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
           .as("fp"))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003,
+    * the MOSS algorithm): rolling 4-token-gram hashes, minimum selected
+    * per 5-position window, so any shared token run of >= w+k-1 = 8
+    * tokens between two documents shares a selected fingerprint — the
+    * guarantee that makes winnowed sketches usable for plagiarism-style
+    * overlap detection where the sorted-token fingerprint above is all
+    * or nothing.
+    *
+    * Both the positional grams and the window minima build from zip_with
+    * shift-chains, NOT transform(sequence, i -> slice(hs, i, w)): array
+    * arguments of zip_with are evaluated once per row however the plan
+    * collapses, where indexing into an inlined array expression per
+    * element re-evaluates it per ELEMENT (the measured 20x trap noted in
+    * DedupOps.trigrams). The least() chain: p1 = min of (i, i+1), p2 =
+    * min of (i..i+3) from p1 shifted by 2, p5 = min of (i..i+4) from p2
+    * and hs shifted by 4. least() skips nulls, so positions past the
+    * last full window are trimmed by LENGTH (slice to m-4), not by null
+    * filtering.
+    */
+  /** The winnowing selection itself, as one composable Column over a raw
+    * text column (k=4 token grams, window w=5): sorted distinct selected
+    * hashes. Exposed for the guarantee property test. */
+  private[graft] def winnowSel(text: Column): Column = {
+    def shift(a: Column, by: Int): Column =
+      slice(a, lit(by + 1), greatest(size(a) - by, lit(0)))
+    val t = tokens(text)
+    val b2 = zip_with(t, shift(t, 1), (x, y) => concat(x, lit(" "), y))
+    val g4 = filter(zip_with(b2, shift(b2, 2),
+      (x, y) => concat(x, lit(" "), y)), _.isNotNull)
+    val hs = transform(g4, g =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    val p1 = zip_with(hs, shift(hs, 1), least(_, _))
+    val p2 = zip_with(p1, shift(p1, 2), least(_, _))
+    array_sort(array_distinct(slice(
+      zip_with(p2, shift(hs, 4), least(_, _)),
+      lit(1), greatest(size(hs) - 4, lit(0)))))
+  }
+
+  def textWinnow(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), winnowSel(col("text")).as("sel"))
+      .select(col("doc_id"), size(col("sel")).as("n_fps"),
+        md5(concat_ws(",", transform(col("sel"), _.cast("string"))))
+          .as("fp_digest"))
 }

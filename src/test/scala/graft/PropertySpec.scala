@@ -80,6 +80,26 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("winnowing guarantee: an 8-token shared run yields a shared fingerprint") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val run = "alpha beta gamma delta eps zeta eta theta" // 8 tokens: w+k-1
+    val pairs = samples(Gen.zip(Gen.listOfN(10, Gen.oneOf(vocab)),
+      Gen.listOfN(10, Gen.oneOf(vocab))), 25)
+    val rows = pairs.zipWithIndex.flatMap { case ((pre, post), i) =>
+      Seq((i.toLong * 2, s"${pre.mkString(" ")} $run ${post.mkString(" ")}"),
+        (i.toLong * 2 + 1, s"${post.mkString(" ")} $run ${pre.mkString(" ")}"))
+    }
+    val sel = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), operators.TextOps.winnowSel(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    pairs.indices.foreach { i =>
+      val common = sel(i.toLong * 2) intersect sel(i.toLong * 2 + 1)
+      assert(common.nonEmpty,
+        s"docs sharing an 8-token run must share a selected fingerprint (pair $i)")
+    }
+  }
+
   test("zip_with trigram builder agrees with the sliding-window model") {
     val sparkS = spark
     import sparkS.implicits._
