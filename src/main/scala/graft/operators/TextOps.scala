@@ -91,28 +91,34 @@ object TextOps {
     * last full window are trimmed by LENGTH (slice to m-4), not by null
     * filtering.
     */
-  /** The winnowing selection itself, as one composable Column over a raw
-    * text column (k=4 token grams, window w=5): sorted distinct selected
-    * hashes. Exposed for the guarantee property test. */
-  private[graft] def winnowSel(text: Column): Column = {
+  /** Winnowing selection as a STAGED column pipeline (adds `sel` to the
+    * input frame): each intermediate array is its own aliased projection
+    * step. That staging is load-bearing — a single nested expression
+    * would duplicate the hash-array sub-tree ~10× per row (p2 references
+    * p1 twice, each p1 references hs twice, ...), a measured 10×+
+    * slowdown; CollapseProject keeps staged aliases shared because it
+    * refuses to duplicate non-cheap expressions. */
+  private[graft] def winnowed(df: DataFrame, text: Column): DataFrame = {
     def shift(a: Column, by: Int): Column =
       slice(a, lit(by + 1), greatest(size(a) - by, lit(0)))
-    val t = tokens(text)
-    val b2 = zip_with(t, shift(t, 1), (x, y) => concat(x, lit(" "), y))
-    val g4 = filter(zip_with(b2, shift(b2, 2),
-      (x, y) => concat(x, lit(" "), y)), _.isNotNull)
-    val hs = transform(g4, g =>
-      conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
-    val p1 = zip_with(hs, shift(hs, 1), least(_, _))
-    val p2 = zip_with(p1, shift(p1, 2), least(_, _))
-    array_sort(array_distinct(slice(
-      zip_with(p2, shift(hs, 4), least(_, _)),
-      lit(1), greatest(size(hs) - 4, lit(0)))))
+    df.withColumn("_t", tokens(text))
+      .withColumn("_b2",
+        zip_with(col("_t"), shift(col("_t"), 1), (x, y) => concat(x, lit(" "), y)))
+      .withColumn("_g4", filter(
+        zip_with(col("_b2"), shift(col("_b2"), 2), (x, y) => concat(x, lit(" "), y)),
+        _.isNotNull))
+      .withColumn("_hs", transform(col("_g4"), g =>
+        conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+      .withColumn("_p1", zip_with(col("_hs"), shift(col("_hs"), 1), least(_, _)))
+      .withColumn("_p2", zip_with(col("_p1"), shift(col("_p1"), 2), least(_, _)))
+      .withColumn("sel", array_sort(array_distinct(slice(
+        zip_with(col("_p2"), shift(col("_hs"), 4), least(_, _)),
+        lit(1), greatest(size(col("_hs")) - 4, lit(0))))))
+      .drop("_t", "_b2", "_g4", "_hs", "_p1", "_p2")
   }
 
   def textWinnow(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), winnowSel(col("text")).as("sel"))
+    winnowed(Tables.documents(spark, dir), col("text"))
       .select(col("doc_id"), size(col("sel")).as("n_fps"),
         md5(concat_ws(",", transform(col("sel"), _.cast("string"))))
           .as("fp_digest"))
