@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> DedupOps.dedupMinhashLsh _,
     "dedup_simhash" -> DedupOps.dedupSimhash _,
     "dedup_embedding" -> DedupOps.dedupEmbedding _,
+    "dedup_winnow" -> DedupOps.dedupWinnow _,
     "text_langid" -> TextOps.textLangid _,
     "text_quality" -> TextOps.textQuality _,
     "text_tokens" -> TextOps.textTokens _,
@@ -420,6 +421,24 @@ object SparkEntry {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE score >= 0.42""".stripMargin,
+    "dedup_winnow" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(1, greatest(len(ts) - 2, 1)),
+         |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS gs
+         |  FROM tok),
+         |h AS (SELECT doc_id, list_transform(gs,
+         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs FROM g),
+         |w AS (SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 1)),
+         |    i -> list_min(list_slice(hs, i, i + 4))) AS mins FROM h),
+         |s AS (SELECT doc_id, list_sort(list_distinct(mins)) AS sel FROM w
+         |      WHERE len(mins) > 0),
+         |inv AS (SELECT doc_id, unnest(sel) AS fp FROM s),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, round(len(list_intersect(x.sel, y.sel))::DOUBLE /
+         |    greatest(least(len(x.sel), len(y.sel)), 1), 4) AS containment
+         |FROM cand JOIN s x ON cand.a_id = x.doc_id JOIN s y ON cand.b_id = y.doc_id
+         |WHERE containment >= 0.5""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, lang,
          |  CASE WHEN s_en >= s_code AND s_en >= s_data THEN 'en'

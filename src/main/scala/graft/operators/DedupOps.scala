@@ -245,6 +245,35 @@ object DedupOps {
       .filter(col("hamming") <= SimhashTau)
   }
 
+  /** Winnowing-sketch near-dup pairs — the MOSS usage of the winnowing
+    * fingerprints (Schleimer et al., SIGMOD 2003): candidates are docs
+    * sharing at least one SELECTED fingerprint (an inverted index over
+    * sketches ~10x smaller than the full gram set, so collisions — and
+    * therefore join work — shrink proportionally), scored by sketch
+    * containment |A∩B| / min(|A|,|B|) >= 0.5. Catches asymmetric overlap
+    * (a doc embedded inside a larger one) that symmetric Jaccard dilutes.
+    */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val sel = graft.PlanCache.getOrBuild(spark, dir, "winnowSel") {
+      TextOps.winnowed(Tables.documents(spark, dir), col("text"))
+        .select(col("doc_id"), col("sel"))
+        .filter(size(col("sel")) > 0)
+    }
+    val inv = sel.select(col("doc_id"), explode(col("sel")).as("fp"))
+    val cand = inv
+      .join(inv.select(col("doc_id").as("b_id"), col("fp").as("b_fp")),
+        col("fp") === col("b_fp") && col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+    cand
+      .join(sel.select(col("doc_id").as("a_id"), col("sel").as("a_sel")), "a_id")
+      .join(sel.select(col("doc_id").as("b_id"), col("sel").as("b_sel")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_sel"), col("b_sel"))).cast("double") /
+          greatest(least(size(col("a_sel")), size(col("b_sel"))), lit(1)), 4)
+          .as("containment"))
+      .filter(col("containment") >= 0.5)
+  }
+
   /** Hyperplane-LSH geometry for the 0.42-cosine threshold: per-bit
     * agreement for a just-qualifying pair is p = 1 - acos(0.42)/π ≈ 0.64,
     * so bands must be NARROW (4 bits) and MANY (32) for recall — miss
