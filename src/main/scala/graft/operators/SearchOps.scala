@@ -215,6 +215,62 @@ object SearchOps {
       .limit(10)
   }
 
+  private val KmeansK = 8
+
+  /** Deterministic in-engine k-means over the embedding corpus — the
+    * coarse-quantizer TRAINING step a real IVF index runs (the label
+    * column the other KNN ops cell on is the given quantizer; this op
+    * learns one). Engineered for cross-engine determinism so DuckDB
+    * verifies the assignments row-for-row:
+    *
+    *  - init: the 8 vectors with smallest md5(vec_id) (portable order,
+    *    ties impossible);
+    *  - distances accumulate in DOUBLE over the array in index order —
+    *    identical summation order in Spark's aggregate/zip_with and
+    *    DuckDB's list ops, so values match bit-for-bit;
+    *  - recomputed centroid components round to 6 decimals, because
+    *    cross-partition avg() order differs between engines — rounding
+    *    quantizes both to the same grid before the next iteration;
+    *  - argmin by min(struct(dist, cluster)): total order, no tie luck.
+    *
+    * Plan shape per iteration: one broadcast of K centroids against the
+    * scan (no shuffle for assignment), one (cluster, dim)-key aggregate
+    * to re-estimate centroids. Iterations are a driver-side loop of
+    * bounded count — the standard distributed-Lloyd shape.
+    */
+  def vecKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val seeds = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(KmeansK)
+    // cluster id = rank in the seed order
+    val c0 = seeds
+      .withColumn("cluster", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1)
+      .select(col("cluster"), col("v").as("c"))
+    def dist(v: Column, c: Column): Column =
+      aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    def assign(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cluster"),
+          dist(col("v"), col("c")).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"))
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned.join(emb, "vec_id")
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos").as("d"))
+        .agg(round(avg(col("col")), 6).as("cv"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("d"), col("cv")))).as("s"))
+        .select(col("cluster"), transform(col("s"), x => x.getField("cv")).as("c"))
+    assign(recompute(assign(c0))).orderBy(col("vec_id"))
+  }
+
   /** Approximate batch KNN — the 100 TB scale path for [[vecKnnJoin]]:
     * instead of comparing every pair inside a label cell (cell² work,
     * detonates when a cell holds millions of vectors), candidates come

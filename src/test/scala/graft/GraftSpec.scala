@@ -84,6 +84,15 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "label cell predicate should be pushed to the embeddings scan")
   }
 
+  test("k-means assigns every vector once and uses multiple clusters") {
+    val rows = operators.SearchOps.vecKmeans(spark, SfDir).collect()
+    val n = Tables.embeddings(spark, SfDir).count()
+    assert(rows.length == n, "every vector gets exactly one assignment")
+    val clusters = rows.map(_.getInt(1)).toSet
+    assert(clusters.size > 1 && clusters.forall(c => c >= 0 && c < 8),
+      s"expected several clusters in [0, 8), got $clusters")
+  }
+
   test("multi-probe IVF scans at most nprobe cells") {
     val labels = operators.SearchOps.vecKnnIvfProbe(spark, SfDir)
       .select("label").distinct().collect().map(_.get(0).toString).toSet
