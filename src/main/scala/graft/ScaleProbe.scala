@@ -64,6 +64,10 @@ object ScaleProbe {
     val base = "/root/testdata/sf0.1"
     val copiesList = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 4, 8)
     copiesList.foreach { copies =>
+      // drop every previous size's persisted relations: leftover cached
+      // band/shingle builds would pressure storage memory and contaminate
+      // the larger sizes' timings
+      PlanCache.invalidate()
       val dir = s"/tmp/graft_scale/x$copies"
       synth(spark, base, dir, copies)
       // warm signature build once so both strategies time candidate

@@ -106,6 +106,19 @@ object SparkEntry {
   private val duckTermScore =
     s"len(list_filter($duckToks, t -> list_contains(['data','query','table'], t)))"
 
+  /** Winnowing CTE chain (k=4 grams, w=5 windows) shared by the
+    * text_winnow and dedup_winnow oracles — one place to change the
+    * parameters, like duckNg for the shingle oracles. */
+  private val duckWinnow =
+    s"""tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+       |g AS (SELECT doc_id, list_transform(range(1, greatest(len(ts) - 2, 1)),
+       |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS gs
+       |  FROM tok),
+       |h AS (SELECT doc_id, list_transform(gs,
+       |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs FROM g),
+       |winn AS (SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 1)),
+       |    i -> list_min(list_slice(hs, i, i + 4))) AS mins FROM h)""".stripMargin
+
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -450,15 +463,8 @@ object SparkEntry {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE score >= 0.42""".stripMargin,
     "dedup_winnow" ->
-      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
-         |g AS (SELECT doc_id, list_transform(range(1, greatest(len(ts) - 2, 1)),
-         |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS gs
-         |  FROM tok),
-         |h AS (SELECT doc_id, list_transform(gs,
-         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs FROM g),
-         |w AS (SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 1)),
-         |    i -> list_min(list_slice(hs, i, i + 4))) AS mins FROM h),
-         |s AS (SELECT doc_id, list_sort(list_distinct(mins)) AS sel FROM w
+      s"""WITH $duckWinnow,
+         |s AS (SELECT doc_id, list_sort(list_distinct(mins)) AS sel FROM winn
          |      WHERE len(mins) > 0),
          |inv AS (SELECT doc_id, unnest(sel) AS fp FROM s),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -494,15 +500,8 @@ object SparkEntry {
          |  md5(array_to_string(list_sort(list_distinct($duckTok)), ' ')) AS fp
          |FROM documents""".stripMargin,
     "text_winnow" ->
-      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
-         |g AS (SELECT doc_id, list_transform(range(1, greatest(len(ts) - 2, 1)),
-         |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS gs
-         |  FROM tok),
-         |h AS (SELECT doc_id, list_transform(gs,
-         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs FROM g),
-         |w AS (SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 1)),
-         |    i -> list_min(list_slice(hs, i, i + 4))) AS mins FROM h),
-         |s AS (SELECT doc_id, list_sort(list_distinct(mins)) AS sel FROM w)
+      s"""WITH $duckWinnow,
+         |s AS (SELECT doc_id, list_sort(list_distinct(mins)) AS sel FROM winn)
          |SELECT doc_id, len(sel) AS n_fps,
          |  md5(array_to_string(sel, ',')) AS fp_digest
          |FROM s""".stripMargin,

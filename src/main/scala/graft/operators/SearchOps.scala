@@ -235,8 +235,10 @@ object SearchOps {
     *
     * Plan shape per iteration: one broadcast of K centroids against the
     * scan (no shuffle for assignment), one (cluster, dim)-key aggregate
-    * to re-estimate centroids. Iterations are a driver-side loop of
-    * bounded count — the standard distributed-Lloyd shape.
+    * to re-estimate centroids. The contract row runs exactly ONE
+    * re-estimation (assign → recompute → assign), hand-unrolled to match
+    * the oracle SQL — adding iterations means repeating the pair here
+    * AND extending the unrolled CTEs in SparkEntry in lockstep.
     */
   def vecKmeans(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
