@@ -38,6 +38,7 @@ object SparkEntry {
     "vec_knn_ivf" -> SearchOps.vecKnnIvf _,
     "vec_knn_ivf_probe" -> SearchOps.vecKnnIvfProbe _,
     "vec_kmeans" -> SearchOps.vecKmeans _,
+    "vec_knn_kmeans" -> SearchOps.vecKnnKmeans _,
     "vec_knn_join" -> SearchOps.vecKnnJoin _,
     // approximate by design (LSH recall < 1) => no oracle, rows-only check
     "vec_knn_join_ann" -> SearchOps.vecKnnJoinAnn _,
@@ -118,6 +119,36 @@ object SparkEntry {
        |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs FROM g),
        |winn AS (SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 1)),
        |    i -> list_min(list_slice(hs, i, i + 4))) AS mins FROM h)""".stripMargin
+
+  /** Deterministic k-means CTE chain (md5-seeded init, one rounded
+    * re-estimation) shared by the vec_kmeans and vec_knn_kmeans oracles —
+    * MUST stay in lockstep with SearchOps.kmeansCents/kmeansAssigned. */
+  private val duckKmeans =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+      |         AS cluster, v AS c
+      |       FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+      |d1 AS (SELECT vec_id, cluster,
+      |    list_sum(list_transform(range(64),
+      |      i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d
+      |  FROM e CROSS JOIN c0),
+      |a1 AS (SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
+      |    FROM d1) WHERE rk = 1),
+      |c1 AS (SELECT cluster, list(cv ORDER BY d) AS c FROM (
+      |    SELECT a1.cluster, t.d AS d, round(avg(e.v[t.d + 1]), 6) AS cv
+      |    FROM a1 JOIN e USING (vec_id) CROSS JOIN range(64) t(d)
+      |    GROUP BY a1.cluster, t.d)
+      |  GROUP BY cluster),
+      |d2 AS (SELECT vec_id, cluster,
+      |    list_sum(list_transform(range(64),
+      |      i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d
+      |  FROM e CROSS JOIN c1),
+      |a2 AS (SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
+      |    FROM d2) WHERE rk = 1)""".stripMargin
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
   def oracleSql: Map[String, String] = Map(
@@ -244,32 +275,20 @@ object SparkEntry {
          |FROM embeddings, q WHERE label = 2 AND vec_id <> 0
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "vec_kmeans" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
-        |         AS cluster, v AS c
-        |       FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
-        |d1 AS (SELECT vec_id, cluster,
-        |    list_sum(list_transform(range(64),
-        |      i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d
-        |  FROM e CROSS JOIN c0),
-        |a1 AS (SELECT vec_id, cluster FROM (
-        |    SELECT vec_id, cluster,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
-        |    FROM d1) WHERE rk = 1),
-        |c1 AS (SELECT cluster, list(cv ORDER BY d) AS c FROM (
-        |    SELECT a1.cluster, t.d AS d, round(avg(e.v[t.d + 1]), 6) AS cv
-        |    FROM a1 JOIN e USING (vec_id) CROSS JOIN range(64) t(d)
-        |    GROUP BY a1.cluster, t.d)
-        |  GROUP BY cluster),
-        |d2 AS (SELECT vec_id, cluster,
-        |    list_sum(list_transform(range(64),
-        |      i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d
-        |  FROM e CROSS JOIN c1)
-        |SELECT vec_id, cluster FROM (
-        |    SELECT vec_id, cluster,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
-        |    FROM d2) WHERE rk = 1
-        |ORDER BY vec_id""".stripMargin,
+      s"""WITH $duckKmeans
+         |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
+    "vec_knn_kmeans" ->
+      s"""WITH $duckKmeans,
+         |q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT cluster FROM c1, q
+         |  ORDER BY list_sum(list_transform(range(64),
+         |    i -> (q_emb[i+1] - c[i+1]) * (q_emb[i+1] - c[i+1]))), cluster
+         |  LIMIT 1)
+         |SELECT e.vec_id, a2.cluster,
+         |  round(${duckCos("e.v", "q_emb")}, 4) AS score
+         |FROM a2 JOIN probe USING (cluster) JOIN e ON a2.vec_id = e.vec_id, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
     "vec_knn_ivf_probe" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
          |cent AS (

@@ -240,37 +240,78 @@ object SearchOps {
     * the oracle SQL — adding iterations means repeating the pair here
     * AND extending the unrolled CTEs in SparkEntry in lockstep.
     */
-  def vecKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  /** Squared L2 in array index order — identical accumulation order in
+    * Spark's HOFs and DuckDB's list ops, so values match bit-for-bit. */
+  private def sqDist(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def embAsDouble(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val seeds = emb
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(KmeansK)
-    // cluster id = rank in the seed order
-    val c0 = seeds
-      .withColumn("cluster", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1)
-      .select(col("cluster"), col("v").as("c"))
-    def dist(v: Column, c: Column): Column =
-      aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-    def assign(cents: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cluster"),
-          dist(col("v"), col("c")).as("d"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d"), col("cluster"))).as("m"))
-        .select(col("vec_id"), col("m.cluster").as("cluster"))
-    def recompute(assigned: DataFrame): DataFrame =
-      assigned.join(emb, "vec_id")
+
+  private def kmeansAssignStep(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cluster"),
+        sqDist(col("v"), col("c")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cluster"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("m.cluster").as("cluster"))
+
+  /** The trained centroids (one Lloyd re-estimation from the md5-seeded
+    * init), cached per (session, dir). */
+  private def kmeansCents(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "kmeansCents") {
+      val emb = embAsDouble(spark, dir)
+      val c0 = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(KmeansK)
+        .withColumn("cluster", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1)
+        .select(col("cluster"), col("v").as("c"))
+      kmeansAssignStep(emb, c0)
         .select(col("cluster"), posexplode(col("v")))
         .groupBy(col("cluster"), col("pos").as("d"))
         .agg(round(avg(col("col")), 6).as("cv"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("d"), col("cv")))).as("s"))
         .select(col("cluster"), transform(col("s"), x => x.getField("cv")).as("c"))
-    assign(recompute(assign(c0))).orderBy(col("vec_id"))
+    }
+
+  /** Final assignments against the trained centroids, cached. */
+  private def kmeansAssigned(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "kmeansAssign") {
+      kmeansAssignStep(embAsDouble(spark, dir), kmeansCents(spark, dir))
+    }
+
+  def vecKmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssigned(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+
+  /** KNN through the TRAINED quantizer: rank the learned centroids by
+    * squared distance to the query, probe the nearest cluster, exact
+    * cosine top-k inside it — the full train/quantize/probe/refine IVF
+    * loop where vec_knn_ivf* cell on the GIVEN label column. The probed
+    * cluster id broadcasts into the assignment relation, so only that
+    * cluster's vectors are scored. */
+  def vecKnnKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val probed = kmeansCents(spark, dir)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("cluster"),
+        sqDist(col("q_emb").cast("array<double>"), col("c")).as("d"))
+      .orderBy(col("d"), col("cluster"))
+      .limit(1)
+    kmeansAssigned(spark, dir)
+      .join(broadcast(probed.select(col("cluster"))), "cluster")
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("vec_id"), col("cluster"),
+        score(col("v"), col("q_emb")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
   }
 
   /** Approximate batch KNN — the 100 TB scale path for [[vecKnnJoin]]:
