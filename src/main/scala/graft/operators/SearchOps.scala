@@ -297,13 +297,25 @@ object SearchOps {
     * loop where vec_knn_ivf* cell on the GIVEN label column. The probed
     * cluster id broadcasts into the assignment relation, so only that
     * cluster's vectors are scored. */
-  def vecKnnKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val probed = kmeansCents(spark, dir)
+  def vecKnnKmeans(spark: SparkSession, dir: String): DataFrame =
+    vecKnnKmeansProbes(spark, dir, 1)
+
+  /** The nprobe nearest trained clusters to the query (used by the KNN
+    * plan as a broadcast filter, and by the recall study directly). */
+  private[graft] def kmeansProbe(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame =
+    kmeansCents(spark, dir)
       .crossJoin(broadcast(queryVec(spark, dir)))
       .select(col("cluster"),
         sqDist(col("q_emb").cast("array<double>"), col("c")).as("d"))
       .orderBy(col("d"), col("cluster"))
-      .limit(1)
+      .limit(nprobe)
+
+  /** nprobe-parameterized form — the recall/cost knob every IVF index
+    * exposes; docs/SCALE_NOTES.md carries the measured recall curve. */
+  def vecKnnKmeansProbes(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val probed = kmeansProbe(spark, dir, nprobe)
     kmeansAssigned(spark, dir)
       .join(broadcast(probed.select(col("cluster"))), "cluster")
       .filter(col("vec_id") =!= QueryVecId)
