@@ -19,29 +19,23 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    import org.apache.spark.sql.functions._
     val exact = operators.SearchOps.vecKnnBrute(spark, dir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val total = Tables.embeddings(spark, dir).count().toDouble
-    (1 to 8).foreach { nprobe =>
-      val got = operators.SearchOps.vecKnnKmeansProbes(spark, dir, nprobe)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      val recall = (exact intersect got).size.toDouble / exact.size
-      val frac = fractionScanned(spark, dir, nprobe)
-      println(f"RECALL nprobe=$nprobe recall@10=$recall%.2f scanned=${frac * 100}%5.1f%%")
-    }
-    spark.stop()
-  }
-
-  /** Fraction of the corpus inside the probed clusters (the scan cost). */
-  private def fractionScanned(spark: SparkSession, dir: String,
-      nprobe: Int): Double = {
-    import org.apache.spark.sql.functions._
-    val clusters = operators.SearchOps.kmeansProbe(spark, dir, nprobe)
-      .select("cluster").collect().map(_.getInt(0)).toSet
+    // loop-invariant: per-cluster sizes for the scan-cost denominator
     val counts = operators.SearchOps.vecKmeans(spark, dir)
       .groupBy(col("cluster")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = counts.values.sum.toDouble
-    clusters.toSeq.map(c => counts.getOrElse(c, 0L)).sum / total
+    (1 to 8).foreach { nprobe =>
+      val got = operators.SearchOps.vecKnnKmeansProbes(spark, dir, nprobe)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = (exact intersect got).size.toDouble / exact.size
+      val clusters = operators.SearchOps.kmeansProbe(spark, dir, nprobe)
+        .select("cluster").collect().map(_.getInt(0)).toSet
+      val frac = clusters.toSeq.map(c => counts.getOrElse(c, 0L)).sum / total
+      println(f"RECALL nprobe=$nprobe recall@10=$recall%.2f scanned=${frac * 100}%5.1f%%")
+    }
+    spark.stop()
   }
 }

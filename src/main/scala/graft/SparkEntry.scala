@@ -281,8 +281,7 @@ object SparkEntry {
       s"""WITH $duckKmeans,
          |q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
          |probe AS (SELECT cluster FROM c1, q
-         |  ORDER BY list_sum(list_transform(range(64),
-         |    i -> (q_emb[i+1] - c[i+1]) * (q_emb[i+1] - c[i+1]))), cluster
+         |  ORDER BY round(${duckCos("c", "q_emb")}, 4) DESC, cluster
          |  LIMIT 1)
          |SELECT e.vec_id, a2.cluster,
          |  round(${duckCos("e.v", "q_emb")}, 4) AS score

@@ -301,14 +301,20 @@ object SearchOps {
     vecKnnKmeansProbes(spark, dir, 1)
 
   /** The nprobe nearest trained clusters to the query (used by the KNN
-    * plan as a broadcast filter, and by the recall study directly). */
+    * plan as a broadcast filter, and by the recall study directly).
+    * Ranks centroids by COSINE, matching the refinement metric — probing
+    * by unnormalized L2 here would pick the magnitude-nearest centroid,
+    * not the direction-nearest one, and systematically miss the cosine
+    * neighborhood at low nprobe. (Training still uses L2, as Lloyd does;
+    * a production cosine index would normalize vectors so the two
+    * coincide.) */
   private[graft] def kmeansProbe(spark: SparkSession, dir: String,
       nprobe: Int): DataFrame =
     kmeansCents(spark, dir)
       .crossJoin(broadcast(queryVec(spark, dir)))
       .select(col("cluster"),
-        sqDist(col("q_emb").cast("array<double>"), col("c")).as("d"))
-      .orderBy(col("d"), col("cluster"))
+        round(cosineSim(col("c"), col("q_emb")), 4).as("cscore"))
+      .orderBy(col("cscore").desc, col("cluster"))
       .limit(nprobe)
 
   /** nprobe-parameterized form — the recall/cost knob every IVF index
