@@ -174,6 +174,23 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("doc_id", "chunk_fp")
   }
 
+  /** Streaming edge-table maintenance — the cortex incremental graph
+    * builder path (internal/graph builder: BuildIncremental upserts a
+    * changed file's edges without rebuilding the graph): maintain the
+    * distinct src→dst relation from an edge event stream. The
+    * dropDuplicates state IS the materialized edge index — O(distinct
+    * edges), the same footprint the batch edge relation occupies — and
+    * the append output carries only never-seen edges, which is exactly
+    * the signal a deployment's foreachBatch uses to upsert the
+    * IndexStore edge table and PlanCache.invalidate() the memoized BFS
+    * relations. Edge DELETION is a retraction and routes through the
+    * batch change-detect path (reference analogue:
+    * BuildIncremental_RemovesDanglingEdges re-derives from files), not
+    * this append stream. Used by the test suite.
+    */
+  def streamingEdgeUpserts(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
+
   /** Streaming exact-dedup at ingest: drop content-hash duplicates as
     * documents stream in — the streaming twin of dedup_exact and the shape
     * a training-data pipeline runs in front of its sink. State is BOUNDED:

@@ -700,6 +700,28 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming edge maintenance emits each distinct edge exactly once") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.streamingEdgeUpserts(mem.toDF().toDF("src", "dst"))
+      .writeStream.format("memory").queryName("edge_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10L), (1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      // a re-notified edge in a later batch is state-suppressed; a new
+      // edge flows through — the BFS-memo invalidation signal
+      mem.addData((1L, 10L), (3L, 30L))
+      q.processAllAvailable()
+      val edges = spark.table("edge_stream")
+        .as[(Long, Long)].collect().toSeq
+      assert(edges.sorted == Seq((1L, 10L), (2L, 20L), (3L, 30L)),
+        s"each distinct edge exactly once, got $edges")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits one row per content hash across batches") {
     val sparkS = spark
     import sparkS.implicits._
