@@ -75,6 +75,7 @@ object SparkEntry {
     "embed_stub" -> ChunkOps.embedStub _,
     "mm_binary_meta" -> MultimodalOps.mmBinaryMeta _,
     "mm_frame_sample" -> MultimodalOps.mmFrameSample _,
+    "mm_frame_energy" -> MultimodalOps.mmFrameEnergy _,
     "mm_decode_stub" -> MultimodalOps.mmDecodeStub _,
     "graph_khop" -> GraphOps.graphKhop _,
     "graph_khop_deep" -> GraphOps.graphKhopDeep _,
@@ -599,6 +600,14 @@ object SparkEntry {
         |  64 + (ascii(substr(text, 1, 1)) % 16) * 8 AS width,
         |  64 + (ascii(substr(text, 1, 1)) % 8) * 16 AS height
         |FROM documents""".stripMargin,
+    "mm_frame_energy" ->
+      """SELECT doc_id, (u.p - 1) // 50 AS frame_idx,
+        |  count(*) AS n_samples,
+        |  sum(ascii(substr(text, u.p::INT, 1)) * ascii(substr(text, u.p::INT, 1)))::BIGINT
+        |    AS energy_sum
+        |FROM documents CROSS JOIN unnest(range(1, n_chars + 1)) AS u(p)
+        |WHERE n_chars >= 1
+        |GROUP BY doc_id, frame_idx""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, (u.s - 1) // 100 AS frame_idx,
         |  ascii(substr(text, u.s::INT, 1)) AS byte_val

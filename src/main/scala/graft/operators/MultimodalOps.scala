@@ -46,6 +46,27 @@ object MultimodalOps {
       .select(col("doc_id"), col("pos").as("frame_idx"),
         ascii(expr("substr(text, col, 1)")).as("byte_val"))
 
+  /** Per-frame energy over the opaque payload — the audio
+    * feature-extraction shape (frame = 50 bytes, energy = sum of squared
+    * sample values): explode byte positions, then ONE aggregate keyed on
+    * (doc, frame). Distinct from mm_frame_sample's narrow probe: this is
+    * the windowed-AGGREGATE-over-binary pattern a real feature stage
+    * (MFCC/energy/zero-crossing) runs per frame, with the sample decode
+    * being the honest stand-in (ascii byte value — no codec ships here).
+    * Integer math end-to-end, so the oracle verifies exactly.
+    */
+  def mmFrameEnergy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") >= 1)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), col("n_chars").cast("int"))))
+      .select(col("doc_id"),
+        expr("(col - 1) div 50").as("frame_idx"),
+        ascii(expr("substr(text, col, 1)")).as("b"))
+      .groupBy(col("doc_id"), col("frame_idx"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("b") * col("b")).as("energy_sum"))
+
   /** Media payload as it would arrive from an object store manifest. */
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   /** Typed decode output — the schema a real codec stage would produce. */
