@@ -58,11 +58,15 @@ object MultimodalOps {
   def mmFrameEnergy(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("n_chars") >= 1)
-      .select(col("doc_id"), col("text"),
-        posexplode(sequence(lit(1), col("n_chars").cast("int"))))
+      // decode all byte values ONCE per row, as the Generate's input
+      // array: the exploded rows are thin (doc_id, pos, byte) ints — no
+      // payload string rides through the explode and no per-sample
+      // substr re-evaluation against a carried string
       .select(col("doc_id"),
-        expr("(col - 1) div 50").as("frame_idx"),
-        ascii(expr("substr(text, col, 1)")).as("b"))
+        posexplode(transform(sequence(lit(1), col("n_chars").cast("int")),
+          p => ascii(col("text").substr(p, lit(1))))))
+      .select(col("doc_id"), expr("pos div 50").as("frame_idx"),
+        col("col").as("b"))
       .groupBy(col("doc_id"), col("frame_idx"))
       .agg(count(lit(1)).as("n_samples"),
         sum(col("b") * col("b")).as("energy_sum"))
