@@ -25,20 +25,31 @@ object Bench {
     // so projection-only queries (fingerprints, embeddings, token stats)
     // would skip their real work and report fictional times. The noop sink
     // materializes every output column and discards the bytes.
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try run(fn) catch { case _: Throwable => }
-    }
+    // A query that THROWS must surface as an error, not a fast wall-time —
+    // otherwise a regression masquerades as a speedup.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      catch { case t: Throwable =>
+        Some((t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage)).take(300)) }
+    SparkEntry.queries.foreach { case (_, fn) => run(fn) }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = run(fn)
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,11 +34,29 @@ object PlanCache {
     }
   }
 
-  /** Unpersist and drop every entry (e.g. after data under a dir changed). */
+  /** Unpersist and drop every entry. Global: only for dev tools
+    * (ScaleProbe) and teardown — a data change under ONE dir should use
+    * the dir-scoped overload so live persisted relations of other dirs
+    * and sessions sharing the JVM stay cached.
+    */
   def invalidate(): Unit = {
     cache.values.forEach { df =>
       try df.unpersist() catch { case _: Throwable => () }
     }
     cache.clear()
+  }
+
+  /** Unpersist and drop only the entries built over `dir` — the hook a
+    * watch-loop deployment calls when that corpus dir's data changed
+    * (see streaming.WatchLoop). */
+  def invalidate(dir: String): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._2 == dir) {
+        try e.getValue.unpersist() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
   }
 }

@@ -56,6 +56,8 @@ object SparkEntry {
     "vec_knn_filtered" -> SearchOps.vecKnnFiltered _,
     "graph_path" -> GraphOps.graphPath _,
     "graph_path_find" -> GraphOps.graphPathFind _,
+    "graph_path_find_deep" -> GraphOps.graphPathFindDeep _,
+    "graph_impact_phased" -> GraphOps.graphImpactPhased _,
     "dedup_exact" -> DedupOps.dedupExact _,
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccard _,
     "dedup_minhash_lsh" -> DedupOps.dedupMinhashLsh _,
@@ -630,6 +632,33 @@ object SparkEntry {
         |SELECT 0 AS step, 'supplier' AS node_type, 0::BIGINT AS node_id FROM b1
         |UNION ALL SELECT 1 AS step, 'part' AS node_type, p1 AS node_id FROM b1
         |UNION ALL SELECT 2 AS step, 'supplier' AS node_type, t_id AS node_id FROM b1""".stripMargin,
+    "graph_path_find_deep" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |l1 AS (SELECT dst AS id, min(src) AS par FROM e WHERE src = 0 GROUP BY dst),
+        |l2 AS (SELECT e.src AS id, min(e.dst) AS par FROM e JOIN l1 ON e.dst = l1.id
+        |       WHERE e.src <> 0 GROUP BY e.src),
+        |l3 AS (SELECT e.dst AS id, min(e.src) AS par FROM e JOIN l2 ON e.src = l2.id
+        |       WHERE e.dst NOT IN (SELECT id FROM l1) GROUP BY e.dst),
+        |b3 AS (SELECT id AS n3, par AS s2 FROM l3 WHERE id = 37),
+        |b2 AS (SELECT b3.n3, b3.s2, l2.par AS p1 FROM b3 JOIN l2 ON b3.s2 = l2.id)
+        |SELECT 0 AS step, 'supplier' AS node_type, 0::BIGINT AS node_id FROM b2
+        |UNION ALL SELECT 1 AS step, 'part' AS node_type, p1 AS node_id FROM b2
+        |UNION ALL SELECT 2 AS step, 'supplier' AS node_type, s2 AS node_id FROM b2
+        |UNION ALL SELECT 3 AS step, 'part' AS node_type, n3 AS node_id FROM b2""".stripMargin,
+    "graph_impact_phased" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |cp AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |us AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |impl AS (SELECT DISTINCT src AS id FROM e WHERE dst = 1),
+        |direct AS (SELECT DISTINCT cust AS id FROM cp WHERE part = 1),
+        |trans AS (SELECT DISTINCT us.cust AS id FROM us JOIN impl ON us.supp = impl.id
+        |          WHERE us.cust NOT IN (SELECT id FROM direct))
+        |SELECT 'implementation' AS impact_type, 'must_update' AS severity,
+        |  'supplier' AS node_type, id AS node_id FROM impl
+        |UNION ALL SELECT 'direct_caller', 'must_update', 'customer', id FROM direct
+        |UNION ALL SELECT 'transitive', 'review_needed', 'customer', id FROM trans""".stripMargin,
     "graph_khop_deep" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
         |s0 AS (SELECT DISTINCT src AS id FROM e WHERE src < 10),

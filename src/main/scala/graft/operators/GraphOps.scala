@@ -69,18 +69,29 @@ object GraphOps {
     * at most once per (session, dir, op) rather than accumulating on every
     * invocation; a cluster deployment would checkpoint frontiers instead.
     */
-  private def typedBfs(adj: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
+  private def typedBfs(spark: SparkSession, dir: String, tag: String,
+      adj: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
     require(depth >= 1 && depth <= MaxDepth, s"depth must be in [1, $MaxDepth]")
     var visited = seeds
     var frontier = seeds
     var out: DataFrame = null
     for (h <- 1 to depth) {
-      val next = adj
-        .join(frontier.select(col("t").as("f_t"), col("id").as("f_id")),
-          Seq("f_t", "f_id"))
-        .select(col("t_t").as("t"), col("t_id").as("id")).distinct()
-        .join(visited, Seq("t", "id"), "left_anti")
-        .persist()
+      // frontier persists route through PlanCache (not a bare .persist())
+      // so invalidate() releases them along with the memoized BFS output
+      // instead of pinning executor storage for the session lifetime.
+      // localCheckpoint TRUNCATES THE LINEAGE: without it, layer h's
+      // logical plan contains every prior layer twice (frontier + visited
+      // chain), so the plan tree doubles per hop — at depth 6 Catalyst
+      // chokes on the 2^6 tree before a single task runs. A cluster
+      // deployment would use reliable checkpoint() for the same reason.
+      val next = graft.PlanCache.getOrBuild(spark, dir, s"$tag:frontier$h") {
+        adj
+          .join(frontier.select(col("t").as("f_t"), col("id").as("f_id")),
+            Seq("f_t", "f_id"))
+          .select(col("t_t").as("t"), col("t_id").as("id")).distinct()
+          .join(visited, Seq("t", "id"), "left_anti")
+          .localCheckpoint(true)
+      }
       val hopRows = next.select(lit(h).as("hop"), col("t").as("node_type"),
         col("id").as("node_id"))
       out = if (out == null) hopRows else out.unionAll(hopRows)
@@ -114,7 +125,7 @@ object GraphOps {
       val e = edges(spark, dir)
       val seeds = e.filter(col("src") < SeedMax)
         .select(lit("supplier").as("t"), col("src").as("id")).distinct()
-      typedBfs(partAdj(e), seeds, depth)
+      typedBfs(spark, dir, s"bfs:khop:$depth", partAdj(e), seeds, depth)
     }
   }
 
@@ -130,7 +141,7 @@ object GraphOps {
       val u = usesEdges(spark, dir)
       val seeds = u.filter(col("supp") < SeedMax)
         .select(lit("supplier").as("t"), col("supp").as("id")).distinct()
-      typedBfs(usesAdj(u), seeds, 2)
+      typedBfs(spark, dir, "bfs:dependents", usesAdj(u), seeds, 2)
     }
 
   /** Direct neighbors — the cortex `callers`/`callees` operations
@@ -146,8 +157,9 @@ object GraphOps {
       val e = edges(spark, dir)
       val seeds = e.filter(col("src") < SeedMax)
         .select(lit("supplier").as("t"), col("src").as("id")).distinct()
-      typedBfs(e.select(lit("supplier").as("f_t"), col("src").as("f_id"),
-        lit("part").as("t_t"), col("dst").as("t_id")), seeds, 1)
+      typedBfs(spark, dir, "bfs:callees",
+        e.select(lit("supplier").as("f_t"), col("src").as("f_id"),
+          lit("part").as("t_t"), col("dst").as("t_id")), seeds, 1)
     }
 
   def graphCallers(spark: SparkSession, dir: String): DataFrame =
@@ -155,8 +167,9 @@ object GraphOps {
       val e = edges(spark, dir)
       val seeds = e.filter(col("dst") < 40)
         .select(lit("part").as("t"), col("dst").as("id")).distinct()
-      typedBfs(e.select(lit("part").as("f_t"), col("dst").as("f_id"),
-        lit("supplier").as("t_t"), col("src").as("t_id")), seeds, 1)
+      typedBfs(spark, dir, "bfs:callers",
+        e.select(lit("part").as("f_t"), col("dst").as("f_id"),
+          lit("supplier").as("t_t"), col("src").as("t_id")), seeds, 1)
     }
 
   /** `implementations` / `type-usages` analogue over the second direction
@@ -168,7 +181,7 @@ object GraphOps {
       val e = edges(spark, dir)
       val seeds = e.filter(col("dst") < 40)
         .select(lit("part").as("t"), col("dst").as("id")).distinct()
-      typedBfs(partAdj(e), seeds, 2)
+      typedBfs(spark, dir, "bfs:implementations", partAdj(e), seeds, 2)
     }
 
   /** Bounded-depth (2-hop) reachability from the seed suppliers:
@@ -244,6 +257,145 @@ object GraphOps {
         .unionAll(b1.select(lit(1), lit("part"), col("p1")))
         .unionAll(b1.select(lit(2), lit("supplier"), col("t_id")))
     }
+
+  /** Third edge relation: customer→part "orders" edges (customer c calls
+    * part p directly if any of c's orders contains p). Used by the phased
+    * impact analysis as the direct-caller relation, next to supplier→part
+    * "implements" and customer→supplier "uses".
+    */
+  private def custPartEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "custPartEdges") {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+    }
+
+  /** Arbitrary-endpoint shortest path over the supplier↔part graph — the
+    * reference's `path` operation takes any (from, to) pair and BFSes the
+    * reachable subgraph up to the depth cap
+    * (internal/graph/searcher_sql.go:270 queryPath + bfsPath:185). Layered
+    * BFS with a MIN-parent recorded per node at its first (= minimum) hop,
+    * so the recovered path is unique and verifies row-for-row; backtrack
+    * is a chain of ≤ maxDepth single-row joins through the parent
+    * pointers — joins end to end, no collect.
+    *
+    * Scale posture: each BFS layer is one shuffle join on a thin typed
+    * frontier with min-parent aggregation, layers persist through
+    * PlanCache exactly like [[typedBfs]]; the backtrack joins touch one
+    * row per step. Depth is capped at [[MaxDepth]] as in the reference.
+    * Returns (step, node_type, node_id) from src (step 0) to dst; empty
+    * when dst is unreachable within maxDepth — the reference's "No path
+    * found" response.
+    */
+  def pathFind(spark: SparkSession, dir: String, srcType: String, srcId: Long,
+      dstType: String, dstId: Long, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= MaxDepth,
+      s"maxDepth must be in [1, $MaxDepth]")
+    val tag = s"bfs:path:$srcType:$srcId:$dstType:$dstId:$maxDepth"
+    graft.PlanCache.getOrBuild(spark, dir, tag) {
+      val adj = partAdj(edges(spark, dir))
+      val seeds = spark.range(1)
+        .select(lit(srcType).as("t"), lit(srcId).as("id"))
+      var visited = seeds
+      var frontier = seeds
+      var reached: DataFrame = null
+      for (h <- 1 to maxDepth) {
+        // localCheckpoint truncates the per-layer lineage (see typedBfs):
+        // the backtrack below references `reached` once per step, so an
+        // uncut plan would repeat the exponential layer tree ~20×
+        val next = graft.PlanCache.getOrBuild(spark, dir, s"$tag:layer$h") {
+          adj
+            .join(frontier.select(col("t").as("f_t"), col("id").as("f_id")),
+              Seq("f_t", "f_id"))
+            // min-parent tie-break: parent = smallest (type, id) among the
+            // frontier nodes reaching this node at its minimum hop
+            .groupBy(col("t_t").as("t"), col("t_id").as("id"))
+            .agg(min(struct(col("f_t"), col("f_id"))).as("p"))
+            .select(col("t"), col("id"),
+              col("p.f_t").as("parent_t"), col("p.f_id").as("parent_id"))
+            .join(visited, Seq("t", "id"), "left_anti")
+            .localCheckpoint(true)
+        }
+        val hopRows = next.select(lit(h).as("hop"), col("t"), col("id"),
+          col("parent_t"), col("parent_id"))
+        reached = if (reached == null) hopRows else reached.unionAll(hopRows)
+        visited = visited.unionAll(next.select(col("t"), col("id")))
+        frontier = next.select(col("t"), col("id"))
+      }
+      // backtrack: walk the parent chain from dst — each hop joins ONE row
+      val dst = reached.filter(col("t") === dstType && col("id") === dstId)
+      var path = dst.select(col("hop").as("step"), col("t").as("node_type"),
+        col("id").as("node_id"))
+      var cur = dst
+      for (_ <- 2 to maxDepth) {
+        val up = cur.select(col("hop").as("c_hop"),
+          col("parent_t").as("c_pt"), col("parent_id").as("c_pid"))
+        cur = reached.join(up,
+          col("hop") === col("c_hop") - 1 &&
+            col("t") === col("c_pt") && col("id") === col("c_pid"))
+          .select(col("hop"), col("t"), col("id"),
+            col("parent_t"), col("parent_id"))
+        path = path.unionAll(cur.select(col("hop").as("step"),
+          col("t").as("node_type"), col("id").as("node_id")))
+      }
+      // the src row, emitted only if dst was reached at all
+      path.unionAll(dst.select(lit(0).as("step"), lit(srcType).as("node_type"),
+        lit(srcId).as("node_id")))
+    }
+  }
+
+  /** Contract row: shortest path supplier 0 → part 37 at the full depth
+    * cap. Part 37 sits at BFS distance exactly 3 from supplier 0 in the
+    * test corpus at every SF (not shipped by supplier 0 directly), so this
+    * pins the depth ≥ 3 machinery the fixed-depth graph_path_find row
+    * cannot. */
+  def graphPathFindDeep(spark: SparkSession, dir: String): DataFrame =
+    pathFind(spark, dir, "supplier", 0L, "part", 37L, MaxDepth)
+
+  /** Impact target for the phased contract row: part 1 exists with both
+    * direct-customer and supplier coverage at every SF. */
+  private val ImpactTarget = 1L
+
+  /** Three-phase impact analysis — the reference's blast-radius query
+    * (internal/graph/searcher_sql.go:304 queryImpact): implementations
+    * ("must_update"), direct callers ("must_update"), and transitive
+    * callers ("review_needed", deduped against direct callers as the
+    * reference keeps only depth>1 rows). Mapped onto the corpus graph
+    * with the target part as the "interface": implementations = suppliers
+    * shipping it (supplier→part), direct callers = customers whose orders
+    * contain it (customer→part), transitive = customers using any
+    * implementing supplier (customer→supplier) that are not already
+    * direct callers.
+    *
+    * Scale posture: the implementations set (suppliers of ONE part) is
+    * tiny and broadcasts into the uses-edge join; everything else is a
+    * thin key join or anti-join — no traversal re-runs, each phase reads
+    * a memoized edge relation once.
+    */
+  def graphImpactPhased(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val cp = custPartEdges(spark, dir)
+    val us = usesEdges(spark, dir)
+    val impl = e.filter(col("dst") === ImpactTarget)
+      .select(col("src").as("id")).distinct()
+    val direct = cp.filter(col("part") === ImpactTarget)
+      .select(col("cust").as("id")).distinct()
+    val trans = us
+      .join(broadcast(impl.select(col("id").as("supp"))), "supp")
+      .select(col("cust").as("id")).distinct()
+      .join(direct, Seq("id"), "left_anti")
+    impl.select(lit("implementation").as("impact_type"),
+        lit("must_update").as("severity"),
+        lit("supplier").as("node_type"), col("id").as("node_id"))
+      .unionAll(direct.select(lit("direct_caller"), lit("must_update"),
+        lit("customer"), col("id")))
+      .unionAll(trans.select(lit("transitive"), lit("review_needed"),
+        lit("customer"), col("id")))
+  }
 
   /** In/out degree for every node of the bipartite graph (cortex
     * callers/callees counts): suppliers count distinct parts shipped,

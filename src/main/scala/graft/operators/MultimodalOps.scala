@@ -58,18 +58,21 @@ object MultimodalOps {
   def mmFrameEnergy(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("n_chars") >= 1)
-      // decode all byte values ONCE per row, as the Generate's input
-      // array: the exploded rows are thin (doc_id, pos, byte) ints — no
-      // payload string rides through the explode and no per-sample
-      // substr re-evaluation against a carried string
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), col("n_chars").cast("int")),
-          p => ascii(col("text").substr(p, lit(1))))))
-      .select(col("doc_id"), expr("pos div 50").as("frame_idx"),
-        col("col").as("b"))
-      .groupBy(col("doc_id"), col("frame_idx"))
-      .agg(count(lit(1)).as("n_samples"),
-        sum(col("b") * col("b")).as("energy_sum"))
+      // FRAME-SLICED: the outer Generate explodes frame OFFSETS (one row
+      // per 50-byte frame), and each row decodes only its own frame's
+      // slice — peak memory per value is one frame, never one payload
+      // (decoding the whole payload into a single array would allocate
+      // multi-MB values for real media). The per-frame aggregate then
+      // runs as array HOFs inside the row — no shuffle at all, where the
+      // explode-every-byte shape needed a (doc, frame) groupBy exchange.
+      .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("nc"),
+        posexplode(sequence(lit(1), col("n_chars").cast("int"), lit(50))))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        transform(sequence(col("col"), least(col("col") + 49, col("nc"))),
+          p => ascii(col("text").substr(p, lit(1)))).as("bs"))
+      .select(col("doc_id"), col("frame_idx"),
+        size(col("bs")).cast("long").as("n_samples"),
+        aggregate(col("bs"), lit(0L), (acc, b) => acc + b * b).as("energy_sum"))
 
   /** Media payload as it would arrive from an object store manifest. */
   case class MediaRow(doc_id: Long, payload: Array[Byte])

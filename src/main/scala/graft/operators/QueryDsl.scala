@@ -134,6 +134,15 @@ object QueryDsl {
       v
     }
 
+    // numeric fields must actually be integers on the wire: Jackson's
+    // asInt() returns 0 for non-numeric JSON, which would silently turn
+    // {"limit": "abc"} into limit=0 (an empty result) instead of an error
+    def intOf(n: JsonNode, name: String): Int = {
+      if (!n.isIntegralNumber)
+        throw new IllegalArgumentException(s"'$name' must be an integer, got $n")
+      n.asInt()
+    }
+
     def value(n: JsonNode): Any =
       if (n.isIntegralNumber) n.asLong()
       else if (n.isNumber) n.asDouble()
@@ -183,7 +192,7 @@ object QueryDsl {
             Agg(req(a, "function", "aggregation").asText(),
               if (a.has("field")) Some(a.get("field").asText()) else None,
               req(a, "alias", "aggregation").asText(),
-              if (a.has("round")) Some(a.get("round").asInt()) else None)
+              if (a.has("round")) Some(intOf(a.get("round"), "round")) else None)
           }.toSeq
         else Nil,
       having = if (root.has("having")) Some(pred(root.get("having"))) else None,
@@ -201,8 +210,8 @@ object QueryDsl {
             Order(req(o, "field", "orderBy").asText(), dir == "DESC")
           }.toSeq
         else Nil,
-      limit = if (root.has("limit")) Some(root.get("limit").asInt()) else None,
-      offset = if (root.has("offset")) root.get("offset").asInt() else 0)
+      limit = if (root.has("limit")) Some(intOf(root.get("limit"), "limit")) else None,
+      offset = if (root.has("offset")) intOf(root.get("offset"), "offset") else 0)
   }
 
   /** Contract row 1: grouped aggregation with HAVING and ordering —

@@ -186,10 +186,30 @@ object StreamingOps {
     * relations. Edge DELETION is a retraction and routes through the
     * batch change-detect path (reference analogue:
     * BuildIncremental_RemovesDanglingEdges re-derives from files), not
-    * this append stream. Used by the test suite.
+    * this append stream.
+    *
+    * CAVEAT — unbounded-churn state: dropDuplicates with no watermark
+    * never evicts, which is exactly right while state ≈ the edge
+    * universe, but if the universe itself churns forever (renamed files
+    * minting new edges indefinitely) the store grows without bound. Such
+    * deployments should use [[streamingEdgeUpsertsWatermarked]], which
+    * trades bounded state for re-emitting an edge not seen within the
+    * horizon (a re-emitted edge is a harmless redundant upsert
+    * downstream). Used by the test suite.
     */
   def streamingEdgeUpserts(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
+
+  /** Watermarked twin of [[streamingEdgeUpserts]] for high-churn edge
+    * universes: state per edge is evicted once the event-time watermark
+    * passes it, so the store holds one row per distinct edge per horizon
+    * rather than per deployment lifetime. Requires an event-time `ts`
+    * column on the stream. Used by the test suite.
+    */
+  def streamingEdgeUpsertsWatermarked(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("src", "dst")
 
   /** Streaming exact-dedup at ingest: drop content-hash duplicates as
     * documents stream in — the streaming twin of dedup_exact and the shape

@@ -331,6 +331,18 @@ class QueryDslSpec extends AnyFunSuite with SparkFixture {
     assert(viaJson == viaAst && viaAst.nonEmpty)
   }
 
+  test("non-integer numeric wire fields are rejected, not coerced to 0") {
+    // Jackson's asInt() returns 0 for "abc" — the parser must reject it
+    // loudly instead of silently returning an empty (limit=0) result
+    val e = intercept[IllegalArgumentException] {
+      QueryDsl.parse("""{"from": "orders", "limit": "abc"}""")
+    }
+    assert(e.getMessage.contains("limit"))
+    intercept[IllegalArgumentException] {
+      QueryDsl.parse("""{"from": "orders", "offset": 1.5}""")
+    }
+  }
+
   test("DSL predicates push down to the parquet scan") {
     val plan = QueryDsl.compile(spark, SfDir, QuerySpec(
       from = "part",
@@ -497,6 +509,83 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     val implHop1 = GraphOps.graphImplementations(spark, SfDir)
       .filter(col("hop") === 1).orderBy("node_id").collect().toSeq
     assert(callers == implHop1)
+  }
+
+  test("deep path find walks real edges from supplier 0 to part 37") {
+    val path = GraphOps.graphPathFindDeep(spark, SfDir)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(path.map(_._1).toSeq == Seq(0, 1, 2, 3), s"got ${path.toSeq}")
+    assert(path.head == ((0, "supplier", 0L)) && path.last == ((3, "part", 37L)))
+    val edges = Tables.lineitem(spark, SfDir)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    path.sliding(2).foreach {
+      case Array((_, "supplier", s), (_, "part", p)) =>
+        assert(edges.contains((s, p)), s"missing edge $s->$p")
+      case Array((_, "part", p), (_, "supplier", s)) =>
+        assert(edges.contains((s, p)), s"missing edge $s->$p")
+      case other => fail(s"non-alternating step pair: ${other.toSeq}")
+    }
+  }
+
+  test("path find is empty when dst is unreachable within maxDepth") {
+    // part 37 is at distance 3 from supplier 0 — a depth-1 search must
+    // return the reference's "no path found" (empty), not a wrong path
+    assert(GraphOps.pathFind(spark, SfDir,
+      "supplier", 0L, "part", 37L, 1).count() == 0)
+  }
+
+  test("phased impact severities and phase node types match the contract") {
+    val rows = GraphOps.graphImpactPhased(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    val byPhase = rows.groupBy(_._1)
+    assert(byPhase.keySet == Set("implementation", "direct_caller", "transitive"))
+    assert(byPhase("implementation").forall(r =>
+      r._2 == "must_update" && r._3 == "supplier"))
+    assert(byPhase("direct_caller").forall(r =>
+      r._2 == "must_update" && r._3 == "customer"))
+    assert(byPhase("transitive").forall(r =>
+      r._2 == "review_needed" && r._3 == "customer"))
+    // reference dedup rule: a direct caller never reappears as transitive
+    val direct = byPhase("direct_caller").map(_._4).toSet
+    assert(byPhase("transitive").forall(r => !direct.contains(r._4)))
+    // implementations = exactly the suppliers shipping the target part
+    val impl = Tables.lineitem(spark, SfDir)
+      .filter(col("l_partkey") === 1).select(col("l_suppkey"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(byPhase("implementation").map(_._4).toSet == impl)
+  }
+}
+
+/** Frame-sliced multimodal energy: bounded memory, no shuffle. */
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+  import operators.MultimodalOps
+
+  test("frame energy runs shuffle-free (per-frame slice, no groupBy)") {
+    val plan = MultimodalOps.mmFrameEnergy(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "frame-sliced energy must aggregate inside the row, not shuffle")
+  }
+
+  test("frame-sliced energy equals the explode-every-byte formulation") {
+    val sliced = MultimodalOps.mmFrameEnergy(spark, SfDir)
+      .orderBy("doc_id", "frame_idx").collect().toSeq
+    val exploded = Tables.documents(spark, SfDir)
+      .filter(col("n_chars") >= 1)
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.functions.transform(
+          sequence(lit(1), col("n_chars").cast("int")),
+          p => ascii(col("text").substr(p, lit(1))))))
+      .select(col("doc_id"), expr("pos div 50").as("frame_idx"),
+        col("col").as("b"))
+      .groupBy(col("doc_id"), col("frame_idx"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("b") * col("b")).as("energy_sum"))
+      .orderBy("doc_id", "frame_idx").collect().toSeq
+    assert(sliced == exploded)
   }
 }
 
@@ -719,6 +808,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .as[(Long, Long)].collect().toSeq
       assert(edges.sorted == Seq((1L, 10L), (2L, 20L), (3L, 30L)),
         s"each distinct edge exactly once, got $edges")
+    } finally q.stop()
+  }
+
+  test("watermarked edge maintenance suppresses within-horizon duplicates") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamingOps.streamingEdgeUpsertsWatermarked(
+        mem.toDF().toDF("src", "dst", "ts"))
+      .writeStream.format("memory").queryName("edge_wm_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10L, ts(5)), (1L, 10L, ts(6)), (2L, 20L, ts(7)))
+      q.processAllAvailable()
+      // same edge in a later batch, still inside the 1-hour horizon →
+      // suppressed; a new edge flows through
+      mem.addData((1L, 10L, ts(20)), (3L, 30L, ts(21)))
+      q.processAllAvailable()
+      val edges = spark.table("edge_wm_stream")
+        .select("src", "dst").as[(Long, Long)].collect().toSeq
+      assert(edges.sorted == Seq((1L, 10L), (2L, 20L), (3L, 30L)),
+        s"each edge once within the watermark horizon, got $edges")
     } finally q.stop()
   }
 
