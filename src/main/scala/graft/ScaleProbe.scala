@@ -50,6 +50,55 @@ object ScaleProbe {
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
+  /** A 9-token footer appended to EVERY document — the planted boilerplate
+    * that mints corpus-wide shared winnowing grams (df ≈ n_docs), the
+    * hot-fingerprint failure dedupWinnow's df cap defends against. */
+  private val Boiler =
+    "generated export footer revision archive copy do not modify"
+
+  private def synthBoiler(spark: SparkSession, baseDir: String,
+      outDir: String): Unit =
+    Tables.documents(spark, baseDir)
+      .select(col("doc_id"), concat(col("text"), lit(" " + Boiler)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+  /** Winnow candidate generation with and without the df cap, over the
+    * SAME pre-built (persisted) inverted index, so the timing isolates the
+    * candidate join — the measurement behind dedupWinnow's WinnowDfCap. */
+  private def winnowCand(raw: DataFrame, cap: Option[Int]): DataFrame = {
+    val inv = cap match {
+      case Some(c) =>
+        val hot = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > c).select(col("fp"))
+        raw.join(broadcast(hot), Seq("fp"), "left_anti")
+      case None => raw
+    }
+    inv.join(inv.select(col("doc_id").as("b_id"), col("fp").as("b_fp")),
+        col("fp") === col("b_fp") && col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+  }
+
+  private def winnowProbe(spark: SparkSession, base: String): Unit = {
+    PlanCache.invalidate()
+    val dir = "/tmp/graft_scale/boiler"
+    synthBoiler(spark, base, dir)
+    // warm the shared sketch pipeline once, as the simhash probe warms its
+    // signatures: both strategies then time ONLY candidate generation
+    val raw = operators.TextOps.winnowed(Tables.documents(spark, dir), col("text"))
+      .select(col("doc_id"), col("sel")).filter(size(col("sel")) > 0)
+      .select(col("doc_id"), explode(col("sel")).as("fp"))
+      .persist()
+    raw.count()
+    val cap = operators.DedupOps.WinnowDfCap
+    val (tCap, nCap) = time(winnowCand(raw, Some(cap)).count())
+    val (tRaw, nRaw) = time(winnowCand(raw, None).count())
+    raw.unpersist()
+    println(f"WINNOW boilerplate-planted docs=5000 cap=$cap " +
+      f"capped=$tCap%6.2fs/${nCap}%d-cands " +
+      f"uncapped=$tRaw%6.2fs/${nRaw}%d-cands ratio=${tRaw / tCap}%5.2fx")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -62,6 +111,11 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = "/root/testdata/sf0.1"
+    if (args.headOption.contains("winnow")) {
+      winnowProbe(spark, base)
+      spark.stop()
+      return
+    }
     val copiesList = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 4, 8)
     copiesList.foreach { copies =>
       // drop every previous size's persisted relations: leftover cached

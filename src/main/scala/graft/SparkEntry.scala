@@ -58,6 +58,7 @@ object SparkEntry {
     "graph_path_find" -> GraphOps.graphPathFind _,
     "graph_path_find_deep" -> GraphOps.graphPathFindDeep _,
     "graph_impact_phased" -> GraphOps.graphImpactPhased _,
+    "pattern_search" -> PatternOps.patternSearch _,
     "dedup_exact" -> DedupOps.dedupExact _,
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccard _,
     "dedup_minhash_lsh" -> DedupOps.dedupMinhashLsh _,
@@ -429,6 +430,19 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
         |WHERE a.src < 10 AND b.src < 10
         |GROUP BY 1, 2""".stripMargin,
+    "pattern_search" -> {
+      // MUST stay in lockstep with PatternOps.patternSearch's template
+      val r = "(?:^|[^a-z0-9])(hash[^a-z0-9]+([a-z0-9]+)[^a-z0-9]+join)(?:[^a-z0-9]|$)"
+      s"""WITH m AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         |x AS (SELECT doc_id, lt,
+         |    regexp_extract(lt, '$r', 1) AS match_text,
+         |    regexp_extract(lt, '$r', 2) AS kind,
+         |    len(regexp_extract_all(lt, '$r', 1)) AS n_matches
+         |  FROM m)
+         |SELECT doc_id, instr(lt, match_text) AS hit_pos, match_text, kind, n_matches
+         |FROM x WHERE match_text <> ''
+         |ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
+    },
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
@@ -487,7 +501,10 @@ object SparkEntry {
       s"""WITH $duckWinnow,
          |s AS (SELECT doc_id, list_sort(list_distinct(mins)) AS sel FROM winn
          |      WHERE len(mins) > 0),
-         |inv AS (SELECT doc_id, unnest(sel) AS fp FROM s),
+         |inv0 AS (SELECT doc_id, unnest(sel) AS fp FROM s),
+         |hot AS (SELECT fp FROM inv0 GROUP BY fp HAVING count(*) > 64),
+         |inv AS (SELECT doc_id, fp FROM inv0
+         |        WHERE fp NOT IN (SELECT fp FROM hot)),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id)
          |SELECT a_id, b_id, round(len(list_intersect(x.sel, y.sel))::DOUBLE /

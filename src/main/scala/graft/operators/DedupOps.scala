@@ -245,6 +245,19 @@ object DedupOps {
       .filter(col("hamming") <= SimhashTau)
   }
 
+  /** Document-frequency cap for winnowing fingerprints: a fp shared by
+    * more than this many documents is boilerplate (an export footer, a
+    * license header) and carries no discriminative signal — but it WOULD
+    * create a df² collision group in the candidate join, the exact hot-key
+    * failure the Jaccard prefix filter defends against. Natural corpus max
+    * df is 6 at sf0.1, so the cap changes nothing on real data; on a
+    * corpus with one planted corpus-wide gram it bounds the join (see
+    * ScaleProbe's winnow measurement in docs/SCALE_NOTES.md). Capping is
+    * deliberately LOSSY for pairs whose entire shared sketch is hot
+    * boilerplate — those are not near-dups of each other, they are dups of
+    * the boilerplate. */
+  private[graft] val WinnowDfCap = 64
+
   /** Winnowing-sketch near-dup pairs — the MOSS usage of the winnowing
     * fingerprints (Schleimer et al., SIGMOD 2003): candidates are docs
     * sharing at least one SELECTED fingerprint (an inverted index over
@@ -252,6 +265,8 @@ object DedupOps {
     * therefore join work — shrink proportionally), scored by sketch
     * containment |A∩B| / min(|A|,|B|) >= 0.5. Catches asymmetric overlap
     * (a doc embedded inside a larger one) that symmetric Jaccard dilutes.
+    * Fingerprints above [[WinnowDfCap]] are dropped from the INDEX (not
+    * from the sketches, so containment scores are unchanged).
     */
   def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
     val sel = graft.PlanCache.getOrBuild(spark, dir, "winnowSel") {
@@ -259,7 +274,15 @@ object DedupOps {
         .select(col("doc_id"), col("sel"))
         .filter(size(col("sel")) > 0)
     }
-    val inv = sel.select(col("doc_id"), explode(col("sel")).as("fp"))
+    // hot-fingerprint defense: the hot set (df > cap) is tiny by
+    // construction — broadcast it into an anti-join instead of shuffling
+    // the full index against the df relation
+    val inv = graft.PlanCache.getOrBuild(spark, dir, "winnowInv") {
+      val raw = sel.select(col("doc_id"), explode(col("sel")).as("fp"))
+      val hot = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > WinnowDfCap).select(col("fp"))
+      raw.join(broadcast(hot), Seq("fp"), "left_anti")
+    }
     val cand = inv
       .join(inv.select(col("doc_id").as("b_id"), col("fp").as("b_fp")),
         col("fp") === col("b_fp") && col("doc_id") < col("b_id"))

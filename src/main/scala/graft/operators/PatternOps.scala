@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Structural pattern search over the document corpus — the analogue of
+  * the reference's AST pattern-matching tool (cortex_pattern,
+  * internal/mcp/tools_pattern.go:20, backed by an external ast-grep
+  * binary, internal/pattern/executor.go:17): a template of literal tokens
+  * and `$NAME` metavariables matches structure, not just text, returning
+  * each match's position and the text each metavariable captured.
+  *
+  * The binary-AST part of the reference is rightly out of scope (no
+  * tree-sitter here); what this keeps is the QUERY MODEL — template →
+  * validated AST → matches with captures — compiled, like FtsQuery, to
+  * ONE codegen'd scan predicate: the template AST becomes a single
+  * RE2-compatible regex evaluated by Spark's codegen'd regexp
+  * expressions, so the whole operator is one parquet scan + projection +
+  * TakeOrdered, no UDF, no shuffle before the final thin top-k.
+  *
+  * Token model: a token is a maximal `[a-z0-9]+` run of the lowercased
+  * text (graft's canonical tokenizer); template elements must be
+  * separated by at least one non-token character in the text. The
+  * compiled regex is deliberately restricted to the RE2 subset (no
+  * lookaround, no backreferences) so ANY regex engine — including the
+  * DuckDB oracle's — computes identical matches.
+  */
+object PatternOps {
+
+  sealed trait Elem
+  /** A literal token that must appear verbatim (lowercase alnum). */
+  final case class LitTok(tok: String) extends Elem
+  /** A metavariable capturing exactly one token, like ast-grep's `$VAR`. */
+  final case class MetaVar(name: String) extends Elem
+
+  final case class PatternQuery(elems: Seq[Elem]) {
+    require(elems.nonEmpty, "pattern must contain at least one element")
+
+    val metaNames: Seq[String] = elems.collect { case MetaVar(n) => n }
+
+    /** The compiled scan predicate: core = elements joined by separator
+      * runs, wrapped in explicit boundary alternations instead of
+      * lookarounds (RE2 has none). Group 1 is the whole core; group 1+k
+      * is the k-th metavariable.
+      */
+    def regex: String = {
+      val core = elems.map {
+        case LitTok(t)  => t
+        case MetaVar(_) => "([a-z0-9]+)"
+      }.mkString("[^a-z0-9]+")
+      s"(?:^|[^a-z0-9])($core)(?:[^a-z0-9]|$$)"
+    }
+  }
+
+  object PatternQuery {
+    private val Meta = "^\\$([A-Z][A-Z0-9_]*)$".r
+    private val Lit = "^[a-z0-9]+$".r
+
+    /** Parse a whitespace-separated template (`"hash $KIND join"`). This
+      * is an untrusted boundary like the FTS/DSL parsers: every malformed
+      * shape comes back as IllegalArgumentException with the offending
+      * element named. */
+    def parse(template: String): PatternQuery = {
+      val toks = template.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (toks.isEmpty)
+        throw new IllegalArgumentException("pattern template is empty")
+      val elems: Seq[Elem] = toks.map {
+        case Meta(name)                   => MetaVar(name)
+        case t if Lit.matches(t)          => LitTok(t)
+        case t => throw new IllegalArgumentException(
+          s"pattern element '$t' is neither a lowercase token nor a $$METAVAR")
+      }
+      val names = elems.collect { case MetaVar(n) => n }
+      if (names.distinct.sizeIs != names.size)
+        throw new IllegalArgumentException(
+          s"duplicate metavariable in '$template': binding the same name " +
+            "twice needs backreferences, which the RE2-compatible target " +
+            "does not support")
+      PatternQuery(elems)
+    }
+  }
+
+  /** Matches for `template` over the corpus: doc_id, the position of the
+    * first match (by the instr-of-matched-text convention fts_snippet
+    * also uses), the matched text, the total non-overlapping match count,
+    * and one lowercase-named column per metavariable with its captured
+    * token from the first match. Ranked by match count (desc, doc_id
+    * tiebreak), top `limit` — an ORDER BY + LIMIT that collapses to
+    * TakeOrderedAndProject over the single scan.
+    */
+  def patternMatches(spark: SparkSession, dir: String, template: String,
+      limit: Int): DataFrame = {
+    val q = PatternQuery.parse(template)
+    val r = q.regex
+    // `lt` staged once: every regexp column reads the same alias instead
+    // of re-lowercasing per expression (the staging rule from TextOps)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .withColumn("match_text", regexp_extract(col("lt"), r, 1))
+      .filter(col("match_text") =!= "")
+    val withMeta = q.metaNames.zipWithIndex.foldLeft(base) {
+      case (df, (n, i)) =>
+        df.withColumn(n.toLowerCase, regexp_extract(col("lt"), r, i + 2))
+    }
+    withMeta
+      .select(Seq(
+        col("doc_id"),
+        expr("instr(lt, match_text)").cast("long").as("hit_pos"),
+        col("match_text"),
+        size(regexp_extract_all(col("lt"), lit(r), lit(1))).cast("long")
+          .as("n_matches")) ++
+        q.metaNames.map(n => col(n.toLowerCase)): _*)
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(limit)
+  }
+
+  /** Contract row: the `defer $FUNC()`-shaped template of the reference's
+    * own examples, phrased for this corpus — every "hash <something> join"
+    * occurrence with the middle token captured. */
+  def patternSearch(spark: SparkSession, dir: String): DataFrame =
+    patternMatches(spark, dir, "hash $KIND join", 20)
+}

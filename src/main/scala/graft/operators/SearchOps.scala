@@ -146,6 +146,18 @@ object SearchOps {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
 
+  /** Exact-KNN cell-size cap: the co-located self-join removes the
+    * SHUFFLE but not the COMPUTE — a cell of n vectors still costs n²
+    * cosine comparisons, so a 1M-vector cell is 10¹² comparisons in one
+    * task's bucket. Past this cap the exact formulation is the wrong tool
+    * and the job FAILS LOUDLY (a plan-embedded assert, no driver action)
+    * with a pointer to vec_knn_join_ann, whose banded-LSH candidates cost
+    * collisions instead of cell². The cap is a deploy-time knob: size it
+    * so cap² comparisons fit one executor's task budget (100k ≈ 10¹⁰
+    * float-ops ≈ tens of seconds — the edge of acceptable).
+    */
+  private[graft] val ExactCellCap = 100000L
+
   /** Batch KNN: top-3 neighbours for every vector, pairing only within the
     * same coarse cell (shuffle on label, then a per-cell block join).
     *
@@ -153,13 +165,30 @@ object SearchOps {
     * re-shuffle EVERY candidate pair to its a_id partition; the aggregate
     * trims to 3 per vector map-side, so the second shuffle moves at most
     * 3 rows per vector regardless of cell size.
+    *
+    * Guarded by [[ExactCellCap]]: an oversize cell aborts the job with a
+    * routing message instead of detonating quadratically.
     */
-  def vecKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+  def vecKnnJoin(spark: SparkSession, dir: String): DataFrame =
+    vecKnnJoinCapped(spark, dir, ExactCellCap)
+
+  private[graft] def vecKnnJoinCapped(spark: SparkSession, dir: String,
+      cellCap: Long): DataFrame = {
     // label-bucketed index table: the self-join below is co-located per
     // bucket, so the only exchange left in the plan is the thin top-k
     // aggregate's — the candidate pairs themselves never shuffle
     val emb = spark.table(graft.sources.IndexStore.index(spark, dir).embByLabel)
+    // guard: cell sizes aggregate exchange-free over the bucketed table
+    // and broadcast back onto side A; assert_true lives in a FILTER so
+    // column pruning cannot drop it, and costs one comparison per row
+    val cellSizes = emb.groupBy(col("label")).agg(count(lit(1)).as("cell_n"))
     val a = emb.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .join(broadcast(cellSizes), "label")
+      .filter(assert_true(col("cell_n") <= cellCap,
+        concat(lit("vec_knn_join: cell size "), col("cell_n"),
+          lit(s" exceeds ExactCellCap=$cellCap — exact per-cell KNN is cell² "),
+          lit("compute; route this corpus to vec_knn_join_ann"))).isNull)
+      .select(col("label"), col("a_id"), col("a_emb"))
     val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("label") === col("b_label") && col("a_id") =!= col("b_id"))
       .select(col("label"), col("a_id"),

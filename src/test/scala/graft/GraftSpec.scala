@@ -559,6 +559,72 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+/** Structural pattern search: template AST → one codegen'd scan. */
+class PatternSpec extends AnyFunSuite with SparkFixture {
+  import operators.PatternOps
+  import operators.PatternOps._
+
+  test("template parses to literal tokens and metavariables") {
+    val q = PatternQuery.parse("hash $KIND join")
+    assert(q.elems == Seq(LitTok("hash"), MetaVar("KIND"), LitTok("join")))
+    assert(q.metaNames == Seq("KIND"))
+  }
+
+  test("malformed templates are rejected with the offending element named") {
+    val e = intercept[IllegalArgumentException] {
+      PatternQuery.parse("hash $kind join") // lowercase metavar = bad token
+    }
+    assert(e.getMessage.contains("$kind"))
+    intercept[IllegalArgumentException] { PatternQuery.parse("   ") }
+    // same metavar twice would need a backreference — not RE2-expressible
+    intercept[IllegalArgumentException] { PatternQuery.parse("$A join $A") }
+  }
+
+  test("pattern search is one scan, no UDF, no shuffle before the top-k") {
+    val df = PatternOps.patternSearch(spark, SfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"must be a single corpus scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ranked limit must collapse to TakeOrdered:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no shuffle before the thin top-k:\n$plan")
+  }
+
+  test("matches, captures and counts agree with a per-doc reference scan") {
+    val got = PatternOps.patternMatches(spark, SfDir, "hash $KIND join", 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getString(4))).toSeq.sortBy(_._1)
+    val re = java.util.regex.Pattern.compile(
+      "(?:^|[^a-z0-9])(hash[^a-z0-9]+([a-z0-9]+)[^a-z0-9]+join)(?:[^a-z0-9]|$)")
+    val want = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .flatMap { r =>
+        val (id, lt) = (r.getLong(0), r.getString(1))
+        val m = re.matcher(lt)
+        if (!m.find()) None
+        else {
+          val first = m.group(1); val kind = m.group(2)
+          var n = 1
+          while (m.find()) n += 1
+          Some((id, lt.indexOf(first).toLong + 1, first, n.toLong, kind))
+        }
+      }.toSeq.sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("a multi-metavariable template captures each position independently") {
+    val rows = PatternOps.patternMatches(spark, SfDir, "$A the $B", 5)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mt, a, b) = (r.getString(2), r.getString(4), r.getString(5))
+      assert(mt == s"$a the $b", s"captures must reassemble the match: $r")
+    }
+  }
+}
+
 /** Frame-sliced multimodal energy: bounded memory, no shuffle. */
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
   import operators.MultimodalOps
@@ -651,6 +717,23 @@ class IndexStoreSpec extends AnyFunSuite with SparkFixture {
       assert(countExchanges(plan) <= 1,
         s"candidate pairs must not shuffle (only the agg may):\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("exact batch KNN aborts loudly when a cell exceeds the cap") {
+    // sf0.001 cells hold ~100 vectors each: a cap of 10 must trip the
+    // plan-embedded assert with the routing message, and the default cap
+    // must leave results identical to an uncapped run (same data path)
+    val e = intercept[Exception] {
+      operators.SearchOps.vecKnnJoinCapped(spark, SfDir, 10L).count()
+    }
+    assert(e.getMessage.contains("vec_knn_join_ann"),
+      s"guard must point at the ANN path, got: ${e.getMessage}")
+    val capped = operators.SearchOps.vecKnnJoin(spark, SfDir)
+      .orderBy("a_id", "rk").collect().toSeq
+    val uncapped = operators.SearchOps
+      .vecKnnJoinCapped(spark, SfDir, Long.MaxValue)
+      .orderBy("a_id", "rk").collect().toSeq
+    assert(capped == uncapped)
   }
 
   test("ANN batch KNN keeps >= 0.9 recall of the exact join's pairs") {
