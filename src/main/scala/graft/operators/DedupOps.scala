@@ -96,26 +96,33 @@ object DedupOps {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ng = shingled(spark, dir)
-    // the prefix index is built ONCE per (session, dir) and persisted —
-    // the candidate join reads it from both sides, and at cluster scale
-    // it's the relation you'd write to the IndexStore
-    val prefix = graft.PlanCache.getOrBuild(spark, dir, "jaccardPrefix") {
-      val inv = ng.select(col("lang"), col("lb"), col("doc_id"),
-        size(col("gs")).as("n"), explode(col("gs")).as("g"))
-      // global document frequency -> canonical rarest-first total order
-      val df = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      val prefixLen = (col("n") - ceil(col("n") * JaccardTau) + 1).cast("int")
-      inv.join(df, "g")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
-        .filter(col("rk") <= prefixLen)
-        .select(col("lang"), col("lb"), col("doc_id"), col("g"))
-    }
+    // the prefix index is built ONCE per (session, dir) as a table
+    // BUCKETED ON THE SHINGLE — the candidate self-join's equi-keys
+    // (lang, lb, g) contain the bucket key, so both sides read
+    // co-located buckets with NO exchange (a cached repartition would
+    // not survive the self-join rename; the bucketed table does)
+    // the block keys fold into the indexed shingle key (gkey =
+    // lang:lb:g) so the candidate join's equi-keys are EXACTLY the
+    // bucket key — Spark only elides the co-partition shuffle when all
+    // cluster keys are partition keys (requireAllClusterKeysForCoPartition)
+    val prefix = spark.table(
+      graft.sources.IndexStore.derivedBucketed(spark, dir,
+        "jaccard_prefix", Seq("gkey")) {
+        val inv = ng.select(col("lang"), col("lb"), col("doc_id"),
+          size(col("gs")).as("n"), explode(col("gs")).as("g"))
+        // global document frequency -> canonical rarest-first total order
+        val df = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        val prefixLen = (col("n") - ceil(col("n") * JaccardTau) + 1).cast("int")
+        inv.join(df, "g")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+          .filter(col("rk") <= prefixLen)
+          .select(col("doc_id"),
+            concat_ws(":", col("lang"), col("lb"), col("g")).as("gkey"))
+      })
     val cand = prefix
-      .join(prefix.select(col("lang").as("y_lang"), col("lb").as("y_lb"),
-          col("doc_id").as("b_id"), col("g").as("y_g")),
-        col("lang") === col("y_lang") && col("lb") === col("y_lb") &&
-          col("g") === col("y_g") && col("doc_id") < col("b_id"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("gkey").as("y_gkey")),
+        col("gkey") === col("y_gkey") && col("doc_id") < col("b_id"))
       .select(col("doc_id").as("a_id"), col("b_id")).distinct()
     cand
       .join(ng.select(col("doc_id").as("a_id"), col("gs").as("a_gs")), "a_id")
@@ -136,9 +143,12 @@ object DedupOps {
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val ng = shingled(spark, dir)
-    // signature/band relation built once per (session, dir): the candidate
-    // join reads it from both sides
-    val bands = graft.PlanCache.getOrBuild(spark, dir, "minhashBands") {
+    // signature/band relation built once per (session, dir) as a table
+    // bucketed on (band, sig): the candidate self-join's keys are exactly
+    // the bucket keys, so it reads both sides co-located, exchange-free
+    val bands = spark.table(
+      graft.sources.IndexStore.derivedBucketed(spark, dir,
+        "minhash_bands", Seq("band", "sig")) {
       val h = ng.select(col("doc_id"), explode(col("gs")).as("g"))
         .select(col("doc_id"), (hash60(col("g")) % P).as("hv"))
       // all 16 minhashes as parallel aggregates: one shuffle on doc_id, no
@@ -156,7 +166,7 @@ object DedupOps {
       minh
         .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-    }
+    })
     val cand = bands.select(col("band"), col("sig"), col("doc_id").as("a_id"))
       .join(bands.select(col("band").as("b_band"), col("sig").as("b_sig"),
           col("doc_id").as("b_id")),
@@ -182,11 +192,14 @@ object DedupOps {
     Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 4), (28, 4))
   private val SimhashTau = 5
 
-  /** The simhash signature/band relation, built once per (session, dir);
-    * the candidate join reads it from both sides, and the scale probe
-    * derives its all-pairs baseline from the same signatures. */
+  /** The simhash signature/band relation, built once per (session, dir)
+    * as a table bucketed on (band, bv): the candidate join's equi-keys
+    * (band, bv, lang, lb) contain the bucket keys, so it reads both
+    * sides co-located with no exchange; the scale probe derives its
+    * all-pairs baseline from the same signatures. */
   private[graft] def simhashBands(spark: SparkSession, dir: String): DataFrame =
-    graft.PlanCache.getOrBuild(spark, dir, "simhashBands") {
+    spark.table(graft.sources.IndexStore.derivedBucketed(spark, dir,
+      "simhash_bands", Seq("band", "bkey")) {
       val ng = shingled(spark, dir)
       val h = ng.select(col("doc_id"), explode(col("gs")).as("g"))
         .select(col("doc_id"), (hash60(col("g")) % 4294967296L).as("hv"))
@@ -209,9 +222,12 @@ object DedupOps {
       keyed
         .select(col("doc_id"), col("lang"), col("lb"), col("sig"),
           explode(array(bandStructs: _*)).as("b"))
+        // block keys fold into the band value (bkey = lang:lb:bv) so the
+        // candidate join's keys are exactly the bucket keys (band, bkey)
         .select(col("doc_id"), col("lang"), col("lb"), col("sig"),
-          col("b.band").as("band"), col("b.bv").as("bv"))
-    }
+          col("b.band").as("band"),
+          concat_ws(":", col("lang"), col("lb"), col("b.bv")).as("bkey"))
+    })
 
   /** 32-bit SimHash over 3-gram shingle hashes; near-dup = hamming <= 5
     * within (lang, length-bucket) blocks. All bit math stays in codegen
@@ -225,20 +241,25 @@ object DedupOps {
     * that candidate set a superset of every true hamming<=5 pair
     * (pigeonhole over SimhashBands), so the verify step loses nothing.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** The pre-distinct candidate join — exposed so the plan suite asserts
+    * it reads the bucketed band table co-located (no exchange between
+    * the scans and the join; the distinct/verify shuffle above it is the
+    * thin surviving-pairs relation, not the band rows). */
+  private[graft] def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val bands = simhashBands(spark, dir)
-    val cand = bands
-      .join(bands.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-          col("lb").as("b_lb"), col("sig").as("b_sig"),
-          col("band").as("bb"), col("bv").as("b_bv")),
-        col("band") === col("bb") && col("bv") === col("b_bv") &&
-          col("lang") === col("b_lang") && col("lb") === col("b_lb") &&
+    bands
+      .join(bands.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+          col("band").as("bb"), col("bkey").as("b_bkey")),
+        col("band") === col("bb") && col("bkey") === col("b_bkey") &&
           col("doc_id") < col("b_id"))
       // a pair can collide on several bands; sigs ride along (they are
       // functions of the ids) so the verify needs no extra join
       .select(col("doc_id").as("a_id"), col("b_id"),
         col("sig").as("a_sig"), col("b_sig"))
-      .distinct()
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val cand = simhashCandidates(spark, dir).distinct()
     cand
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
@@ -276,13 +297,16 @@ object DedupOps {
     }
     // hot-fingerprint defense: the hot set (df > cap) is tiny by
     // construction — broadcast it into an anti-join instead of shuffling
-    // the full index against the df relation
-    val inv = graft.PlanCache.getOrBuild(spark, dir, "winnowInv") {
-      val raw = sel.select(col("doc_id"), explode(col("sel")).as("fp"))
-      val hot = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > WinnowDfCap).select(col("fp"))
-      raw.join(broadcast(hot), Seq("fp"), "left_anti")
-    }
+    // the full index against the df relation. The surviving index writes
+    // out bucketed on fp, so the candidate self-join is exchange-free.
+    val inv = spark.table(
+      graft.sources.IndexStore.derivedBucketed(spark, dir,
+        "winnow_inv", Seq("fp")) {
+        val raw = sel.select(col("doc_id"), explode(col("sel")).as("fp"))
+        val hot = raw.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > WinnowDfCap).select(col("fp"))
+        raw.join(broadcast(hot), Seq("fp"), "left_anti")
+      })
     val cand = inv
       .join(inv.select(col("doc_id").as("b_id"), col("fp").as("b_fp")),
         col("fp") === col("b_fp") && col("doc_id") < col("b_id"))
@@ -311,16 +335,22 @@ object DedupOps {
 
   /** THE hyperplane band relation for a corpus dir — the single source of
     * the LSH geometry, shared by dedup_embedding and vec_knn_join_ann
-    * through one PlanCache entry so the two can never silently build
-    * signatures with different parameters under the same cache key. */
+    * through one bucketed table so the two can never silently build
+    * signatures with different parameters under the same name. Bucketed
+    * on (band, sig), a subset of every candidate join's equi-keys, so the
+    * self-joins read both sides co-located with no exchange. */
   private[operators] def embBands(spark: SparkSession, dir: String): DataFrame =
-    graft.PlanCache.getOrBuild(spark, dir, "embBands") {
+    spark.table(graft.sources.IndexStore.derivedBucketed(spark, dir,
+      "emb_bands", Seq("band", "cell_sig")) {
       import graft.functions.VectorFunctions.bandSigs
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"),
           posexplode(bandSigs(col("embedding"), EmbSeed, EmbBands, EmbBits, EmbDim)))
-        .select(col("vec_id"), col("label"), col("pos").as("band"), col("col").as("sig"))
-    }
+        // the IVF cell folds into the signature (cell_sig = label:sig) so
+        // both band self-joins key exactly on the bucket cols
+        .select(col("vec_id"), col("label"), col("pos").as("band"),
+          concat_ws(":", col("label"), col("col")).as("cell_sig"))
+    })
 
   /** Embedding-cosine near-dup pairs (>= 0.42) inside IVF label cells.
     *
@@ -338,10 +368,10 @@ object DedupOps {
     val emb = Tables.embeddings(spark, dir)
     val bands = embBands(spark, dir)
     val cand = bands
-      .join(bands.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-          col("band").as("b_band"), col("sig").as("b_sig")),
-        col("band") === col("b_band") && col("sig") === col("b_sig") &&
-          col("label") === col("b_label") && col("vec_id") < col("b_id"))
+      .join(bands.select(col("vec_id").as("b_id"),
+          col("band").as("b_band"), col("cell_sig").as("b_cell_sig")),
+        col("band") === col("b_band") && col("cell_sig") === col("b_cell_sig") &&
+          col("vec_id") < col("b_id"))
       .select(col("vec_id").as("a_id"), col("b_id")).distinct()
     cand
       .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")

@@ -18,17 +18,28 @@ import graft.Tables
   */
 object GraphOps {
 
+  /** The canonical batch edge relation: distinct supplier→part pairs
+    * derived from lineitem. Un-memoized — [[edges]] wraps it; the watch
+    * loop seeds its live table from it. */
+  private[graft] def batchEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+
   /** Distinct supplier→part edges, persisted and memoized per
     * (session, dir): every graph query references the edge relation from
     * at least two plan branches, and without materialization each branch
     * would re-scan and re-distinct lineitem (cortex materializes its edge
-    * tables for the same reason, internal/storage/schema.go).
+    * tables for the same reason, internal/storage/schema.go). When a
+    * watch loop is live for this (session, dir), the relation reads the
+    * stream-maintained edge table instead (see streaming.WatchLoop);
+    * PlanCache.invalidate(dir) per micro-batch is what makes the memo
+    * follow the stream.
     */
   private def edges(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.getOrBuild(spark, dir, "edges") {
-      Tables.lineitem(spark, dir)
-        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
-        .distinct()
+      graft.streaming.WatchLoop.edgeOverride(spark, dir)
+        .getOrElse(batchEdges(spark, dir))
     }
 
   /** Second edge relation (the cortex analogue of `type_relationships`

@@ -377,10 +377,10 @@ object SearchOps {
     val emb = Tables.embeddings(spark, dir)
     val bands = DedupOps.embBands(spark, dir)
     val cand = bands
-      .join(bands.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-          col("band").as("b_band"), col("sig").as("b_sig")),
-        col("band") === col("b_band") && col("sig") === col("b_sig") &&
-          col("label") === col("b_label") && col("vec_id") =!= col("b_id"))
+      .join(bands.select(col("vec_id").as("b_id"),
+          col("band").as("b_band"), col("cell_sig").as("b_cell_sig")),
+        col("band") === col("b_band") && col("cell_sig") === col("b_cell_sig") &&
+          col("vec_id") =!= col("b_id"))
       .select(col("label"), col("vec_id").as("a_id"), col("b_id")).distinct()
     cand
       .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")

@@ -21,9 +21,17 @@ object IndexStore {
     * of the largest relation fits an executor's scan budget. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       buckets: Int = 8): Unit =
+    writeBucketedMulti(df, table, Seq(bucketCol), buckets)
+
+  /** Multi-column bucketing: a join whose equi-keys are a SUPERSET of the
+    * bucket columns reads both sides co-located (equal join keys imply
+    * equal bucket keys), so band self-joins bucket on (band, sig) and
+    * stay exchange-free even when the join adds block keys on top. */
+  def writeBucketedMulti(df: DataFrame, table: String,
+      bucketCols: Seq[String], buckets: Int = 8): Unit =
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
   /** Write `df` partitioned by a low-cardinality column (e.g. lang) so
@@ -32,6 +40,61 @@ object IndexStore {
     df.write.mode("overwrite").format("parquet")
       .partitionBy(partCol)
       .saveAsTable(table)
+
+  /** Replace `table` with `df`'s contents, clearing both the catalog
+    * entry and any lingering physical location from a previous process
+    * (saveAsTable fails with LOCATION_ALREADY_EXISTS otherwise — the
+    * warehouse dir outlives the in-memory catalog). */
+  def replaceTable(spark: SparkSession, df: DataFrame, table: String): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    if (fs.exists(p)) fs.delete(p, true)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  private val derived =
+    new ConcurrentHashMap[(SparkSession, String, String), String]()
+
+  /** Materialize a derived relation (a signature/band/prefix index) ONCE
+    * per (session, dir) as a bucketed table and return its name. The
+    * dedup candidate self-joins read these tables from both sides
+    * co-located — the same design as the search index tables, applied to
+    * the relations the dedup family self-joins. A cached `repartition`
+    * does NOT survive the self-join's column rename (verified while
+    * building the search index); bucketed tables do, which is why these
+    * are tables and not PlanCache entries.
+    *
+    * Reuse rule mirrors [[index]]: if the catalog already has the table
+    * (another session on this warehouse built it), reuse it rather than
+    * dropping it out from under that session's queries.
+    */
+  def derivedBucketed(spark: SparkSession, dir: String, tag: String,
+      bucketCols: Seq[String], buckets: Int = 8)
+      (build: => DataFrame): String = {
+    derived.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // get + putIfAbsent, NOT computeIfAbsent: build closures may resolve
+    // dependencies through caches (the PlanCache reentrancy rule)
+    val key = (spark, dir, tag)
+    val existing = derived.get(key)
+    if (existing != null) existing
+    else {
+      val tbl = s"graft_${tag}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      if (!spark.catalog.tableExists(tbl)) {
+        // clear a previous PROCESS's physical leftovers before writing
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val p = new org.apache.hadoop.fs.Path(wh, tbl.toLowerCase)
+        if (fs.exists(p)) fs.delete(p, true)
+        writeBucketedMulti(build, tbl, bucketCols, buckets)
+      }
+      derived.putIfAbsent(key, tbl)
+      tbl
+    }
+  }
 
   /** The materialized search index for one corpus dir. */
   final case class IndexTables(docs: String, embById: String,

@@ -232,7 +232,7 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   test("simhash candidates come from a band join, not an all-pairs block join") {
     val plan = DedupOps.dedupSimhash(spark, SfDir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("band") && plan.contains("bv"),
+    assert(plan.contains("band") && plan.contains("bkey"),
       "expected the hamming-LSH band columns in the join keys")
   }
 
@@ -719,6 +719,18 @@ class IndexStoreSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("simhash candidate join reads the bucketed band table co-located") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = operators.DedupOps.simhashCandidates(spark, SfDir)
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(countExchanges(plan) == 0,
+        s"band self-join must be exchange-free over the bucketed table:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("exact batch KNN aborts loudly when a cell exceeds the cap") {
     // sf0.001 cells hold ~100 vectors each: a cap of 10 must trip the
     // plan-embedded assert with the routing message, and the default cap
@@ -892,6 +904,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(edges.sorted == Seq((1L, 10L), (2L, 20L), (3L, 30L)),
         s"each distinct edge exactly once, got $edges")
     } finally q.stop()
+  }
+
+  test("watch loop: a new edge is visible to the next kHop; an unchanged batch writes nothing") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.WatchLoop
+    import graft.operators.GraphOps
+    val mem = MemoryStream[(Long, Long)]
+    val q = WatchLoop.start(spark, SfDir, mem.toDF().toDF("src", "dst"))
+    val tbl = "graft_watch_edges" + SfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    try {
+      val newPart = 999999L
+      def hop1Parts() = GraphOps.kHop(spark, SfDir, 2)
+        .filter(col("hop") === 1).select("node_id")
+        .as[Long].collect().toSet
+      assert(!hop1Parts().contains(newPart))
+      // supplier 0 (a seed) starts shipping a brand-new part: the next
+      // kHop must see it at hop 1 — the memo was invalidated per batch
+      mem.addData((0L, newPart))
+      q.processAllAvailable()
+      assert(hop1Parts().contains(newPart),
+        "BFS memo must rebuild against the stream-updated edge table")
+      // an unchanged batch (same edge re-notified) must not write: the
+      // stream's dedup state suppresses it before foreachBatch
+      val rowsBefore = spark.table(tbl).count()
+      mem.addData((0L, newPart))
+      q.processAllAvailable()
+      assert(spark.table(tbl).count() == rowsBefore,
+        "a re-notified edge must not append (no-op reload)")
+    } finally {
+      q.stop()
+      WatchLoop.stop(spark, SfDir)
+    }
   }
 
   test("watermarked edge maintenance suppresses within-horizon duplicates") {
