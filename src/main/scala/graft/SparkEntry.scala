@@ -59,6 +59,7 @@ object SparkEntry {
     "graph_path_find_deep" -> GraphOps.graphPathFindDeep _,
     "graph_impact_phased" -> GraphOps.graphImpactPhased _,
     "pattern_search" -> PatternOps.patternSearch _,
+    "pattern_search_all" -> PatternOps.patternSearchAll _,
     "dedup_exact" -> DedupOps.dedupExact _,
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccard _,
     "dedup_minhash_lsh" -> DedupOps.dedupMinhashLsh _,
@@ -442,6 +443,17 @@ object SparkEntry {
          |SELECT doc_id, instr(lt, match_text) AS hit_pos, match_text, kind, n_matches
          |FROM x WHERE match_text <> ''
          |ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "pattern_search_all" -> {
+      // MUST stay in lockstep with PatternOps.patternSearchAll's template
+      val r = "(?:^|[^a-z0-9])(hash[^a-z0-9]+([a-z0-9]+)[^a-z0-9]+join)(?:[^a-z0-9]|$)"
+      s"""WITH m AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         |x AS (SELECT doc_id,
+         |    regexp_extract_all(lt, '$r', 1) AS ms,
+         |    regexp_extract_all(lt, '$r', 2) AS ks
+         |  FROM m)
+         |SELECT doc_id, u.i - 1 AS match_idx, ms[u.i] AS match_text, ks[u.i] AS kind
+         |FROM x CROSS JOIN unnest(range(1, len(ms) + 1)) AS u(i)""".stripMargin
     },
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS min_doc_id

@@ -120,4 +120,38 @@ object PatternOps {
     * occurrence with the middle token captured. */
   def patternSearch(spark: SparkSession, dir: String): DataFrame =
     patternMatches(spark, dir, "hash $KIND join", 20)
+
+  /** EVERY match occurrence, one row each — the reference's full result
+    * list (a file can match a pattern many times; transformToResponse
+    * emits one entry per match). All capture-group extractions run over
+    * the row once (regexp_extract_all per group — the arrays align
+    * because every group extraction walks the same non-overlapping match
+    * sequence), then arrays_zip + posexplode fans out per occurrence.
+    * Still one scan; the Generate is narrow, so at scale each task
+    * explodes only its own rows.
+    */
+  def patternMatchesAll(spark: SparkSession, dir: String,
+      template: String): DataFrame = {
+    val q = PatternQuery.parse(template)
+    val r = q.regex
+    val metaCols = q.metaNames.map(n => s"_c_${n.toLowerCase}")
+    var df = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .withColumn("_ms", regexp_extract_all(col("lt"), lit(r), lit(1)))
+    q.metaNames.zip(metaCols).zipWithIndex.foreach { case ((_, c), i) =>
+      df = df.withColumn(c, regexp_extract_all(col("lt"), lit(r), lit(i + 2)))
+    }
+    df.filter(size(col("_ms")) > 0)
+      .select(col("doc_id"),
+        posexplode(arrays_zip((col("_ms") +: metaCols.map(col)): _*)))
+      .select(Seq(col("doc_id"), col("pos").cast("long").as("match_idx"),
+        col("col._ms").as("match_text")) ++
+        q.metaNames.zip(metaCols).map { case (n, c) =>
+          col(s"col.$c").as(n.toLowerCase)
+        }: _*)
+  }
+
+  /** Contract row for the all-occurrences surface. */
+  def patternSearchAll(spark: SparkSession, dir: String): DataFrame =
+    patternMatchesAll(spark, dir, "hash $KIND join")
 }

@@ -614,6 +614,23 @@ class PatternSpec extends AnyFunSuite with SparkFixture {
     assert(got == want && got.nonEmpty)
   }
 
+  test("all-occurrences surface fans out one row per match, counts aligned") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val all = PatternOps.patternMatchesAll(spark, SfDir, "hash $KIND join")
+    // per-doc occurrence rows must agree with the first-match surface's
+    // n_matches, and match_idx must be a dense 0..n-1 sequence
+    val perDoc = all.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max(col("match_idx")).as("mx"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val firstSurface = PatternOps.patternMatches(spark, SfDir, "hash $KIND join", 100000)
+      .select("doc_id", "n_matches").as[(Long, Long)].collect().toMap
+    assert(perDoc.keySet == firstSurface.keySet && perDoc.nonEmpty)
+    perDoc.foreach { case (id, (n, mx)) =>
+      assert(n == firstSurface(id) && mx == n - 1, s"doc $id: n=$n mx=$mx")
+    }
+  }
+
   test("a multi-metavariable template captures each position independently") {
     val rows = PatternOps.patternMatches(spark, SfDir, "$A the $B", 5)
       .collect()
