@@ -16,6 +16,15 @@ object PlanCache {
   private val cache =
     new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Bumped by every invalidate: a build that STARTED before an
+    * invalidation must not install its (possibly pre-change) snapshot
+    * into the cache after the sweep — the watch loop's per-batch
+    * invalidate would otherwise race an in-flight getOrBuild and pin a
+    * stale edge relation indefinitely (TOCTOU). The in-flight caller
+    * still gets its own result (bounded staleness for that one query);
+    * it just doesn't become the memo. */
+  private val epoch = new java.util.concurrent.atomic.AtomicLong()
+
   def getOrBuild(spark: SparkSession, dir: String, tag: String)
       (build: => DataFrame): DataFrame = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
@@ -28,10 +37,21 @@ object PlanCache {
       // computeIfAbsent on one ConcurrentHashMap throws "Recursive
       // update" depending on bin layout. get + putIfAbsent is reentrant;
       // if two threads race, the loser unpersists its duplicate build.
+      val e0 = epoch.get()
       val built = build.persist()
-      val prev = cache.putIfAbsent(key, built)
-      if (prev != null) { built.unpersist(); prev } else built
+      if (epoch.get() != e0) { built.unpersist(); built }
+      else {
+        val prev = cache.putIfAbsent(key, built)
+        if (prev != null) { built.unpersist(); prev } else built
+      }
     }
+  }
+
+  /** Remove and unpersist ONE entry (e.g. per-query BFS layers released
+    * after their output is materialized). No-op if absent. */
+  def drop(spark: SparkSession, dir: String, tag: String): Unit = {
+    val df = cache.remove((spark, dir, tag))
+    if (df != null) { try df.unpersist() catch { case _: Throwable => () } }
   }
 
   /** Unpersist and drop every entry. Global: only for dev tools
@@ -40,6 +60,7 @@ object PlanCache {
     * and sessions sharing the JVM stay cached.
     */
   def invalidate(): Unit = {
+    epoch.incrementAndGet()
     cache.values.forEach { df =>
       try df.unpersist() catch { case _: Throwable => () }
     }
@@ -48,8 +69,11 @@ object PlanCache {
 
   /** Unpersist and drop only the entries built over `dir` — the hook a
     * watch-loop deployment calls when that corpus dir's data changed
-    * (see streaming.WatchLoop). */
+    * (see streaming.WatchLoop). NOTE: this releases PERSISTED relations
+    * only; derived bucketed TABLES need
+    * sources.IndexStore.invalidateDerived(dir) alongside. */
   def invalidate(dir: String): Unit = {
+    epoch.incrementAndGet()
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

@@ -433,7 +433,7 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
     "pattern_search" -> {
       // MUST stay in lockstep with PatternOps.patternSearch's template
-      val r = "(?:^|[^a-z0-9])(hash[^a-z0-9]+([a-z0-9]+)[^a-z0-9]+join)(?:[^a-z0-9]|$)"
+      val r = "(?:^|[^a-z0-9])(hash[^a-z0-9]+([a-z0-9]+)[^a-z0-9]+join)\\b"
       s"""WITH m AS (SELECT doc_id, lower(text) AS lt FROM documents),
          |x AS (SELECT doc_id, lt,
          |    regexp_extract(lt, '$r', 1) AS match_text,
@@ -446,7 +446,7 @@ object SparkEntry {
     },
     "pattern_search_all" -> {
       // MUST stay in lockstep with PatternOps.patternSearchAll's template
-      val r = "(?:^|[^a-z0-9])(hash[^a-z0-9]+([a-z0-9]+)[^a-z0-9]+join)(?:[^a-z0-9]|$)"
+      val r = "(?:^|[^a-z0-9])(hash[^a-z0-9]+([a-z0-9]+)[^a-z0-9]+join)\\b"
       s"""WITH m AS (SELECT doc_id, lower(text) AS lt FROM documents),
          |x AS (SELECT doc_id,
          |    regexp_extract_all(lt, '$r', 1) AS ms,

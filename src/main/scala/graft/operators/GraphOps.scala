@@ -354,8 +354,18 @@ object GraphOps {
           col("t").as("node_type"), col("id").as("node_id")))
       }
       // the src row, emitted only if dst was reached at all
-      path.unionAll(dst.select(lit(0).as("step"), lit(srcType).as("node_type"),
-        lit(srcId).as("node_id")))
+      val full = path.unionAll(dst.select(lit(0).as("step"),
+        lit(srcType).as("node_type"), lit(srcId).as("node_id")))
+      // materialize the (≤ maxDepth+1 row) result eagerly, then RELEASE
+      // the per-layer caches: unlike the fixed-name BFS ops (one tag per
+      // (session, dir, op)), this key space is per-(src, dst, depth) —
+      // a deployment answering many distinct path queries would pin
+      // maxDepth persisted layers each and grow executor storage without
+      // bound. After the cut, the memo holds only the tiny path itself.
+      val out = full.localCheckpoint(true)
+      for (h <- 1 to maxDepth)
+        graft.PlanCache.drop(spark, dir, s"$tag:layer$h")
+      out
     }
   }
 

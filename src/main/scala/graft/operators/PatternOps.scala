@@ -40,22 +40,36 @@ object PatternOps {
     val metaNames: Seq[String] = elems.collect { case MetaVar(n) => n }
 
     /** The compiled scan predicate: core = elements joined by separator
-      * runs, wrapped in explicit boundary alternations instead of
-      * lookarounds (RE2 has none). Group 1 is the whole core; group 1+k
-      * is the k-th metavariable.
+      * runs. RE2 has no lookaround, so the LEADING boundary is a
+      * consuming alternation and the TRAILING boundary is the zero-width
+      * `\b` — consuming the trailing separator would swallow the next
+      * match's leading boundary, silently dropping occurrences separated
+      * by a single separator char ("hash a join hash b join" must count
+      * 2). The one `\b`-vs-separator divergence: `_` is a word char to
+      * `\b` but a separator to the tokenizer, so a match immediately
+      * followed by `_` is treated as within-word and not counted — both
+      * engines agree, and the corpus has no underscores. Group 1 is the
+      * whole core; group 1+k is the k-th metavariable.
       */
     def regex: String = {
       val core = elems.map {
         case LitTok(t)  => t
         case MetaVar(_) => "([a-z0-9]+)"
       }.mkString("[^a-z0-9]+")
-      s"(?:^|[^a-z0-9])($core)(?:[^a-z0-9]|$$)"
+      s"(?:^|[^a-z0-9])($core)\\b"
     }
   }
 
   object PatternQuery {
     private val Meta = "^\\$([A-Z][A-Z0-9_]*)$".r
     private val Lit = "^[a-z0-9]+$".r
+
+    /** Output column names the operator itself emits — a metavariable
+      * lowercasing to one of these would silently shadow an internal or
+      * output column ($LT would replace the staged lowercased text), so
+      * the parser rejects them at the untrusted boundary. */
+    private val Reserved =
+      Set("doc_id", "lt", "match_text", "hit_pos", "n_matches", "match_idx")
 
     /** Parse a whitespace-separated template (`"hash $KIND join"`). This
       * is an untrusted boundary like the FTS/DSL parsers: every malformed
@@ -77,13 +91,20 @@ object PatternOps {
           s"duplicate metavariable in '$template': binding the same name " +
             "twice needs backreferences, which the RE2-compatible target " +
             "does not support")
+      names.filter(n => Reserved.contains(n.toLowerCase)).foreach { n =>
+        throw new IllegalArgumentException(
+          s"metavariable $$$n collides with the reserved output column " +
+            s"'${n.toLowerCase}'")
+      }
       PatternQuery(elems)
     }
   }
 
-  /** Matches for `template` over the corpus: doc_id, the position of the
-    * first match (by the instr-of-matched-text convention fts_snippet
-    * also uses), the matched text, the total non-overlapping match count,
+  /** Matches for `template` over the corpus: doc_id, a hit position (the
+    * FIRST OCCURRENCE of the matched text, the instr convention
+    * fts_snippet also uses — when the same byte sequence occurs earlier
+    * mid-word, the reported position precedes the structural match
+    * site), the matched text, the total non-overlapping match count,
     * and one lowercase-named column per metavariable with its captured
     * token from the first match. Ranked by match count (desc, doc_id
     * tiebreak), top `limit` — an ORDER BY + LIMIT that collapses to

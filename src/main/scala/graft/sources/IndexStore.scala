@@ -96,6 +96,23 @@ object IndexStore {
     }
   }
 
+  /** Drop every derived bucketed table built over `dir` (all sessions'
+    * registry entries and the physical tables). The data-changed hook for
+    * the dedup/ANN index relations — pairs with PlanCache.invalidate(dir),
+    * which alone only releases PERSISTED relations: without this call the
+    * derived tables would keep answering from the pre-change snapshot. */
+  def invalidateDerived(spark: SparkSession, dir: String): Unit = {
+    val it = derived.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._2 == dir) {
+        try spark.sql(s"DROP TABLE IF EXISTS ${e.getValue}")
+        catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
   /** The materialized search index for one corpus dir. */
   final case class IndexTables(docs: String, embById: String,
       embByLabel: String)

@@ -54,13 +54,22 @@ object WatchLoop {
     StreamingOps.streamingEdgeUpserts(edgeStream)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
+        // anti-join against the table: the stream's dedup state starts
+        // EMPTY while the table is seeded with the full batch relation,
+        // so a watcher replaying current state at startup (the common
+        // file-watcher pattern) would otherwise re-append ~every edge
+        // and force a full invalidation for an unchanged graph. With the
+        // anti-join, "unchanged" means unchanged vs the TABLE — the
+        // no-op reload holds for replays too.
+        val fresh = batch
+          .join(batch.sparkSession.table(tbl), Seq("src", "dst"), "left_anti")
+          .persist()
         try {
-          if (b.count() > 0) {
-            b.write.mode("append").format("parquet").saveAsTable(tbl)
+          if (fresh.count() > 0) {
+            fresh.write.mode("append").format("parquet").saveAsTable(tbl)
             graft.PlanCache.invalidate(dir)
           }
-        } finally { b.unpersist(); () }
+        } finally { fresh.unpersist(); () }
       }
       .start()
   }

@@ -597,7 +597,7 @@ class PatternSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
         r.getString(4))).toSeq.sortBy(_._1)
     val re = java.util.regex.Pattern.compile(
-      "(?:^|[^a-z0-9])(hash[^a-z0-9]+([a-z0-9]+)[^a-z0-9]+join)(?:[^a-z0-9]|$)")
+      "(?:^|[^a-z0-9])(hash[^a-z0-9]+([a-z0-9]+)[^a-z0-9]+join)\\b")
     val want = Tables.documents(spark, SfDir)
       .select(col("doc_id"), lower(col("text"))).collect()
       .flatMap { r =>
@@ -734,6 +734,17 @@ class IndexStoreSpec extends AnyFunSuite with SparkFixture {
       assert(countExchanges(plan) <= 1,
         s"candidate pairs must not shuffle (only the agg may):\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("invalidateDerived drops a dir's derived tables; next use rebuilds") {
+    operators.DedupOps.simhashCandidates(spark, SfDir).count()
+    val tbl = "graft_simhash_bands_" + SfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    assert(spark.catalog.tableExists(tbl))
+    IndexStore.invalidateDerived(spark, SfDir)
+    assert(!spark.catalog.tableExists(tbl),
+      "the data-changed hook must drop the derived table")
+    // next use rebuilds the table and still answers
+    assert(operators.DedupOps.simhashCandidates(spark, SfDir).count() > 0)
   }
 
   test("simhash candidate join reads the bucketed band table co-located") {
@@ -951,6 +962,16 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       assert(spark.table(tbl).count() == rowsBefore,
         "a re-notified edge must not append (no-op reload)")
+      // a REPLAYED pre-existing edge (in the seeded table but not yet in
+      // the stream's state — the watcher-startup replay pattern) must
+      // also be a no-op: the anti-join against the table catches what
+      // the empty dedup state cannot
+      val existing = Tables.lineitem(spark, SfDir)
+        .select(col("l_suppkey"), col("l_partkey")).head()
+      mem.addData((existing.getLong(0), existing.getLong(1)))
+      q.processAllAvailable()
+      assert(spark.table(tbl).count() == rowsBefore,
+        "a replayed existing edge must not append (no-op reload)")
     } finally {
       q.stop()
       WatchLoop.stop(spark, SfDir)
