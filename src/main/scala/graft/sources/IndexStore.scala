@@ -138,17 +138,23 @@ object IndexStore {
     */
   def index(spark: SparkSession, dir: String): IndexTables = {
     built.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    built.computeIfAbsent((spark, dir), _ => {
+    // get + putIfAbsent, NOT computeIfAbsent: today index() never nests,
+    // but one future dependency resolved through a cache would turn
+    // nested computeIfAbsent on a ConcurrentHashMap into a bin-layout-
+    // dependent "Recursive update" crash (the PlanCache rule). The write
+    // itself is idempotent, so a rare double-build race is harmless.
+    val key = (spark, dir)
+    val existing = built.get(key)
+    if (existing != null) existing
+    else {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val t = IndexTables(s"graft_docs$tag", s"graft_emb_id$tag",
         s"graft_emb_lbl$tag")
       val names = Seq(t.docs, t.embById, t.embByLabel)
-      if (names.forall(spark.catalog.tableExists)) {
-        // another session sharing this catalog already built the index for
-        // this dir — REUSE it; dropping here would yank tables out from
-        // under that session's running queries
-        t
-      } else {
+      // if another session sharing this catalog already built the index
+      // for this dir, REUSE it; dropping here would yank tables out from
+      // under that session's running queries
+      if (!names.forall(spark.catalog.tableExists)) {
         // a prior PROCESS's warehouse dir may linger while this catalog is
         // empty — saveAsTable then fails with LOCATION_ALREADY_EXISTS, so
         // clear both catalog entry and physical location before writing
@@ -167,8 +173,9 @@ object IndexStore {
         writeBucketed(docs, t.docs, "doc_id", Buckets)
         writeBucketed(emb, t.embById, "vec_id", Buckets)
         writeBucketed(emb, t.embByLabel, "label", Buckets)
-        t
       }
-    })
+      built.putIfAbsent(key, t)
+      t
+    }
   }
 }
