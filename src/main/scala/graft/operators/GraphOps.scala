@@ -215,7 +215,8 @@ object GraphOps {
     * reachable in 2 hops (cortex `impact` metric). The two edge scans
     * join through the part frontier only for seed-rooted paths.
     */
-  def graphImpact(spark: SparkSession, dir: String): DataFrame = {
+  def graphImpact(spark: SparkSession, dir: String): DataFrame =
+   graft.PlanCache.getOrBuild(spark, dir, "graph:impact") {
     val e = edges(spark, dir)
     val out = e.filter(col("src") < SeedMax)
       .select(col("src").as("root"), col("dst"))
@@ -224,14 +225,15 @@ object GraphOps {
       .groupBy(col("root"))
       .agg(countDistinct(col("nbr")).as("n_impacted"))
       .orderBy(col("root"))
-  }
+   }
 
   /** Path query between seed roots (cortex `path`, searcher_sql.go): for
     * every ordered seed pair, the number of distinct length-2 paths
     * (shared parts). Both sides filter to seeds BEFORE the join, so the
     * join input is seeds' edges only, not the full edge table.
     */
-  def graphPath(spark: SparkSession, dir: String): DataFrame = {
+  def graphPath(spark: SparkSession, dir: String): DataFrame =
+   graft.PlanCache.getOrBuild(spark, dir, "graph:path") {
     val e = edges(spark, dir)
     val a = e.filter(col("src") < SeedMax)
       .select(col("src").as("a_id"), col("dst"))
@@ -240,7 +242,7 @@ object GraphOps {
     a.join(b, col("dst") === col("b_dst") && col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(countDistinct(col("dst")).as("n_paths"))
-  }
+   }
 
   /** BFS path FINDING — the reference's `path` operation returns an
     * actual node sequence between two nodes (internal/graph TestBFSPath),
@@ -397,7 +399,8 @@ object GraphOps {
     * thin key join or anti-join — no traversal re-runs, each phase reads
     * a memoized edge relation once.
     */
-  def graphImpactPhased(spark: SparkSession, dir: String): DataFrame = {
+  def graphImpactPhased(spark: SparkSession, dir: String): DataFrame =
+   graft.PlanCache.getOrBuild(spark, dir, "graph:impactPhased") {
     val e = edges(spark, dir)
     val cp = custPartEdges(spark, dir)
     val us = usesEdges(spark, dir)
@@ -416,18 +419,19 @@ object GraphOps {
         lit("customer"), col("id")))
       .unionAll(trans.select(lit("transitive"), lit("review_needed"),
         lit("customer"), col("id")))
-  }
+   }
 
   /** In/out degree for every node of the bipartite graph (cortex
     * callers/callees counts): suppliers count distinct parts shipped,
     * parts count distinct shipping suppliers.
     */
-  def graphDegree(spark: SparkSession, dir: String): DataFrame = {
+  def graphDegree(spark: SparkSession, dir: String): DataFrame =
+   graft.PlanCache.getOrBuild(spark, dir, "graph:degree") {
     val e = edges(spark, dir)
     e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .select(lit("supplier").as("node_type"), col("src").as("node_id"), col("degree"))
       .unionAll(
         e.groupBy(col("dst")).agg(count(lit(1)).as("degree"))
           .select(lit("part").as("node_type"), col("dst").as("node_id"), col("degree")))
-  }
+   }
 }

@@ -152,11 +152,23 @@ object PatternOps {
     * explodes only its own rows.
     */
   def patternMatchesAll(spark: SparkSession, dir: String,
+      template: String): DataFrame =
+    matchAllProjection(Tables.documents(spark, dir), template)
+
+  /** Streaming twin of [[patternMatchesAll]]: the projection is stateless
+    * (per-row regexes, a narrow Generate, no aggregation), so the exact
+    * same plan runs over a stream in append mode with no state store —
+    * the cortex watch-mode query path for pattern search. Used by the
+    * test suite over a MemoryStream. */
+  def streamingPatternMatches(docs: DataFrame, template: String): DataFrame =
+    matchAllProjection(docs, template)
+
+  private def matchAllProjection(docs: DataFrame,
       template: String): DataFrame = {
     val q = PatternQuery.parse(template)
     val r = q.regex
     val metaCols = q.metaNames.map(n => s"_c_${n.toLowerCase}")
-    var df = Tables.documents(spark, dir)
+    var df = docs
       .select(col("doc_id"), lower(col("text")).as("lt"))
       .withColumn("_ms", regexp_extract_all(col("lt"), lit(r), lit(1)))
     q.metaNames.zip(metaCols).zipWithIndex.foreach { case ((_, c), i) =>

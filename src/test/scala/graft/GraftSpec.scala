@@ -1001,6 +1001,28 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("pattern matching runs unchanged on a stream (stateless, append)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.PatternOps.streamingPatternMatches(
+        mem.toDF().toDF("doc_id", "text"), "hash $KIND join")
+      .writeStream.format("memory").queryName("pattern_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "a hash outer join b"), (2L, "no match here"))
+      q.processAllAvailable()
+      mem.addData((3L, "hash x join then hash y join"))
+      q.processAllAvailable()
+      val got = spark.table("pattern_stream")
+        .select("doc_id", "match_idx", "kind")
+        .as[(Long, Long, String)].collect().toSeq.sorted
+      assert(got == Seq((1L, 0L, "outer"), (3L, 0L, "x"), (3L, 1L, "y")),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits one row per content hash across batches") {
     val sparkS = spark
     import sparkS.implicits._
