@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccard _,
     "dedup_minhash_lsh" -> DedupOps.dedupMinhashLsh _,
     "dedup_simhash" -> DedupOps.dedupSimhash _,
+    "dedup_clusters" -> DedupOps.dedupClusters _,
     "dedup_embedding" -> DedupOps.dedupEmbedding _,
     "dedup_winnow" -> DedupOps.dedupWinnow _,
     "text_langid" -> TextOps.textLangid _,
@@ -124,6 +125,41 @@ object SparkEntry {
        |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs FROM g),
        |winn AS (SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 1)),
        |    i -> list_min(list_slice(hs, i, i + 4))) AS mins FROM h)""".stripMargin
+
+  /** The simhash pair SELECT, shared verbatim by the dedup_simhash oracle
+    * and (as a CTE) the dedup_clusters oracle — one place to change the
+    * band/threshold parameters. */
+  private lazy val duckSimhashSel: String =
+    s"""WITH $duckNg,
+       |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 4294967296 AS hv
+       |      FROM ng, unnest(gs) AS u(g)),
+       |hi AS (SELECT doc_id, hv, ix.i AS i
+       |       FROM h CROSS JOIN unnest(range(0, 32)) AS ix(i)),
+       |bits AS (SELECT doc_id, i,
+       |    sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM hi GROUP BY 1, 2),
+       |sh AS (SELECT doc_id,
+       |    sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS sig
+       |  FROM bits GROUP BY 1),
+       |k AS (SELECT t.doc_id, t.lang, t.lb, sh.sig
+       |      FROM tok t JOIN sh ON t.doc_id = sh.doc_id)
+       |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+       |  bit_count(xor(x.sig, y.sig)) AS hamming
+       |FROM k x JOIN k y ON x.lang = y.lang AND x.lb = y.lb
+       |  AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sig, y.sig)) <= 5""".stripMargin
+
+  /** Six unrolled min-label-propagation rounds — MUST match
+    * DedupOps.CcRounds; each round takes the min over neighbour labels
+    * and the node's own (every node has >= 1 neighbour by construction).
+    */
+  private lazy val duckCcRounds: String =
+    (1 to 6).map { r =>
+      s"""nb$r AS (SELECT ed.u AS id, min(lv.lbl) AS nb
+         |  FROM ed JOIN l${r - 1} lv ON ed.v = lv.id GROUP BY ed.u),
+         |l$r AS (SELECT p.id, least(p.lbl, nb$r.nb) AS lbl
+         |  FROM l${r - 1} p JOIN nb$r ON p.id = nb$r.id)""".stripMargin
+    }.mkString(",\n")
 
   /** Deterministic k-means CTE chain (md5-seeded init, one rounded
     * re-estimation) shared by the vec_kmeans and vec_knn_kmeans oracles —
@@ -484,25 +520,16 @@ object SparkEntry {
          |FROM cand JOIN ng x ON cand.a_id = x.doc_id
          |  JOIN ng y ON cand.b_id = y.doc_id
          |WHERE jac >= 0.5""".stripMargin,
-    "dedup_simhash" ->
-      s"""WITH $duckNg,
-         |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 4294967296 AS hv
-         |      FROM ng, unnest(gs) AS u(g)),
-         |hi AS (SELECT doc_id, hv, ix.i AS i
-         |       FROM h CROSS JOIN unnest(range(0, 32)) AS ix(i)),
-         |bits AS (SELECT doc_id, i,
-         |    sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM hi GROUP BY 1, 2),
-         |sh AS (SELECT doc_id,
-         |    sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS sig
-         |  FROM bits GROUP BY 1),
-         |k AS (SELECT t.doc_id, t.lang, t.lb, sh.sig
-         |      FROM tok t JOIN sh ON t.doc_id = sh.doc_id)
-         |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
-         |  bit_count(xor(x.sig, y.sig)) AS hamming
-         |FROM k x JOIN k y ON x.lang = y.lang AND x.lb = y.lb
-         |  AND x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.sig, y.sig)) <= 5""".stripMargin,
+    "dedup_simhash" -> duckSimhashSel,
+    "dedup_clusters" ->
+      s"""WITH pairs AS ($duckSimhashSel),
+         |ed AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |       UNION ALL SELECT b_id, a_id FROM pairs),
+         |n AS (SELECT DISTINCT u AS id FROM ed),
+         |l0 AS (SELECT id, id AS lbl FROM n),
+         |$duckCcRounds
+         |SELECT id AS doc_id, lbl AS cluster_id, (id = lbl)::INT AS is_rep
+         |FROM l6""".stripMargin,
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(${duckCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 4) AS score

@@ -321,6 +321,51 @@ object DedupOps {
       .filter(col("containment") >= 0.5)
   }
 
+  /** Label-propagation rounds for [[dedupClusters]]. Fixed (not
+    * run-to-convergence) so the DuckDB oracle can unroll the identical
+    * iteration count and match row-for-row even on an unconverged
+    * pathological component; 6 covers any component of diameter ≤ 6,
+    * and near-dup components are small dense cliques in practice. At
+    * 100 TB the same loop runs with checkpointed labels per round —
+    * work per round is one join + one aggregate on the (thin) pair
+    * graph, which is collisions-sized, not corpus-sized. */
+  private val CcRounds = 6
+
+  /** Near-dup CLUSTERING — the step after pair generation that a real
+    * training-data pipeline needs: connected components over the
+    * dedup_simhash pair graph via min-label propagation, with the
+    * cluster representative (minimum doc_id, the reference's
+    * keep-lowest-id convention for duplicate groups) marked so
+    * downstream keeps one row per cluster. Only documents that appear
+    * in at least one near-dup pair surface; everything else is
+    * trivially its own cluster and needs no shuffle at all.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "dedup:clusters") {
+      val p = dedupSimhash(spark, dir).select(col("a_id"), col("b_id"))
+      // both edge directions; localCheckpoint — every round re-reads
+      // this relation and labels_{r+1} references labels_r twice, so
+      // uncut lineage would double per round like the BFS layers
+      val e = p.select(col("a_id").as("u"), col("b_id").as("v"))
+        .unionAll(p.select(col("b_id").as("u"), col("a_id").as("v")))
+        .localCheckpoint(true)
+      var labels = e.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+        .localCheckpoint(true)
+      for (_ <- 1 to CcRounds) {
+        // every node has >= 1 neighbor by construction (it came from a
+        // pair), so the inner join loses nobody
+        val nb = e
+          .join(labels.select(col("id").as("v"), col("lbl").as("v_lbl")), "v")
+          .groupBy(col("u").as("id")).agg(min(col("v_lbl")).as("nb"))
+        labels = labels.join(nb, "id")
+          .select(col("id"), least(col("lbl"), col("nb")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).cast("int").as("is_rep"))
+    }
+
   /** Hyperplane-LSH geometry for the 0.42-cosine threshold: per-bit
     * agreement for a just-qualifying pair is p = 1 - acos(0.42)/π ≈ 0.64,
     * so bands must be NARROW (4 bits) and MANY (32) for recall — miss

@@ -229,6 +229,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("near-dup clusters agree with a union-find over the pair list") {
+    val pairs = DedupOps.dedupSimhash(spark, SfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = DedupOps.dedupClusters(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // reference union-find with min-id representatives
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    assert(got.nonEmpty && got.map(_._1).toSet == want.keySet)
+    got.foreach { case (id, cl, rep) =>
+      assert(cl == want(id), s"doc $id: cluster $cl vs union-find ${want(id)}")
+      assert((rep == 1) == (id == cl))
+    }
+  }
+
   test("simhash candidates come from a band join, not an all-pairs block join") {
     val plan = DedupOps.dedupSimhash(spark, SfDir)
       .queryExecution.executedPlan.toString
