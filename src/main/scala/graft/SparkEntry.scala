@@ -72,6 +72,7 @@ object SparkEntry {
     "text_tokens" -> TextOps.textTokens _,
     "text_fingerprint" -> TextOps.textFingerprint _,
     "text_winnow" -> TextOps.textWinnow _,
+    "corpus_curate" -> TextOps.corpusCurate _,
     "chunk_documents" -> ChunkOps.chunkDocuments _,
     "chunk_structured" -> ChunkOps.chunkStructured _,
     "change_detect" -> ChunkOps.changeDetect _,
@@ -126,6 +127,27 @@ object SparkEntry {
        |winn AS (SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 1)),
        |    i -> list_min(list_slice(hs, i, i + 4))) AS mins FROM h)""".stripMargin
 
+  /** text_langid / text_quality oracle bodies — shared verbatim with the
+    * corpus_curate oracle, which composes them as CTEs. */
+  private lazy val oracleSqlTextLangid: String =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN s_en >= s_code AND s_en >= s_data THEN 'en'
+       |       WHEN s_code >= s_data THEN 'code' ELSE 'data' END AS pred_lang
+       |FROM (SELECT doc_id, lang,
+       |  len(list_filter($duckTok, t -> list_contains(['the','a','is'], t))) AS s_en,
+       |  len(list_filter($duckTok, t -> list_contains(['table','query','join'], t))) AS s_code,
+       |  len(list_filter($duckTok, t -> list_contains(['data','stream','batch'], t))) AS s_data
+       |  FROM documents)""".stripMargin
+
+  private lazy val oracleSqlTextQuality: String =
+    s"""SELECT doc_id, len(ts) AS n_tokens,
+       |  round(0.3 * least(len(ts)::DOUBLE / 50.0, 1.0)
+       |    + 0.4 * (len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+       |             / greatest(n_chars, 1))
+       |    + 0.3 * (1.0 - len(list_filter(ts, t -> list_contains(['the','a'], t)))::DOUBLE
+       |             / greatest(len(ts), 1)), 4) AS quality
+       |FROM (SELECT doc_id, n_chars, text, $duckTok AS ts FROM documents)""".stripMargin
+
   /** The simhash pair SELECT, shared verbatim by the dedup_simhash oracle
     * and (as a CTE) the dedup_clusters oracle — one place to change the
     * band/threshold parameters. */
@@ -160,6 +182,18 @@ object SparkEntry {
          |l$r AS (SELECT p.id, least(p.lbl, nb$r.nb) AS lbl
          |  FROM l${r - 1} p JOIN nb$r ON p.id = nb$r.id)""".stripMargin
     }.mkString(",\n")
+
+  /** The full clusters SELECT, shared by the dedup_clusters oracle and
+    * (as a CTE) the corpus_curate oracle. */
+  private lazy val duckClustersSel: String =
+    s"""WITH pairs AS ($duckSimhashSel),
+       |ed AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |       UNION ALL SELECT b_id, a_id FROM pairs),
+       |n AS (SELECT DISTINCT u AS id FROM ed),
+       |l0 AS (SELECT id, id AS lbl FROM n),
+       |$duckCcRounds
+       |SELECT id AS doc_id, lbl AS cluster_id, (id = lbl)::INT AS is_rep
+       |FROM l6""".stripMargin
 
   /** Deterministic k-means CTE chain (md5-seeded init, one rounded
     * re-estimation) shared by the vec_kmeans and vec_knn_kmeans oracles —
@@ -521,15 +555,7 @@ object SparkEntry {
          |  JOIN ng y ON cand.b_id = y.doc_id
          |WHERE jac >= 0.5""".stripMargin,
     "dedup_simhash" -> duckSimhashSel,
-    "dedup_clusters" ->
-      s"""WITH pairs AS ($duckSimhashSel),
-         |ed AS (SELECT a_id AS u, b_id AS v FROM pairs
-         |       UNION ALL SELECT b_id, a_id FROM pairs),
-         |n AS (SELECT DISTINCT u AS id FROM ed),
-         |l0 AS (SELECT id, id AS lbl FROM n),
-         |$duckCcRounds
-         |SELECT id AS doc_id, lbl AS cluster_id, (id = lbl)::INT AS is_rep
-         |FROM l6""".stripMargin,
+    "dedup_clusters" -> duckClustersSel,
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(${duckCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 4) AS score
@@ -550,23 +576,19 @@ object SparkEntry {
          |    greatest(least(len(x.sel), len(y.sel)), 1), 4) AS containment
          |FROM cand JOIN s x ON cand.a_id = x.doc_id JOIN s y ON cand.b_id = y.doc_id
          |WHERE containment >= 0.5""".stripMargin,
-    "text_langid" ->
-      s"""SELECT doc_id, lang,
-         |  CASE WHEN s_en >= s_code AND s_en >= s_data THEN 'en'
-         |       WHEN s_code >= s_data THEN 'code' ELSE 'data' END AS pred_lang
-         |FROM (SELECT doc_id, lang,
-         |  len(list_filter($duckTok, t -> list_contains(['the','a','is'], t))) AS s_en,
-         |  len(list_filter($duckTok, t -> list_contains(['table','query','join'], t))) AS s_code,
-         |  len(list_filter($duckTok, t -> list_contains(['data','stream','batch'], t))) AS s_data
-         |  FROM documents)""".stripMargin,
-    "text_quality" ->
-      s"""SELECT doc_id, len(ts) AS n_tokens,
-         |  round(0.3 * least(len(ts)::DOUBLE / 50.0, 1.0)
-         |    + 0.4 * (len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
-         |             / greatest(n_chars, 1))
-         |    + 0.3 * (1.0 - len(list_filter(ts, t -> list_contains(['the','a'], t)))::DOUBLE
-         |             / greatest(len(ts), 1)), 4) AS quality
-         |FROM (SELECT doc_id, n_chars, text, $duckTok AS ts FROM documents)""".stripMargin,
+    "text_langid" -> oracleSqlTextLangid,
+    "corpus_curate" -> {
+      val qsel = oracleSqlTextQuality
+      val lsel = oracleSqlTextLangid
+      s"""WITH qsel AS ($qsel),
+         |lsel AS ($lsel),
+         |cl AS ($duckClustersSel)
+         |SELECT q.doc_id, q.quality, l.pred_lang
+         |FROM qsel q JOIN lsel l ON q.doc_id = l.doc_id
+         |WHERE l.pred_lang = 'en' AND q.quality >= 0.5
+         |  AND q.doc_id NOT IN (SELECT doc_id FROM cl WHERE is_rep = 0)""".stripMargin
+    },
+    "text_quality" -> oracleSqlTextQuality,
     "text_tokens" ->
       s"""SELECT doc_id, len($duckTok) AS n_tokens,
          |  len(list_distinct($duckTok)) AS n_unique,

@@ -122,4 +122,24 @@ object TextOps {
       .select(col("doc_id"), size(col("sel")).as("n_fps"),
         md5(concat_ws(",", transform(col("sel"), _.cast("string"))))
           .as("fp_digest"))
+
+  /** The end-to-end curation query — what a training-data pipeline
+    * actually runs over a raw corpus: keep documents that (1) language-ID
+    * as the target register, (2) clear the quality floor, and (3) are not
+    * a non-representative member of a near-dup cluster. Composes the
+    * existing scored scans with the clustering output: two one-scan
+    * projections joined on doc_id plus a broadcast-sized anti-join
+    * against the (pairs-sized, tiny relative to corpus) non-representative
+    * set — no new shuffle machinery, which is the point of building the
+    * curation steps as composable operators.
+    */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    val q = textQuality(spark, dir).select(col("doc_id"), col("quality"))
+    val l = textLangid(spark, dir).select(col("doc_id"), col("pred_lang"))
+    val nonRep = DedupOps.dedupClusters(spark, dir)
+      .filter(col("is_rep") === 0).select(col("doc_id"))
+    q.join(l, "doc_id")
+      .filter(col("pred_lang") === "en" && col("quality") >= 0.5)
+      .join(nonRep, Seq("doc_id"), "left_anti")
+  }
 }

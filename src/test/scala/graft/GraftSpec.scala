@@ -229,6 +229,19 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("curation keeps cluster representatives and drops the other members") {
+    val curated = operators.TextOps.corpusCurate(spark, SfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusters = DedupOps.dedupClusters(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    // no non-representative cluster member survives curation
+    clusters.foreach { case (id, isRep) =>
+      if (isRep == 0) assert(!curated.contains(id),
+        s"non-representative dup $id must be dropped")
+    }
+    assert(curated.nonEmpty)
+  }
+
   test("near-dup clusters agree with a union-find over the pair list") {
     val pairs = DedupOps.dedupSimhash(spark, SfDir)
       .select("a_id", "b_id").collect()
