@@ -171,12 +171,13 @@ object SparkEntry {
        |  AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.sig, y.sig)) <= 5""".stripMargin
 
-  /** Six unrolled min-label-propagation rounds — MUST match
-    * DedupOps.CcRounds; each round takes the min over neighbour labels
-    * and the node's own (every node has >= 1 neighbour by construction).
+  /** Unrolled min-label-propagation rounds, generated FROM
+    * DedupOps.CcRounds so Spark and oracle always iterate the same
+    * count; each round takes the min over neighbour labels and the
+    * node's own (every node has >= 1 neighbour by construction).
     */
   private lazy val duckCcRounds: String =
-    (1 to 6).map { r =>
+    (1 to DedupOps.CcRounds).map { r =>
       s"""nb$r AS (SELECT ed.u AS id, min(lv.lbl) AS nb
          |  FROM ed JOIN l${r - 1} lv ON ed.v = lv.id GROUP BY ed.u),
          |l$r AS (SELECT p.id, least(p.lbl, nb$r.nb) AS lbl
@@ -193,7 +194,7 @@ object SparkEntry {
        |l0 AS (SELECT id, id AS lbl FROM n),
        |$duckCcRounds
        |SELECT id AS doc_id, lbl AS cluster_id, (id = lbl)::INT AS is_rep
-       |FROM l6""".stripMargin
+       |FROM l${DedupOps.CcRounds}""".stripMargin
 
   /** Deterministic k-means CTE chain (md5-seeded init, one rounded
     * re-estimation) shared by the vec_kmeans and vec_knn_kmeans oracles —
@@ -582,11 +583,16 @@ object SparkEntry {
       val lsel = oracleSqlTextLangid
       s"""WITH qsel AS ($qsel),
          |lsel AS ($lsel),
-         |cl AS ($duckClustersSel)
-         |SELECT q.doc_id, q.quality, l.pred_lang
-         |FROM qsel q JOIN lsel l ON q.doc_id = l.doc_id
-         |WHERE l.pred_lang = 'en' AND q.quality >= 0.5
-         |  AND q.doc_id NOT IN (SELECT doc_id FROM cl WHERE is_rep = 0)""".stripMargin
+         |cl AS ($duckClustersSel),
+         |passed AS (SELECT q.doc_id, q.quality, l.pred_lang
+         |  FROM qsel q JOIN lsel l ON q.doc_id = l.doc_id
+         |  WHERE l.pred_lang = 'en' AND q.quality >= 0.5),
+         |pc AS (SELECT p.doc_id, cl.cluster_id
+         |       FROM passed p JOIN cl ON p.doc_id = cl.doc_id),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM pc GROUP BY cluster_id)
+         |SELECT p.doc_id, p.quality, p.pred_lang FROM passed p
+         |WHERE p.doc_id NOT IN (SELECT doc_id FROM pc)
+         |   OR p.doc_id IN (SELECT doc_id FROM keepers)""".stripMargin
     },
     "text_quality" -> oracleSqlTextQuality,
     "text_tokens" ->

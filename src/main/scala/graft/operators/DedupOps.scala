@@ -328,8 +328,10 @@ object DedupOps {
     * and near-dup components are small dense cliques in practice. At
     * 100 TB the same loop runs with checkpointed labels per round —
     * work per round is one join + one aggregate on the (thin) pair
-    * graph, which is collisions-sized, not corpus-sized. */
-  private val CcRounds = 6
+    * graph, which is collisions-sized, not corpus-sized. The oracle
+    * builder reads this SAME constant to unroll its CTE rounds, so the
+    * two cannot drift. */
+  private[graft] val CcRounds = 6
 
   /** Near-dup CLUSTERING — the step after pair generation that a real
     * training-data pipeline needs: connected components over the

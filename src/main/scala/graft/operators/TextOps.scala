@@ -136,10 +136,19 @@ object TextOps {
   def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
     val q = textQuality(spark, dir).select(col("doc_id"), col("quality"))
     val l = textLangid(spark, dir).select(col("doc_id"), col("pred_lang"))
-    val nonRep = DedupOps.dedupClusters(spark, dir)
-      .filter(col("is_rep") === 0).select(col("doc_id"))
-    q.join(l, "doc_id")
+    val passed = q.join(l, "doc_id")
       .filter(col("pred_lang") === "en" && col("quality") >= 0.5)
-      .join(nonRep, Seq("doc_id"), "left_anti")
+    // dedup among SURVIVORS: the representative is the minimum doc_id of
+    // the cluster members that passed the filters — not the global
+    // cluster rep, which may itself have been filtered out (dropping
+    // every member would lose content no surviving twin represents)
+    val clusters = DedupOps.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val passedClustered = passed.select(col("doc_id")).join(clusters, "doc_id")
+    val keep = passedClustered.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val drop = passedClustered.select(col("doc_id"))
+      .join(keep, Seq("doc_id"), "left_anti")
+    passed.join(drop, Seq("doc_id"), "left_anti")
   }
 }

@@ -55,6 +55,19 @@ object IndexStore {
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** Per-key build monitors: get+putIfAbsent alone would let two threads
+    * race the DROP + path-delete + saveAsTable sequence for the SAME key
+    * (one thread's write fails under the other's cleanup) — table writes
+    * are not idempotent mid-flight. Monitors are reentrant for a thread
+    * and independent across keys, so a build that re-enters through a
+    * DIFFERENT key (the computeIfAbsent "Recursive update" hazard) still
+    * cannot deadlock a single map. computeIfAbsent here is safe: the
+    * closure allocates an Object, touching nothing. */
+  private val buildLocks = new ConcurrentHashMap[Any, Object]()
+
+  private def withBuildLock[T](key: Any)(body: => T): T =
+    buildLocks.computeIfAbsent(key, _ => new Object).synchronized(body)
+
   private val derived =
     new ConcurrentHashMap[(SparkSession, String, String), String]()
 
@@ -80,19 +93,23 @@ object IndexStore {
     val key = (spark, dir, tag)
     val existing = derived.get(key)
     if (existing != null) existing
-    else {
-      val tbl = s"graft_${tag}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-      if (!spark.catalog.tableExists(tbl)) {
-        // clear a previous PROCESS's physical leftovers before writing
-        val wh = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"))
-        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val p = new org.apache.hadoop.fs.Path(wh, tbl.toLowerCase)
-        if (fs.exists(p)) fs.delete(p, true)
-        writeBucketedMulti(build, tbl, bucketCols, buckets)
+    else withBuildLock(key) {
+      val again = derived.get(key)
+      if (again != null) again
+      else {
+        val tbl = s"graft_${tag}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        if (!spark.catalog.tableExists(tbl)) {
+          // clear a previous PROCESS's physical leftovers before writing
+          val wh = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"))
+          val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val p = new org.apache.hadoop.fs.Path(wh, tbl.toLowerCase)
+          if (fs.exists(p)) fs.delete(p, true)
+          writeBucketedMulti(build, tbl, bucketCols, buckets)
+        }
+        derived.put(key, tbl)
+        tbl
       }
-      derived.putIfAbsent(key, tbl)
-      tbl
     }
   }
 
@@ -138,15 +155,23 @@ object IndexStore {
     */
   def index(spark: SparkSession, dir: String): IndexTables = {
     built.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    // get + putIfAbsent, NOT computeIfAbsent: today index() never nests,
-    // but one future dependency resolved through a cache would turn
-    // nested computeIfAbsent on a ConcurrentHashMap into a bin-layout-
-    // dependent "Recursive update" crash (the PlanCache rule). The write
-    // itself is idempotent, so a rare double-build race is harmless.
+    // per-key monitor, NOT computeIfAbsent: nested computeIfAbsent on a
+    // ConcurrentHashMap is a bin-layout-dependent "Recursive update"
+    // crash (the PlanCache rule), while a bare get+putIfAbsent would let
+    // two threads race the DROP + delete + write sequence — the monitor
+    // serializes same-key builds and stays reentrant across keys.
     val key = (spark, dir)
     val existing = built.get(key)
     if (existing != null) existing
-    else {
+    else withBuildLock(key) {
+      val again = built.get(key)
+      if (again != null) again
+      else buildIndex(spark, dir, key)
+    }
+  }
+
+  private def buildIndex(spark: SparkSession, dir: String,
+      key: (SparkSession, String)): IndexTables = {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val t = IndexTables(s"graft_docs$tag", s"graft_emb_id$tag",
         s"graft_emb_lbl$tag")
@@ -174,8 +199,7 @@ object IndexStore {
         writeBucketed(emb, t.embById, "vec_id", Buckets)
         writeBucketed(emb, t.embByLabel, "label", Buckets)
       }
-      built.putIfAbsent(key, t)
+      built.put(key, t)
       t
-    }
   }
 }

