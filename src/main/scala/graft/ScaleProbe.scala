@@ -79,6 +79,36 @@ object ScaleProbe {
       .select(col("doc_id").as("a_id"), col("b_id")).distinct()
   }
 
+  /** Bucketed-table candidate join vs the same join over a CACHED
+    * (non-bucketed) copy of the identical band relation — isolates what
+    * the round-3 bucketed dedup tables buy: the cached variant shuffles
+    * both sides into the join, the bucketed one reads co-located. */
+  private def bucketedProbe(spark: SparkSession, base: String,
+      copies: Int): Unit = {
+    PlanCache.invalidate()
+    val dir = s"/tmp/graft_scale/x$copies"
+    synth(spark, base, dir, copies)
+    // bucketed path (builds the table on first call — warm before timing)
+    operators.DedupOps.simhashCandidates(spark, dir).count()
+    val (tB, nB) = time(operators.DedupOps.simhashCandidates(spark, dir).count())
+    // cached-DataFrame path over the SAME rows
+    val cached = spark.table("graft_simhash_bands_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")).persist()
+    cached.count()
+    val joined = cached
+      .join(cached.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+          col("band").as("bb"), col("bkey").as("b_bkey")),
+        col("band") === col("bb") && col("bkey") === col("b_bkey") &&
+          col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"),
+        col("sig").as("a_sig"), col("b_sig"))
+    val (tC, nC) = time(joined.count())
+    cached.unpersist()
+    println(f"BUCKETED docs=${copies * 5000}%6d bucketed=$tB%6.2fs " +
+      f"cached-shuffled=$tC%6.2fs ratio=${tC / tB}%5.2fx " +
+      f"cands(bucketed=$nB, cached=$nC)")
+  }
+
   private def winnowProbe(spark: SparkSession, base: String): Unit = {
     PlanCache.invalidate()
     val dir = "/tmp/graft_scale/boiler"
@@ -113,6 +143,11 @@ object ScaleProbe {
     val base = "/root/testdata/sf0.1"
     if (args.headOption.contains("winnow")) {
       winnowProbe(spark, base)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("bucketed")) {
+      args.drop(1).map(_.toInt).foreach(c => bucketedProbe(spark, base, c))
       spark.stop()
       return
     }
