@@ -199,17 +199,18 @@ object GraphOps {
     * hop 1 = parts they ship, hop 2 = other suppliers shipping those
     * parts (cortex `dependencies`/`path` queries, searcher_sql.go).
     */
-  def graphKhop(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
-    val hop1 = e.filter(col("src") < SeedMax)
-      .select(col("dst")).distinct()
-    val hop2 = e.join(hop1, "dst")
-      .filter(col("src") >= SeedMax)
-      .select(col("src")).distinct()
-    hop1.select(lit(1).as("hop"), lit("part").as("node_type"), col("dst").as("node_id"))
-      .unionAll(hop2.select(lit(2).as("hop"), lit("supplier").as("node_type"),
-        col("src").as("node_id")))
-  }
+  def graphKhop(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "graph:khop2") {
+      val e = edges(spark, dir)
+      val hop1 = e.filter(col("src") < SeedMax)
+        .select(col("dst")).distinct()
+      val hop2 = e.join(hop1, "dst")
+        .filter(col("src") >= SeedMax)
+        .select(col("src")).distinct()
+      hop1.select(lit(1).as("hop"), lit("part").as("node_type"), col("dst").as("node_id"))
+        .unionAll(hop2.select(lit(2).as("hop"), lit("supplier").as("node_type"),
+          col("src").as("node_id")))
+    }
 
   /** Impact radius per seed root: how many distinct other suppliers are
     * reachable in 2 hops (cortex `impact` metric). The two edge scans
