@@ -60,6 +60,7 @@ object SparkEntry {
     "graph_impact_phased" -> GraphOps.graphImpactPhased _,
     "pattern_search" -> PatternOps.patternSearch _,
     "pattern_search_all" -> PatternOps.patternSearchAll _,
+    "pattern_search_gap" -> PatternOps.patternSearchGap _,
     "dedup_exact" -> DedupOps.dedupExact _,
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccard _,
     "dedup_minhash_lsh" -> DedupOps.dedupMinhashLsh _,
@@ -525,6 +526,18 @@ object SparkEntry {
          |  FROM m)
          |SELECT doc_id, u.i - 1 AS match_idx, ms[u.i] AS match_text, ks[u.i] AS kind
          |FROM x CROSS JOIN unnest(range(1, len(ms) + 1)) AS u(i)""".stripMargin
+    },
+    "pattern_search_gap" -> {
+      // MUST stay in lockstep with PatternOps.patternSearchGap's template
+      val r = "(?:^|[^a-z0-9])(hash[^a-z0-9]+(?:[a-z0-9]+[^a-z0-9]+)*?join)\\b"
+      s"""WITH m AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         |x AS (SELECT doc_id, lt,
+         |    regexp_extract(lt, '$r', 1) AS match_text,
+         |    len(regexp_extract_all(lt, '$r', 1)) AS n_matches
+         |  FROM m)
+         |SELECT doc_id, instr(lt, match_text) AS hit_pos, match_text, n_matches
+         |FROM x WHERE match_text <> ''
+         |ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
     },
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS min_doc_id

@@ -33,6 +33,13 @@ object PatternOps {
   final case class LitTok(tok: String) extends Elem
   /** A metavariable capturing exactly one token, like ast-grep's `$VAR`. */
   final case class MetaVar(name: String) extends Elem
+  /** `$$$` — a non-capturing gap of ZERO OR MORE tokens between its
+    * neighbours, like ast-grep's multi-node metavariable. Compiled to a
+    * LAZY repetition (shortest gap wins, the minimal-match convention),
+    * which RE2 and the JVM regex engine resolve identically for this
+    * lookaround-free subset — verified empirically against the oracle
+    * engine over the whole corpus at every SF. */
+  case object Gap extends Elem
 
   final case class PatternQuery(elems: Seq[Elem]) {
     require(elems.nonEmpty, "pattern must contain at least one element")
@@ -52,11 +59,27 @@ object PatternOps {
       * whole core; group 1+k is the k-th metavariable.
       */
     def regex: String = {
-      val core = elems.map {
+      def render(e: Elem): String = e match {
         case LitTok(t)  => t
         case MetaVar(_) => "([a-z0-9]+)"
-      }.mkString("[^a-z0-9]+")
-      s"(?:^|[^a-z0-9])($core)\\b"
+        case Gap        => sys.error("unreachable: Gap renders as a joiner")
+      }
+      // a Gap REPLACES the plain separator between its neighbours with
+      // "separator, then lazily zero or more (token, separator)" — zero
+      // iterations degrades to the plain separator, so `a $$$ b` also
+      // matches adjacent "a b"
+      val sb = new StringBuilder(render(elems.head))
+      var pendingGap = false
+      elems.tail.foreach {
+        case Gap => pendingGap = true
+        case e =>
+          sb.append(
+            if (pendingGap) "[^a-z0-9]+(?:[a-z0-9]+[^a-z0-9]+)*?"
+            else "[^a-z0-9]+")
+          sb.append(render(e))
+          pendingGap = false
+      }
+      s"(?:^|[^a-z0-9])(${sb.toString})\\b"
     }
   }
 
@@ -80,11 +103,18 @@ object PatternOps {
       if (toks.isEmpty)
         throw new IllegalArgumentException("pattern template is empty")
       val elems: Seq[Elem] = toks.map {
+        case "$$$"                        => Gap
         case Meta(name)                   => MetaVar(name)
         case t if Lit.matches(t)          => LitTok(t)
         case t => throw new IllegalArgumentException(
-          s"pattern element '$t' is neither a lowercase token nor a $$METAVAR")
+          s"pattern element '$t' is neither a lowercase token, a " +
+            "$METAVAR, nor $$$")
       }
+      if (elems.head == Gap || elems.last == Gap)
+        throw new IllegalArgumentException(
+          "$$$ needs anchoring elements on both sides")
+      if (elems.sliding(2).exists(_.forall(_ == Gap)))
+        throw new IllegalArgumentException("adjacent $$$ gaps are redundant")
       val names = elems.collect { case MetaVar(n) => n }
       if (names.distinct.sizeIs != names.size)
         throw new IllegalArgumentException(
@@ -187,4 +217,9 @@ object PatternOps {
   /** Contract row for the all-occurrences surface. */
   def patternSearchAll(spark: SparkSession, dir: String): DataFrame =
     patternMatchesAll(spark, dir, "hash $KIND join")
+
+  /** Contract row for the multi-token gap: any "hash ... join" span with
+    * zero or more tokens between (the ast-grep `$$$` shape). */
+  def patternSearchGap(spark: SparkSession, dir: String): DataFrame =
+    patternMatches(spark, dir, "hash $$$ join", 20)
 }

@@ -614,6 +614,24 @@ class PatternSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] { PatternQuery.parse("$A join $A") }
   }
 
+  test("$$$ gap matches zero or more tokens between anchors, lazily") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val q = PatternQuery.parse("hash $$$ join")
+    assert(q.elems == Seq(LitTok("hash"), Gap, LitTok("join")))
+    val re = java.util.regex.Pattern.compile(q.regex)
+    def firstMatch(s: String): Option[String] = {
+      val m = re.matcher(s); if (m.find()) Some(m.group(1)) else None
+    }
+    assert(firstMatch("a hash join b") == Some("hash join"))        // zero tokens
+    assert(firstMatch("a hash x y join b") == Some("hash x y join"))
+    // lazy: stops at the FIRST join, not the last
+    assert(firstMatch("hash a join b join") == Some("hash a join"))
+    assert(firstMatch("hashx join") == None)                         // token boundary
+    intercept[IllegalArgumentException] { PatternQuery.parse("$$$ join") }
+    intercept[IllegalArgumentException] { PatternQuery.parse("a $$$ $$$ b") }
+  }
+
   test("pattern search is one scan, no UDF, no shuffle before the top-k") {
     val df = PatternOps.patternSearch(spark, SfDir)
     val plan = df.queryExecution.executedPlan.toString
