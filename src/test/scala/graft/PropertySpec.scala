@@ -80,6 +80,64 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("pattern templates agree with a token-sequence model on random docs") {
+    import operators.PatternOps
+    import operators.PatternOps._
+    val sparkS = spark
+    import sparkS.implicits._
+    val tmplVocab = Seq("data", "query", "scan", "x1")
+    // doc vocab includes near-miss tokens that CONTAIN template tokens as
+    // substrings, exercising the boundary handling
+    val docVocab = tmplVocab ++ Seq("datax", "xquery", "zz")
+    val seps = Seq(" ", ", ", " - ", "  ")
+
+    val genBase: Gen[List[Elem]] = for {
+      n <- Gen.chooseNum(1, 3)
+      es <- Gen.listOfN(n, Gen.oneOf(
+        Gen.oneOf(tmplVocab).map(LitTok.apply),
+        Gen.oneOf(Seq("A", "B", "C")).map(MetaVar.apply)))
+    } yield es.zipWithIndex.map { // metavar names must be distinct
+      case (MetaVar(nm), i) => MetaVar(s"$nm$i")
+      case (e, _) => e
+    }
+    val genTmpl: Gen[PatternQuery] = for {
+      base <- genBase
+      gaps <- Gen.listOfN(math.max(base.size - 1, 0), Gen.oneOf(true, false))
+    } yield PatternQuery(
+      base.head :: base.tail.zip(gaps).flatMap { case (e, g) =>
+        if (g) List(Gap, e) else List(e)
+      })
+    val genDocToks: Gen[Seq[String]] =
+      Gen.chooseNum(0, 7).flatMap(n => Gen.listOfN(n, Gen.oneOf(docVocab)))
+
+    // model: does the element list match starting at a token position?
+    def m(e: List[Elem], t: List[String]): Boolean = (e, t) match {
+      case (Nil, _) => true
+      case (LitTok(x) :: er, th :: tr) => th == x && m(er, tr)
+      case (MetaVar(_) :: er, _ :: tr) => m(er, tr)
+      case (Gap :: er, ts) => ts.tails.exists(s => m(er, s.toList))
+      case _ => false
+    }
+    def modelMatches(q: PatternQuery, toks: Seq[String]): Boolean =
+      toks.tails.exists(s => m(q.elems.toList, s.toList))
+
+    val cases = samples(Gen.zip(genTmpl,
+      Gen.listOfN(8, Gen.zip(genDocToks, Gen.oneOf(seps)))), 40)
+    cases.foreach { case (q, docs) =>
+      val df = docs.zipWithIndex
+        .map { case ((toks, sep), i) => (i.toLong, toks.mkString(sep)) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          (regexp_extract(lower(col("text")), q.regex, 1) =!= "").as("hit"))
+      val got = df.filter(col("hit")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val want = docs.zipWithIndex
+        .collect { case ((toks, _), i) if modelMatches(q, toks) => i.toLong }
+        .toSet
+      assert(got == want, s"template ${q.elems} regex ${q.regex} on $docs")
+    }
+  }
+
   test("winnowing guarantee: an 8-token shared run yields a shared fingerprint") {
     val sparkS = spark
     import sparkS.implicits._
