@@ -25,8 +25,25 @@ object PlanCache {
     * it just doesn't become the memo. */
   private val epoch = new java.util.concurrent.atomic.AtomicLong()
 
+  /** The epoch to snapshot at the START of a multi-layer build (BFS) and
+    * thread through every chained [[getOrBuildAt]] install. */
+  def currentEpoch: Long = epoch.get()
+
   def getOrBuild(spark: SparkSession, dir: String, tag: String)
-      (build: => DataFrame): DataFrame = {
+      (build: => DataFrame): DataFrame =
+    getOrBuildAt(spark, dir, tag, epoch.get())(build)
+
+  /** [[getOrBuild]] whose install check compares against a CALLER-supplied
+    * epoch snapshot. A chained build (BFS layer h+1 built from the local
+    * DataFrame of layer h) must pass the snapshot taken before layer 1:
+    * with a per-call snapshot, an invalidate landing between layers
+    * suppresses layer h's install but NOT layer h+1's — which was built
+    * from the stale hop-h frontier still held in a local var — and the
+    * next query would recombine fresh early layers with stale cached late
+    * ones. One snapshot for the whole chain makes the invalidate suppress
+    * every install derived from pre-change state. */
+  def getOrBuildAt(spark: SparkSession, dir: String, tag: String,
+      asOfEpoch: Long)(build: => DataFrame): DataFrame = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (spark, dir, tag)
     val existing = cache.get(key)
@@ -37,9 +54,8 @@ object PlanCache {
       // computeIfAbsent on one ConcurrentHashMap throws "Recursive
       // update" depending on bin layout. get + putIfAbsent is reentrant;
       // if two threads race, the loser unpersists its duplicate build.
-      val e0 = epoch.get()
       val built = build.persist()
-      if (epoch.get() != e0) { built.unpersist(); built }
+      if (epoch.get() != asOfEpoch) { built.unpersist(); built }
       else {
         val prev = cache.putIfAbsent(key, built)
         if (prev != null) { built.unpersist(); prev } else built

@@ -92,8 +92,8 @@ object ScaleProbe {
     operators.DedupOps.simhashCandidates(spark, dir).count()
     val (tB, nB) = time(operators.DedupOps.simhashCandidates(spark, dir).count())
     // cached-DataFrame path over the SAME rows
-    val cached = spark.table("graft_simhash_bands_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")).persist()
+    val cached = spark.table(
+      sources.IndexStore.derivedTableName(dir, "simhash_bands")).persist()
     cached.count()
     val joined = cached
       .join(cached.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),

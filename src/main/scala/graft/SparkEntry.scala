@@ -581,7 +581,8 @@ object SparkEntry {
          |s AS (SELECT doc_id, list_sort(list_distinct(mins)) AS sel FROM winn
          |      WHERE len(mins) > 0),
          |inv0 AS (SELECT doc_id, unnest(sel) AS fp FROM s),
-         |hot AS (SELECT fp FROM inv0 GROUP BY fp HAVING count(*) > 64),
+         |hot AS (SELECT fp FROM inv0 GROUP BY fp
+         |        HAVING count(*) > ${operators.DedupOps.WinnowDfCap}),
          |inv AS (SELECT doc_id, fp FROM inv0
          |        WHERE fp NOT IN (SELECT fp FROM hot)),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id

@@ -81,7 +81,7 @@ object GraphOps {
     * invocation; a cluster deployment would checkpoint frontiers instead.
     */
   private def typedBfs(spark: SparkSession, dir: String, tag: String,
-      adj: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
+      adj: DataFrame, seeds: DataFrame, depth: Int, asOf: Long): DataFrame = {
     require(depth >= 1 && depth <= MaxDepth, s"depth must be in [1, $MaxDepth]")
     var visited = seeds
     var frontier = seeds
@@ -90,12 +90,18 @@ object GraphOps {
       // frontier persists route through PlanCache (not a bare .persist())
       // so invalidate() releases them along with the memoized BFS output
       // instead of pinning executor storage for the session lifetime.
+      // Layer installs all compare against `asOf` — the epoch snapshot the
+      // OUTERMOST query took before layer 1 — because layer h+1 is built
+      // from the local hop-h DataFrame: an invalidate landing mid-BFS must
+      // suppress every later layer's install too, or the next query would
+      // recombine fresh early layers with stale cached late ones.
       // localCheckpoint TRUNCATES THE LINEAGE: without it, layer h's
       // logical plan contains every prior layer twice (frontier + visited
       // chain), so the plan tree doubles per hop — at depth 6 Catalyst
       // chokes on the 2^6 tree before a single task runs. A cluster
       // deployment would use reliable checkpoint() for the same reason.
-      val next = graft.PlanCache.getOrBuild(spark, dir, s"$tag:frontier$h") {
+      val next = graft.PlanCache.getOrBuildAt(spark, dir, s"$tag:frontier$h",
+          asOf) {
         adj
           .join(frontier.select(col("t").as("f_t"), col("id").as("f_id")),
             Seq("f_t", "f_id"))
@@ -132,11 +138,12 @@ object GraphOps {
     * hop. */
   def kHop(spark: SparkSession, dir: String, depth: Int): DataFrame = {
     require(depth >= 1 && depth <= MaxDepth, s"depth must be in [1, $MaxDepth]")
-    graft.PlanCache.getOrBuild(spark, dir, s"bfs:khop:$depth") {
+    val e0 = graft.PlanCache.currentEpoch
+    graft.PlanCache.getOrBuildAt(spark, dir, s"bfs:khop:$depth", e0) {
       val e = edges(spark, dir)
       val seeds = e.filter(col("src") < SeedMax)
         .select(lit("supplier").as("t"), col("src").as("id")).distinct()
-      typedBfs(spark, dir, s"bfs:khop:$depth", partAdj(e), seeds, depth)
+      typedBfs(spark, dir, s"bfs:khop:$depth", partAdj(e), seeds, depth, e0)
     }
   }
 
@@ -147,13 +154,15 @@ object GraphOps {
   /** Reverse-direction traversal over the `uses` relation (cortex
     * `dependents`, searcher_types.go): hop 1 = customers depending on the
     * seed suppliers, hop 2 = other suppliers those customers also use. */
-  def graphDependents(spark: SparkSession, dir: String): DataFrame =
-    graft.PlanCache.getOrBuild(spark, dir, "bfs:dependents") {
+  def graphDependents(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = graft.PlanCache.currentEpoch
+    graft.PlanCache.getOrBuildAt(spark, dir, "bfs:dependents", e0) {
       val u = usesEdges(spark, dir)
       val seeds = u.filter(col("supp") < SeedMax)
         .select(lit("supplier").as("t"), col("supp").as("id")).distinct()
-      typedBfs(spark, dir, "bfs:dependents", usesAdj(u), seeds, 2)
+      typedBfs(spark, dir, "bfs:dependents", usesAdj(u), seeds, 2, e0)
     }
+  }
 
   /** Direct neighbors — the cortex `callers`/`callees` operations
     * (searcher_types.go): depth-1 directed traversal. `callees` follows
@@ -163,37 +172,43 @@ object GraphOps {
     * use; they carry no separate `queries` row because graph_khop /
     * graph_implementations already oracle-check the identical hop-1
     * plans. */
-  def graphCallees(spark: SparkSession, dir: String): DataFrame =
-    graft.PlanCache.getOrBuild(spark, dir, "bfs:callees") {
+  def graphCallees(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = graft.PlanCache.currentEpoch
+    graft.PlanCache.getOrBuildAt(spark, dir, "bfs:callees", e0) {
       val e = edges(spark, dir)
       val seeds = e.filter(col("src") < SeedMax)
         .select(lit("supplier").as("t"), col("src").as("id")).distinct()
       typedBfs(spark, dir, "bfs:callees",
         e.select(lit("supplier").as("f_t"), col("src").as("f_id"),
-          lit("part").as("t_t"), col("dst").as("t_id")), seeds, 1)
+          lit("part").as("t_t"), col("dst").as("t_id")), seeds, 1, e0)
     }
+  }
 
-  def graphCallers(spark: SparkSession, dir: String): DataFrame =
-    graft.PlanCache.getOrBuild(spark, dir, "bfs:callers") {
+  def graphCallers(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = graft.PlanCache.currentEpoch
+    graft.PlanCache.getOrBuildAt(spark, dir, "bfs:callers", e0) {
       val e = edges(spark, dir)
       val seeds = e.filter(col("dst") < 40)
         .select(lit("part").as("t"), col("dst").as("id")).distinct()
       typedBfs(spark, dir, "bfs:callers",
         e.select(lit("part").as("f_t"), col("dst").as("f_id"),
-          lit("supplier").as("t_t"), col("src").as("t_id")), seeds, 1)
+          lit("supplier").as("t_t"), col("src").as("t_id")), seeds, 1, e0)
     }
+  }
 
   /** `implementations` / `type-usages` analogue over the second direction
     * of the supplier↔part relation: seed parts are the "interfaces", hop 1
     * = suppliers implementing (shipping) them, hop 2 = the other parts
     * those suppliers also ship (the usage closure). */
-  def graphImplementations(spark: SparkSession, dir: String): DataFrame =
-    graft.PlanCache.getOrBuild(spark, dir, "bfs:implementations") {
+  def graphImplementations(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = graft.PlanCache.currentEpoch
+    graft.PlanCache.getOrBuildAt(spark, dir, "bfs:implementations", e0) {
       val e = edges(spark, dir)
       val seeds = e.filter(col("dst") < 40)
         .select(lit("part").as("t"), col("dst").as("id")).distinct()
-      typedBfs(spark, dir, "bfs:implementations", partAdj(e), seeds, 2)
+      typedBfs(spark, dir, "bfs:implementations", partAdj(e), seeds, 2, e0)
     }
+  }
 
   /** Bounded-depth (2-hop) reachability from the seed suppliers:
     * hop 1 = parts they ship, hop 2 = other suppliers shipping those
@@ -310,7 +325,9 @@ object GraphOps {
     require(maxDepth >= 1 && maxDepth <= MaxDepth,
       s"maxDepth must be in [1, $MaxDepth]")
     val tag = s"bfs:path:$srcType:$srcId:$dstType:$dstId:$maxDepth"
-    graft.PlanCache.getOrBuild(spark, dir, tag) {
+    // one epoch snapshot for the whole layered build (see typedBfs)
+    val e0 = graft.PlanCache.currentEpoch
+    graft.PlanCache.getOrBuildAt(spark, dir, tag, e0) {
       val adj = partAdj(edges(spark, dir))
       val seeds = spark.range(1)
         .select(lit(srcType).as("t"), lit(srcId).as("id"))
@@ -321,7 +338,8 @@ object GraphOps {
         // localCheckpoint truncates the per-layer lineage (see typedBfs):
         // the backtrack below references `reached` once per step, so an
         // uncut plan would repeat the exponential layer tree ~20×
-        val next = graft.PlanCache.getOrBuild(spark, dir, s"$tag:layer$h") {
+        val next = graft.PlanCache.getOrBuildAt(spark, dir, s"$tag:layer$h",
+            e0) {
           adj
             .join(frontier.select(col("t").as("f_t"), col("id").as("f_id")),
               Seq("f_t", "f_id"))

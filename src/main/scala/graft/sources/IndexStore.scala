@@ -71,6 +71,12 @@ object IndexStore {
   private val derived =
     new ConcurrentHashMap[(SparkSession, String, String), String]()
 
+  /** The catalog name [[derivedBucketed]] gives the (dir, tag) derived
+    * table — the single source of the naming scheme; probes and tests
+    * resolve names through this instead of re-deriving the sanitization. */
+  def derivedTableName(dir: String, tag: String): String =
+    s"graft_${tag}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
   /** Materialize a derived relation (a signature/band/prefix index) ONCE
     * per (session, dir) as a bucketed table and return its name. The
     * dedup candidate self-joins read these tables from both sides
@@ -97,7 +103,7 @@ object IndexStore {
       val again = derived.get(key)
       if (again != null) again
       else {
-        val tbl = s"graft_${tag}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val tbl = derivedTableName(dir, tag)
         if (!spark.catalog.tableExists(tbl)) {
           // clear a previous PROCESS's physical leftovers before writing
           val wh = new org.apache.hadoop.fs.Path(

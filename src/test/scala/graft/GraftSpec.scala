@@ -229,15 +229,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("curation keeps cluster representatives and drops the other members") {
+  test("curation keeps exactly the min SURVIVING doc per near-dup cluster") {
     val curated = operators.TextOps.corpusCurate(spark, SfDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val clusters = DedupOps.dedupClusters(spark, SfDir).collect()
-      .map(r => (r.getLong(0), r.getInt(2))).toMap
-    // no non-representative cluster member survives curation
-    clusters.foreach { case (id, isRep) =>
-      if (isRep == 0) assert(!curated.contains(id),
-        s"non-representative dup $id must be dropped")
+    // the filter gate corpusCurate applies, recomputed independently
+    val quality = operators.TextOps.textQuality(spark, SfDir)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lang = operators.TextOps.textLangid(spark, SfDir)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val passes = (id: Long) => lang(id) == "en" && quality(id) >= 0.5
+    val byCluster = DedupOps.dedupClusters(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+    // corpusCurate's documented semantics: the representative is the
+    // minimum doc_id among the cluster members that SURVIVE the
+    // quality/lang filters (the global cluster rep may itself be filtered
+    // out — its cluster must then still be represented by a survivor)
+    byCluster.foreach { case (cl, members) =>
+      val survivors = members.map(_._1).filter(passes)
+      val kept = members.map(_._1).filter(curated.contains).sorted.toSeq
+      val want = if (survivors.isEmpty) Seq.empty else Seq(survivors.min)
+      assert(kept == want,
+        s"cluster $cl: curated members $kept, want $want " +
+          s"(survivors ${survivors.sorted.toSeq})")
     }
     assert(curated.nonEmpty)
   }
@@ -790,13 +805,36 @@ class IndexStoreSpec extends AnyFunSuite with SparkFixture {
 
   test("invalidateDerived drops a dir's derived tables; next use rebuilds") {
     operators.DedupOps.simhashCandidates(spark, SfDir).count()
-    val tbl = "graft_simhash_bands_" + SfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = IndexStore.derivedTableName(SfDir, "simhash_bands")
     assert(spark.catalog.tableExists(tbl))
     IndexStore.invalidateDerived(spark, SfDir)
     assert(!spark.catalog.tableExists(tbl),
       "the data-changed hook must drop the derived table")
     // next use rebuilds the table and still answers
     assert(operators.DedupOps.simhashCandidates(spark, SfDir).count() > 0)
+  }
+
+  test("chained builds share one epoch snapshot: mid-chain invalidate " +
+      "suppresses later layers' installs") {
+    val dir = "/tmp/graft_epoch_test"
+    PlanCache.invalidate(dir)
+    val e0 = PlanCache.currentEpoch
+    val l1 = PlanCache.getOrBuildAt(spark, dir, "ep:l1", e0) {
+      spark.range(5).toDF("id")
+    }
+    // an invalidate lands between layers (the watch loop's per-batch hook)
+    PlanCache.invalidate(dir)
+    // layer 2 is built from the stale local l1; its build STARTS after the
+    // bump, so a per-call epoch check would wrongly install it
+    PlanCache.getOrBuildAt(spark, dir, "ep:l2", e0) { l1.filter(col("id") < 3) }
+    var rebuilt = false
+    PlanCache.getOrBuild(spark, dir, "ep:l2") {
+      rebuilt = true; spark.range(2).toDF("id")
+    }
+    assert(rebuilt,
+      "post-invalidation lookup must not hit a layer installed from " +
+        "pre-invalidation state")
+    PlanCache.invalidate(dir)
   }
 
   test("simhash candidate join reads the bucketed band table co-located") {
