@@ -91,7 +91,13 @@ object SparkEntry {
     "graph_impact" -> GraphOps.graphImpact _,
     "graph_degree" -> GraphOps.graphDegree _,
     "stream_window_agg" -> graft.streaming.StreamingOps.streamWindowAgg _,
-    "stream_sessionize" -> graft.streaming.StreamingOps.streamSessionize _
+    "stream_sessionize" -> graft.streaming.StreamingOps.streamSessionize _,
+    "curate_decontaminate" -> CurateOps.curateDecontaminate _,
+    "curate_repetition" -> CurateOps.curateRepetition _,
+    "curate_pii_redact" -> CurateOps.curatePiiRedact _,
+    "curate_sample_stratified" -> CurateOps.curateSampleStratified _,
+    "curate_pack_sequences" -> CurateOps.curatePackSequences _,
+    "curate_shuffle_shards" -> CurateOps.curateShuffleShards _
   )
 
   private val duckTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -816,6 +822,69 @@ object SparkEntry {
         |  FROM l)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |  (min(tn) // 1000000000) AS start_epoch, (max(tn) // 1000000000) AS end_epoch
-        |FROM c GROUP BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // 4-token grams via list slicing; holdout mod and gram size come from
+    // the SAME constants the operator reads (the WinnowDfCap drift lesson)
+    "curate_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ts) - ${CurateOps.DecontamN - 2}),
+         |    i -> array_to_string(ts[i:i+${CurateOps.DecontamN - 1}], ' ')))) AS gram
+         |  FROM tok WHERE len(ts) >= ${CurateOps.DecontamN}),
+         |hold AS (SELECT DISTINCT gram FROM g
+         |         WHERE doc_id % ${CurateOps.HoldoutMod} = 0)
+         |SELECT g.doc_id, count(*) AS n_hits
+         |FROM g JOIN hold USING (gram)
+         |WHERE g.doc_id % ${CurateOps.HoldoutMod} <> 0
+         |GROUP BY 1""".stripMargin,
+    "curate_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(1, len(ts)),
+         |    i -> array_to_string(ts[i:i+1], ' ')) AS gs
+         |  FROM tok WHERE len(ts) >= 2),
+         |m AS (SELECT doc_id, len(gs)::DOUBLE AS nb,
+         |    1.0::DOUBLE - len(list_distinct(gs))::DOUBLE / len(gs) AS dup,
+         |    list_max(list_transform(list_distinct(gs),
+         |      gg -> len(list_filter(gs, x -> x = gg))))::DOUBLE / len(gs) AS top
+         |  FROM g)
+         |SELECT doc_id, round(dup, 4) AS dup_bigram_frac,
+         |  round(top, 4) AS top_bigram_frac,
+         |  (dup <= 0.05::DOUBLE AND top <= 0.05::DOUBLE)::INT AS keep
+         |FROM m""".stripMargin,
+    "curate_pii_redact" ->
+      s"""WITH t AS (SELECT doc_id, lower(text) || ' contact ' || source ||
+         |    '@example.com ext ' || doc_id::VARCHAR AS txt FROM documents),
+         |e AS (SELECT doc_id, txt,
+         |    regexp_replace(txt, '${CurateOps.EmailRe}', '<EMAIL>', 'g') AS et
+         |  FROM t)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(txt, '${CurateOps.EmailRe}')) AS n_emails,
+         |  len(regexp_extract_all(et, '${CurateOps.NumRe}')) AS n_numbers,
+         |  md5(regexp_replace(et, '${CurateOps.NumRe}', '<NUM>', 'g')) AS redacted_md5
+         |FROM e""".stripMargin,
+    "curate_sample_stratified" ->
+      """SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 2) AS hk
+        |FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
+        |  (CASE WHEN lang = 'en' THEN 'c0'
+        |        WHEN lang IN ('de', 'fr') THEN '80' ELSE '40' END)""".stripMargin,
+    "curate_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source, len($duckTok)::BIGINT AS n_tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT doc_id, source, n_tok,
+         |  ((cum - n_tok) // ${CurateOps.PackBudget})::BIGINT AS seq_id,
+         |  ((cum - n_tok) % ${CurateOps.PackBudget})::BIGINT AS seq_offset
+         |FROM c""".stripMargin,
+    "curate_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) AS hk FROM documents),
+        |s AS (SELECT doc_id, hk,
+        |    (instr('0123456789abcdef', substr(hk, 1, 1)) - 1)::INT AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id)::INT AS pos
+        |FROM s""".stripMargin
   )
 }

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CurateOps
+
+/** Invariants for the training-data curation family, each recomputed
+  * independently in plain Scala over the collected sf0.001 corpus (small
+  * enough to enumerate) — the same reference-reimplementation style the
+  * dedup suites use, so a Spark-side expression bug can't hide behind an
+  * oracle that mirrors it. */
+class CurateSpec extends AnyFunSuite with SparkFixture {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def toks(text: String): Vector[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+
+  private lazy val docs: Map[Long, (String, String, String)] =
+    Tables.documents(spark, SfDir)
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+
+  test("decontamination flags exactly the docs sharing a 4-gram with the holdout") {
+    def grams(text: String): Set[String] =
+      toks(text).sliding(CurateOps.DecontamN)
+        .filter(_.size == CurateOps.DecontamN).map(_.mkString(" ")).toSet
+    val hold = docs.collect {
+      case (id, (t, _, _)) if id % CurateOps.HoldoutMod == 0 => grams(t)
+    }.fold(Set.empty)(_ ++ _)
+    val expected = docs.collect {
+      case (id, (t, _, _)) if id % CurateOps.HoldoutMod != 0 &&
+          (grams(t) & hold).nonEmpty =>
+        id -> (grams(t) & hold).size.toLong
+    }.toMap
+    val got = CurateOps.curateDecontaminate(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "the corpus must actually exercise the overlap path")
+  }
+
+  test("decontamination broadcasts the eval-holdout gram set") {
+    val plan = CurateOps.curateDecontaminate(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"holdout grams must broadcast, not shuffle:\n$plan")
+  }
+
+  test("repetition metrics match a direct recount and gate the keep flag") {
+    val got = CurateOps.curateRepetition(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == docs.size)
+    got.foreach { case (id, dup, top, keep) =>
+      val gs = toks(docs(id)._1).sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toVector
+      val eDup = 1.0 - gs.distinct.size.toDouble / gs.size
+      val eTop = gs.groupBy(identity).values.map(_.size).max.toDouble / gs.size
+      assert(math.abs(dup - eDup) < 6e-5 && math.abs(top - eTop) < 6e-5,
+        s"doc $id metrics")
+      assert(keep == (if (eDup <= 0.05 && eTop <= 0.05) 1 else 0), s"doc $id keep")
+    }
+  }
+
+  test("pii redaction masks the injected contact suffix exactly once") {
+    val got = CurateOps.curatePiiRedact(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.length == docs.size)
+    got.foreach { case (id, nEmails, nNums, digest) =>
+      // corpus is PII-free (no '@', no digits), so the only hits are the
+      // injected suffix: one email, one digit run (the doc_id)
+      assert(nEmails == 1 && nNums == 1, s"doc $id counts")
+      val (text, _, source) = docs(id)
+      val txt = text.toLowerCase + s" contact $source@example.com ext $id"
+      val redacted = txt.replaceAll(CurateOps.EmailRe, "<EMAIL>")
+        .replaceAll(CurateOps.NumRe, "<NUM>")
+      assert(digest == md5hex(redacted), s"doc $id digest")
+    }
+  }
+
+  test("stratified sample is exactly the hash-gated membership set") {
+    val expected = docs.collect {
+      case (id, (_, lang, _)) if md5hex(id.toString).substring(0, 2) <
+          (if (lang == "en") "c0" else if (Set("de", "fr")(lang)) "80" else "40") =>
+        id
+    }.toSet
+    val got = CurateOps.curateSampleStratified(spark, SfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < docs.size)
+  }
+
+  test("sequence packing is the contiguous fill of per-source token counts") {
+    val got = CurateOps.curatePackSequences(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == docs.size)
+    val bySource = docs.toSeq.map { case (id, (t, _, src)) => (src, id, toks(t).size) }
+      .groupBy(_._1)
+    val expected = bySource.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (src, id, n) =>
+        val off = cum; cum += n
+        (id, src, n.toLong, off / CurateOps.PackBudget, off % CurateOps.PackBudget)
+      }
+    }.toSet
+    assert(got.toSet == expected)
+    got.foreach { case (id, _, _, _, off) =>
+      assert(off >= 0 && off < CurateOps.PackBudget, s"doc $id offset")
+    }
+  }
+
+  test("shard shuffle assigns md5-hex shards with dense in-shard positions") {
+    val got = CurateOps.curateShuffleShards(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.length == docs.size)
+    val expected = docs.keys.toSeq
+      .map(id => (id, Integer.parseInt(md5hex(id.toString).take(1), 16)))
+      .groupBy(_._2).flatMap { case (shard, members) =>
+        members.sortBy { case (id, _) => (md5hex(id.toString), id) }
+          .zipWithIndex.map { case ((id, _), i) => (id, shard, i + 1) }
+      }.toSet
+    assert(got.toSet == expected)
+  }
+
+  test("writeShards lays out sorted per-shard parquet matching the query op") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    CurateOps.writeShards(spark, SfDir, out)
+    val positions = CurateOps.curateShuffleShards(spark, SfDir).collect()
+      .map(r => (r.getInt(1), r.getLong(0))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.nonEmpty)
+    val seen = shardDirs.map { d =>
+      val shard = d.getName.stripPrefix("shard=").toInt
+      val rows = spark.read.parquet(d.getPath)
+        .select("doc_id", "hk").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // each output file is one sorted run (sortWithinPartitions + one
+      // file per shard partition of one shuffle partition)
+      assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted,
+        s"shard $shard not sorted by hk")
+      assert(rows.map(_._1).toSet == positions(shard), s"shard $shard members")
+      shard
+    }
+    assert(seen.toSet == positions.keySet)
+  }
+}
