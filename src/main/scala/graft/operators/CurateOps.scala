@@ -39,7 +39,7 @@ object CurateOps {
     * array expression re-evaluates it per element (the measured 10×+
     * duplication trap). Trimmed to the size-n+1 full grams; docs shorter
     * than n tokens get an empty array. */
-  private def withGrams(df: DataFrame, n: Int, out: String): DataFrame = {
+  private[graft] def withGrams(df: DataFrame, n: Int, out: String): DataFrame = {
     require(n == 2 || n == 4, "gram sizes used by the curation ops")
     val b2 = df.withColumn("_t", tokens(col("text")))
       .withColumn("_b2", zip_with(col("_t"), shift(col("_t"), 1),
@@ -70,18 +70,28 @@ object CurateOps {
     * scan → gram explode → broadcast semi-ish join → per-doc count, so
     * the only shuffle is the final doc_id aggregation over the (rare)
     * contaminated grams. */
-  def curateDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val grams = withGrams(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-        DecontamN, "g")
-      .select(col("doc_id"), explode(array_distinct(col("g"))).as("gram"))
-    val hold = grams.filter(col("doc_id") % HoldoutMod === 0)
+  /** One row per (doc_id, distinct decontamination gram); any extra
+    * columns (e.g. a stream's event time) pass through. */
+  private[graft] def gramRows(df: DataFrame): DataFrame = {
+    val keep = df.columns.filter(_ != "text").map(col) :+
+      explode(array_distinct(col("g"))).as("gram")
+    withGrams(df, DecontamN, "g").select(keep.toIndexedSeq: _*)
+  }
+
+  /** The eval holdout's distinct gram set — broadcast-sized. */
+  private[graft] def holdoutGrams(spark: SparkSession, dir: String): DataFrame =
+    gramRows(Tables.documents(spark, dir)
+        .filter(col("doc_id") % HoldoutMod === 0)
+        .select(col("doc_id"), col("text")))
       .select(col("gram")).distinct()
-    grams.filter(col("doc_id") % HoldoutMod =!= 0)
-      .join(broadcast(hold), "gram")
+
+  def curateDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    gramRows(Tables.documents(spark, dir)
+        .filter(col("doc_id") % HoldoutMod =!= 0)
+        .select(col("doc_id"), col("text")))
+      .join(broadcast(holdoutGrams(spark, dir)), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
-  }
 
   /** Gopher-style repetition filter: fraction of duplicate word bigrams
     * and the count share of the single most frequent bigram, plus the
@@ -90,9 +100,12 @@ object CurateOps {
     * length of the SORTED bigram array, computed with one aggregate()
     * fold — O(d log d) per row against the O(d²) distinct×filter
     * formulation, which measured 1.7 s vs ~0.6 s at sf0.1. */
-  def curateRepetition(spark: SparkSession, dir: String): DataFrame =
-    withGrams(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-        2, "gs")
+  /** Adds dup_bigram_frac / top_bigram_frac / keep to any frame with a
+    * `text` column (other columns pass through) — shared by the batch op
+    * and the streaming curation gate; all expressions are stateless so
+    * the same code runs unmodified over a stream. */
+  private[graft] def repetitionScored(df: DataFrame): DataFrame =
+    withGrams(df, 2, "gs")
       .filter(size(col("gs")) >= 1)
       .withColumn("_nb", size(col("gs")).cast("double"))
       .withColumn("_dup",
@@ -107,10 +120,17 @@ object CurateOps {
             greatest(acc("best"), run).as("best"))
         },
         acc => acc("best")).cast("double") / col("_nb"))
-      .select(col("doc_id"),
-        round(col("_dup"), 4).as("dup_bigram_frac"),
-        round(col("_top"), 4).as("top_bigram_frac"),
-        (col("_dup") <= 0.05 && col("_top") <= 0.05).cast("int").as("keep"))
+      .withColumn("dup_bigram_frac", round(col("_dup"), 4))
+      .withColumn("top_bigram_frac", round(col("_top"), 4))
+      .withColumn("keep",
+        (col("_dup") <= 0.05 && col("_top") <= 0.05).cast("int"))
+      .drop("gs", "_nb", "_dup", "_top")
+
+  def curateRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionScored(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("dup_bigram_frac"), col("top_bigram_frac"),
+        col("keep"))
 
   /** PII masking: redact email addresses then digit runs, reporting match
     * counts and the digest of the redacted text. The test corpus is
@@ -143,15 +163,21 @@ object CurateOps {
     * samples reproducibly: no RNG state, no global coordination, any
     * executor can evaluate membership locally, and re-runs produce the
     * identical sample. One scan, filter only. */
-  def curateSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+  /** The hash-gate membership predicate over (doc_id, lang) — shared by
+    * the batch op and the streaming curation gate. */
+  private[graft] def stratifiedGate: Column = {
     val hk = substring(md5(col("doc_id").cast("string")), 1, 2)
     val thr = when(col("lang") === "en", "c0")
       .when(col("lang").isin("de", "fr"), "80")
       .otherwise("40")
-    Tables.documents(spark, dir)
-      .filter(hk < thr)
-      .select(col("doc_id"), col("lang"), hk.as("hk"))
+    hk < thr
   }
+
+  def curateSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(stratifiedGate)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("hk"))
 
   /** Token budget per packed training sequence. */
   val PackBudget = 512

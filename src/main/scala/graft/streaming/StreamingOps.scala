@@ -234,4 +234,35 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
+
+  /** Streaming curation gate — the ingest-side twin of the batch
+    * curation family: every arriving document is hash-gate sampled
+    * (curate_sample_stratified's predicate) and repetition-scored
+    * (curate_repetition's expressions), both STATELESS, so this is a pure
+    * per-row transform with no streaming state at all — the cheapest
+    * possible shape for a 100 TB/day ingest stream. Expects (doc_id,
+    * text, lang) on the stream; emits the admitted documents with their
+    * repetition verdict. Used by the test suite. */
+  def streamingCurateGate(docs: DataFrame): DataFrame =
+    graft.operators.CurateOps.repetitionScored(
+        docs.filter(graft.operators.CurateOps.stratifiedGate))
+      .select(col("doc_id"), col("lang"), col("dup_bigram_frac"),
+        col("top_bigram_frac"), col("keep"))
+
+  /** Streaming decontamination alerts — the watch-loop signal "this newly
+    * ingested document overlaps the eval set, keep it out of training":
+    * arriving documents explode to their distinct decontamination grams
+    * and stream-static inner-join the BROADCAST holdout gram relation
+    * (eval sets are tiny; the join is stateless), then collapse to one
+    * alert per document with watermark-bounded dedup state. The batch twin
+    * is curate_decontaminate; set equality over the same corpus is pinned
+    * in the test suite. */
+  def streamingDecontaminateAlerts(docs: DataFrame,
+      holdoutGrams: DataFrame): DataFrame =
+    graft.operators.CurateOps.gramRows(
+        docs.withWatermark("ts", "1 hour")
+          .select(col("doc_id"), col("ts"), col("text")))
+      .join(broadcast(holdoutGrams), "gram")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"))
 }

@@ -1153,4 +1153,61 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // user 2: 130,140 together, 200 alone
     assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
   }
+
+  test("streaming curation gate admits the batch sample with batch verdicts") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.documents(spark, SfDir)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(corpus.toIndexedSeq: _*)
+    val q = StreamingOps.streamingCurateGate(
+        mem.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("curate_gate")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("curate_gate")
+      .select("doc_id", "keep").as[(Long, Int)].collect().toMap
+    val sampled = operators.CurateOps.curateSampleStratified(spark, SfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val verdicts = operators.CurateOps.curateRepetition(spark, SfDir)
+      .select("doc_id", "keep").as[(Long, Int)].collect().toMap
+    assert(got.keySet == sampled,
+      "the gate must admit exactly the batch hash-gate sample")
+    got.foreach { case (id, keep) =>
+      assert(keep == verdicts(id), s"doc $id verdict")
+    }
+  }
+
+  test("streaming decontamination alerts once per contaminated doc") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.documents(spark, SfDir)
+      .filter(col("doc_id") % operators.CurateOps.HoldoutMod =!= 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), ts(5), r.getString(1)))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(corpus.toIndexedSeq: _*)
+    val q = StreamingOps.streamingDecontaminateAlerts(
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        operators.CurateOps.holdoutGrams(spark, SfDir))
+      .writeStream.format("memory").queryName("decontam_alerts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // re-notified docs (watcher replay) must not alert twice
+      mem.addData(corpus.map(_.copy(_2 = ts(10))).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("decontam_alerts")
+        .select("doc_id").as[Long].collect().toSeq
+      val batch = operators.CurateOps.curateDecontaminate(spark, SfDir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got.size == got.distinct.size, "duplicate alerts")
+      assert(got.toSet == batch,
+        "alerts must be exactly the batch-contaminated doc set")
+    } finally q.stop()
+  }
 }
