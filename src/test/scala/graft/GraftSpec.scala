@@ -1210,4 +1210,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         "alerts must be exactly the batch-contaminated doc set")
     } finally q.stop()
   }
+
+  test("file-source ingest: curation gate consumes a growing parquet dir") {
+    // the real watch-mode ingestion path (cortex's file watcher): a
+    // parquet directory that gains files over time, read as a stream —
+    // each new file is one micro-batch, no reprocessing of old files
+    val dirIn = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text", "lang")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(dirIn)
+    val q = StreamingOps.streamingCurateGate(
+        spark.readStream.schema(docs.schema).parquet(dirIn))
+      .writeStream.format("memory").queryName("file_gate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("file_gate").count()
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(dirIn)
+      q.processAllAvailable()
+      val admitted = spark.table("file_gate")
+        .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+      val sampled = operators.CurateOps.curateSampleStratified(spark, SfDir)
+        .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+      assert(n1 > 0 && admitted.size > n1,
+        "the second file must arrive as an incremental batch")
+      assert(admitted == sampled,
+        "file-source ingest must admit exactly the batch sample")
+    } finally q.stop()
+  }
 }
