@@ -13,8 +13,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * internal/storage/chunk_writer.go).
   */
 object PlanCache {
+  /** Cached build + the epoch snapshot it was built against — lookups
+    * compare the entry's epoch to the CALLER's snapshot so a chained
+    * build never mixes layers from different corpus snapshots (see
+    * [[getOrBuildAt]]). */
+  private final case class Entry(df: DataFrame, epoch: Long)
+
   private val cache =
-    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new ConcurrentHashMap[(SparkSession, String, String), Entry]()
 
   /** Bumped by every invalidate: a build that STARTED before an
     * invalidation must not install its (possibly pre-change) snapshot
@@ -33,21 +39,33 @@ object PlanCache {
       (build: => DataFrame): DataFrame =
     getOrBuildAt(spark, dir, tag, epoch.get())(build)
 
-  /** [[getOrBuild]] whose install check compares against a CALLER-supplied
-    * epoch snapshot. A chained build (BFS layer h+1 built from the local
-    * DataFrame of layer h) must pass the snapshot taken before layer 1:
-    * with a per-call snapshot, an invalidate landing between layers
-    * suppresses layer h's install but NOT layer h+1's — which was built
-    * from the stale hop-h frontier still held in a local var — and the
-    * next query would recombine fresh early layers with stale cached late
-    * ones. One snapshot for the whole chain makes the invalidate suppress
-    * every install derived from pre-change state. */
+  /** [[getOrBuild]] whose install AND lookup checks compare against a
+    * CALLER-supplied epoch snapshot. A chained build (BFS layer h+1 built
+    * from the local DataFrame of layer h) must pass the snapshot taken
+    * before layer 1:
+    *
+    *  - Install side: with a per-call snapshot, an invalidate landing
+    *    between layers suppresses layer h's install but NOT layer
+    *    h+1's — which was built from the stale hop-h frontier still held
+    *    in a local var — and the next query would recombine fresh early
+    *    layers with stale cached late ones.
+    *  - Lookup side: an entry installed under a NEWER epoch (a concurrent
+    *    query re-running the chain post-invalidation) must not be
+    *    returned to a caller holding an older snapshot, or the in-flight
+    *    chain would join a fresh cached layer against its own stale local
+    *    visited set — a mixed state matching no corpus snapshot. Such a
+    *    caller rebuilds the layer from its own chain instead (and its
+    *    install is then suppressed), preserving bounded-but-CONSISTENT
+    *    staleness for the in-flight query.
+    *
+    * Entries are never newer than the live epoch, so plain [[getOrBuild]]
+    * (snapshot = now) always accepts cached entries. */
   def getOrBuildAt(spark: SparkSession, dir: String, tag: String,
       asOfEpoch: Long)(build: => DataFrame): DataFrame = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (spark, dir, tag)
     val existing = cache.get(key)
-    if (existing != null) existing
+    if (existing != null && existing.epoch <= asOfEpoch) existing.df
     else {
       // NOT computeIfAbsent: a build closure may itself call getOrBuild
       // for a dependency relation (BFS memo -> edge relation), and nested
@@ -57,8 +75,8 @@ object PlanCache {
       val built = build.persist()
       if (epoch.get() != asOfEpoch) { built.unpersist(); built }
       else {
-        val prev = cache.putIfAbsent(key, built)
-        if (prev != null) { built.unpersist(); prev } else built
+        val prev = cache.putIfAbsent(key, Entry(built, asOfEpoch))
+        if (prev != null) { built.unpersist(); prev.df } else built
       }
     }
   }
@@ -66,8 +84,8 @@ object PlanCache {
   /** Remove and unpersist ONE entry (e.g. per-query BFS layers released
     * after their output is materialized). No-op if absent. */
   def drop(spark: SparkSession, dir: String, tag: String): Unit = {
-    val df = cache.remove((spark, dir, tag))
-    if (df != null) { try df.unpersist() catch { case _: Throwable => () } }
+    val e = cache.remove((spark, dir, tag))
+    if (e != null) { try e.df.unpersist() catch { case _: Throwable => () } }
   }
 
   /** Unpersist and drop every entry. Global: only for dev tools
@@ -77,8 +95,8 @@ object PlanCache {
     */
   def invalidate(): Unit = {
     epoch.incrementAndGet()
-    cache.values.forEach { df =>
-      try df.unpersist() catch { case _: Throwable => () }
+    cache.values.forEach { e =>
+      try e.df.unpersist() catch { case _: Throwable => () }
     }
     cache.clear()
   }
@@ -94,7 +112,7 @@ object PlanCache {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._2 == dir) {
-        try e.getValue.unpersist() catch { case _: Throwable => () }
+        try e.getValue.df.unpersist() catch { case _: Throwable => () }
         it.remove()
       }
     }

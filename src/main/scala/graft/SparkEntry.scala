@@ -849,7 +849,8 @@ object SparkEntry {
          |  FROM g)
          |SELECT doc_id, round(dup, 4) AS dup_bigram_frac,
          |  round(top, 4) AS top_bigram_frac,
-         |  (dup <= 0.05::DOUBLE AND top <= 0.05::DOUBLE)::INT AS keep
+         |  (dup <= ${CurateOps.RepetitionMax}::DOUBLE AND
+         |   top <= ${CurateOps.RepetitionMax}::DOUBLE)::INT AS keep
          |FROM m""".stripMargin,
     "curate_pii_redact" ->
       s"""WITH t AS (SELECT doc_id, lower(text) || ' contact ' || source ||
@@ -863,11 +864,12 @@ object SparkEntry {
          |  md5(regexp_replace(et, '${CurateOps.NumRe}', '<NUM>', 'g')) AS redacted_md5
          |FROM e""".stripMargin,
     "curate_sample_stratified" ->
-      """SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 2) AS hk
-        |FROM documents
-        |WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
-        |  (CASE WHEN lang = 'en' THEN 'c0'
-        |        WHEN lang IN ('de', 'fr') THEN '80' ELSE '40' END)""".stripMargin,
+      s"""SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 2) AS hk
+         |FROM documents
+         |WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
+         |  (CASE WHEN lang = 'en' THEN '${CurateOps.RateEn}'
+         |        WHEN lang IN ('de', 'fr') THEN '${CurateOps.RateMid}'
+         |        ELSE '${CurateOps.RateLow}' END)""".stripMargin,
     "curate_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, len($duckTok)::BIGINT AS n_tok
          |  FROM documents),

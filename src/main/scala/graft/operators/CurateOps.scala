@@ -100,17 +100,25 @@ object CurateOps {
     * length of the SORTED bigram array, computed with one aggregate()
     * fold — O(d log d) per row against the O(d²) distinct×filter
     * formulation, which measured 1.7 s vs ~0.6 s at sf0.1. */
-  /** Adds dup_bigram_frac / top_bigram_frac / keep to any frame with a
-    * `text` column (other columns pass through) — shared by the batch op
-    * and the streaming curation gate; all expressions are stateless so
-    * the same code runs unmodified over a stream. */
+  /** Both repetition metrics must stay at or under this for a doc to
+    * keep its place in the training set. Shared with the oracle SQL and
+    * the test suite (the WinnowDfCap drift lesson). */
+  val RepetitionMax = 0.05
+
+  /** Adds n_bigrams / dup_bigram_frac / top_bigram_frac / keep to any
+    * frame with a `text` column (other columns pass through) — shared by
+    * the batch op and the streaming curation gate; all expressions are
+    * stateless so the same code runs unmodified over a stream. TOTAL: a
+    * doc with fewer than two tokens has no bigrams and scores 0/0/keep
+    * (nothing repeats in it) rather than vanishing — the streaming gate
+    * must emit a verdict for every admitted document. */
   private[graft] def repetitionScored(df: DataFrame): DataFrame =
     withGrams(df, 2, "gs")
-      .filter(size(col("gs")) >= 1)
       .withColumn("_nb", size(col("gs")).cast("double"))
-      .withColumn("_dup",
+      .withColumn("_dup", when(col("_nb") > 0,
         lit(1.0) - size(array_distinct(col("gs"))).cast("double") / col("_nb"))
-      .withColumn("_top", aggregate(
+        .otherwise(lit(0.0)))
+      .withColumn("_top", when(col("_nb") > 0, aggregate(
         array_sort(col("gs")),
         struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
           lit(0).as("best")),
@@ -119,16 +127,21 @@ object CurateOps {
           struct(x.as("prev"), run.as("run"),
             greatest(acc("best"), run).as("best"))
         },
-        acc => acc("best")).cast("double") / col("_nb"))
+        acc => acc("best")).cast("double") / col("_nb")).otherwise(lit(0.0)))
+      .withColumn("n_bigrams", size(col("gs")))
       .withColumn("dup_bigram_frac", round(col("_dup"), 4))
       .withColumn("top_bigram_frac", round(col("_top"), 4))
       .withColumn("keep",
-        (col("_dup") <= 0.05 && col("_top") <= 0.05).cast("int"))
+        (col("_dup") <= RepetitionMax && col("_top") <= RepetitionMax)
+          .cast("int"))
       .drop("gs", "_nb", "_dup", "_top")
 
   def curateRepetition(spark: SparkSession, dir: String): DataFrame =
     repetitionScored(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      // the CONTRACT row excludes bigram-less docs (the oracle's
+      // len(ts) >= 2 guard); the streaming gate keeps them
+      .filter(col("n_bigrams") >= 1)
       .select(col("doc_id"), col("dup_bigram_frac"), col("top_bigram_frac"),
         col("keep"))
 
@@ -163,21 +176,30 @@ object CurateOps {
     * samples reproducibly: no RNG state, no global coordination, any
     * executor can evaluate membership locally, and re-runs produce the
     * identical sample. One scan, filter only. */
-  /** The hash-gate membership predicate over (doc_id, lang) — shared by
-    * the batch op and the streaming curation gate. */
-  private[graft] def stratifiedGate: Column = {
-    val hk = substring(md5(col("doc_id").cast("string")), 1, 2)
-    val thr = when(col("lang") === "en", "c0")
-      .when(col("lang").isin("de", "fr"), "80")
-      .otherwise("40")
-    hk < thr
-  }
+  /** Per-language keep rates as 2-hex-digit thresholds (256ths): en 75%,
+    * de/fr 50%, rest 25%. Shared with the oracle SQL and the tests. */
+  val RateEn = "c0"
+  val RateMid = "80"
+  val RateLow = "40"
+
+  /** The per-language threshold the hash key is gated against. */
+  private[graft] def stratifiedThreshold: Column =
+    when(col("lang") === "en", RateEn)
+      .when(col("lang").isin("de", "fr"), RateMid)
+      .otherwise(RateLow)
+
+  /** The hash key: first two hex chars of md5(doc_id). */
+  private[graft] def stratifiedKey: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 2)
 
   def curateSampleStratified(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .filter(stratifiedGate)
-      .select(col("doc_id"), col("lang"),
-        substring(md5(col("doc_id").cast("string")), 1, 2).as("hk"))
+      // project hk once, filter on the projected column — Filter and
+      // Project are separate codegen operators with no cross-operator
+      // CSE, so filtering on the raw expression would md5 twice per row
+      .withColumn("hk", stratifiedKey)
+      .filter(col("hk") < stratifiedThreshold)
+      .select(col("doc_id"), col("lang"), col("hk"))
 
   /** Token budget per packed training sequence. */
   val PackBudget = 512

@@ -243,11 +243,16 @@ object StreamingOps {
     * possible shape for a 100 TB/day ingest stream. Expects (doc_id,
     * text, lang) on the stream; emits the admitted documents with their
     * repetition verdict. Used by the test suite. */
-  def streamingCurateGate(docs: DataFrame): DataFrame =
-    graft.operators.CurateOps.repetitionScored(
-        docs.filter(graft.operators.CurateOps.stratifiedGate))
+  def streamingCurateGate(docs: DataFrame): DataFrame = {
+    import graft.operators.CurateOps
+    // repetitionScored is TOTAL (a sub-2-token doc surfaces with 0/0/keep
+    // rather than silently vanishing), so every admitted doc gets a verdict
+    CurateOps.repetitionScored(
+        docs.withColumn("hk", CurateOps.stratifiedKey)
+          .filter(col("hk") < CurateOps.stratifiedThreshold))
       .select(col("doc_id"), col("lang"), col("dup_bigram_frac"),
         col("top_bigram_frac"), col("keep"))
+  }
 
   /** Streaming decontamination alerts — the watch-loop signal "this newly
     * ingested document overlaps the eval set, keep it out of training":

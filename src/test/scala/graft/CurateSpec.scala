@@ -60,7 +60,8 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
       val eTop = gs.groupBy(identity).values.map(_.size).max.toDouble / gs.size
       assert(math.abs(dup - eDup) < 6e-5 && math.abs(top - eTop) < 6e-5,
         s"doc $id metrics")
-      assert(keep == (if (eDup <= 0.05 && eTop <= 0.05) 1 else 0), s"doc $id keep")
+      assert(keep == (if (eDup <= CurateOps.RepetitionMax &&
+        eTop <= CurateOps.RepetitionMax) 1 else 0), s"doc $id keep")
     }
   }
 
@@ -83,7 +84,9 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
   test("stratified sample is exactly the hash-gated membership set") {
     val expected = docs.collect {
       case (id, (_, lang, _)) if md5hex(id.toString).substring(0, 2) <
-          (if (lang == "en") "c0" else if (Set("de", "fr")(lang)) "80" else "40") =>
+          (if (lang == "en") CurateOps.RateEn
+           else if (Set("de", "fr")(lang)) CurateOps.RateMid
+           else CurateOps.RateLow) =>
         id
     }.toSet
     val got = CurateOps.curateSampleStratified(spark, SfDir).collect()

@@ -837,6 +837,33 @@ class IndexStoreSpec extends AnyFunSuite with SparkFixture {
     PlanCache.invalidate(dir)
   }
 
+  test("a layer installed under a newer epoch is not served to an older snapshot") {
+    val dir = "/tmp/graft_epoch_test2"
+    PlanCache.invalidate(dir)
+    val e0 = PlanCache.currentEpoch
+    // an invalidate lands, then a CONCURRENT query (fresh snapshot e1)
+    // installs the layer rebuilt from post-change data
+    PlanCache.invalidate(dir)
+    val e1 = PlanCache.currentEpoch
+    PlanCache.getOrBuildAt(spark, dir, "ep2:l", e1) { spark.range(9).toDF("id") }
+    // the in-flight chain holding e0 must NOT consume the fresher layer
+    // (it would join it against its own stale local state) — it rebuilds
+    // from its own chain and its install is suppressed
+    var rebuilt = false
+    val r = PlanCache.getOrBuildAt(spark, dir, "ep2:l", e0) {
+      rebuilt = true; spark.range(3).toDF("id")
+    }
+    assert(rebuilt && r.count() == 3,
+      "older snapshot must rebuild, not mix in the newer cached layer")
+    // the fresher entry remains the memo for new queries
+    var again = false
+    PlanCache.getOrBuild(spark, dir, "ep2:l") {
+      again = true; spark.range(1).toDF("id")
+    }
+    assert(!again, "the e1 install must survive as the memo")
+    PlanCache.invalidate(dir)
+  }
+
   test("simhash candidate join reads the bucketed band table co-located") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -1209,6 +1236,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(got.toSet == batch,
         "alerts must be exactly the batch-contaminated doc set")
     } finally q.stop()
+  }
+
+  test("streaming curation gate emits sub-2-token docs with a zero verdict") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // an id the en-rate hash gate admits (75% of ids qualify)
+    val shortId = (900000L to 900100L)
+      .find(id => md5hex(id.toString).substring(0, 2) <
+        operators.CurateOps.RateEn).get
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData((shortId, "hello", "en"))
+    val q = StreamingOps.streamingCurateGate(
+        mem.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("curate_gate_short")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("curate_gate_short")
+      .select("doc_id", "dup_bigram_frac", "top_bigram_frac", "keep")
+      .as[(Long, Double, Double, Int)].collect().toSeq
+    // a 1-token doc has no bigrams: nothing repeats, so it must surface
+    // with a zero/keep verdict, not silently vanish from the gate
+    assert(got == Seq((shortId, 0.0, 0.0, 1)))
   }
 
   test("file-source ingest: curation gate consumes a growing parquet dir") {
