@@ -49,6 +49,20 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
       s"holdout grams must broadcast, not shuffle:\n$plan")
   }
 
+  test("curation scans prune to the referenced document columns") {
+    // stratified sampling never touches text — at 100 TB the text column
+    // IS the corpus, so reading it for a metadata-only gate would be the
+    // difference between scanning GBs and scanning everything
+    val strat = operators.CurateOps.curateSampleStratified(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(strat.contains("ReadSchema") && !strat.contains("text"),
+      s"stratified gate must not read the text column:\n$strat")
+    val rep = operators.CurateOps.curateRepetition(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!rep.contains("n_chars") && !rep.contains("source"),
+      s"repetition scan must read only doc_id+text:\n$rep")
+  }
+
   test("repetition metrics match a direct recount and gate the keep flag") {
     val got = CurateOps.curateRepetition(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
