@@ -129,6 +129,44 @@ object ScaleProbe {
       f"uncapped=$tRaw%6.2fs/${nRaw}%d-cands ratio=${tRaw / tCap}%5.2fx")
   }
 
+  /** Decontamination at N×: the broadcast holdout-gram join against the
+    * shuffle (sort-merge) formulation of the SAME join. The broadcast
+    * path's only exchange is the final per-doc count; the shuffle path
+    * repartitions the ENTIRE train-side gram stream (≈ corpus token
+    * count) by gram hash — the cost that detonates at 100 TB. Both sides
+    * return identical hit counts. */
+  private def decontamProbe(spark: SparkSession, base: String,
+      copies: Int): Unit = {
+    PlanCache.invalidate()
+    val dir = s"/tmp/graft_scale/x$copies"
+    synth(spark, base, dir, copies)
+    val (tB, nB) = time(
+      operators.CurateOps.curateDecontaminate(spark, dir).count())
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (tS, nS) = try {
+      // same relations, broadcast hint stripped -> planner picks SMJ
+      val grams = operators.CurateOps.gramRows(
+        Tables.documents(spark, dir)
+          .filter(col("doc_id") % operators.CurateOps.HoldoutMod =!= 0)
+          .select(col("doc_id"), col("text")))
+      val hold = operators.CurateOps.holdoutGrams(spark, dir)
+      time(grams.join(hold, "gram").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the exchange-volume asymmetry: the shuffle variant repartitions
+    // every train-side gram row; broadcast ships only the holdout set
+    val trainGrams = operators.CurateOps.gramRows(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % operators.CurateOps.HoldoutMod =!= 0)
+        .select(col("doc_id"), col("text"))).count()
+    val holdGrams = operators.CurateOps.holdoutGrams(spark, dir).count()
+    println(f"DECONTAM copies=$copies%2d docs=${copies * 5000}%6d " +
+      f"broadcast=$tB%6.2fs shuffle=$tS%6.2fs ratio=${tS / tB}%5.2fx " +
+      f"contaminated(broadcast=$nB, shuffle=$nS) " +
+      f"exchange-rows(shuffle=$trainGrams, broadcast=$holdGrams)")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -148,6 +186,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("bucketed")) {
       args.drop(1).map(_.toInt).foreach(c => bucketedProbe(spark, base, c))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("decontam")) {
+      args.drop(1).map(_.toInt).foreach(c => decontamProbe(spark, base, c))
       spark.stop()
       return
     }

@@ -22,35 +22,44 @@ object TextOps {
   private def tf(toks: Column, terms: Seq[String]): Column =
     size(filter(toks, t => t.isin(terms: _*)))
 
-  /** Marker-based language/register ID: argmax of three marker-set term
-    * frequencies with a fixed tie priority (en > code > data). A real
-    * deployment swaps the marker lists for per-language stopword tables —
-    * the plan shape (scored case chain over one scan) is identical. */
-  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+  /** Marker-argmax language/register prediction over a `text` column —
+    * shared by textLangid and the single-scan corpusCurate projection. */
+  private[graft] def predLangExpr: Column = {
     val t = tokens(col("text"))
     val en = tf(t, Seq("the", "a", "is"))
     val code = tf(t, Seq("table", "query", "join"))
     val data = tf(t, Seq("data", "stream", "batch"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        when(en >= code && en >= data, "en")
-          .when(code >= data, "code")
-          .otherwise("data").as("pred_lang"))
+    when(en >= code && en >= data, "en")
+      .when(code >= data, "code")
+      .otherwise("data")
   }
 
-  /** Composite quality score: token volume, alphabetic density, stopword
-    * ratio — the length/punct/stopword heuristics of corpus filtering. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** Composite quality score over (text, n_chars) — shared by
+    * textQuality and the single-scan corpusCurate projection. */
+  private[graft] def qualityExpr: Column = {
     val t = tokens(col("text"))
     val nTok = size(t)
     val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
       .cast("double") / greatest(col("n_chars"), lit(1))
     val stop = tf(t, Seq("the", "a")).cast("double") / greatest(nTok, lit(1))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), nTok.as("n_tokens"),
-        round(lit(0.3) * least(nTok.cast("double") / 50.0, lit(1.0)) +
-          lit(0.4) * alpha + lit(0.3) * (lit(1.0) - stop), 4).as("quality"))
+    round(lit(0.3) * least(nTok.cast("double") / 50.0, lit(1.0)) +
+      lit(0.4) * alpha + lit(0.3) * (lit(1.0) - stop), 4)
   }
+
+  /** Marker-based language/register ID: argmax of three marker-set term
+    * frequencies with a fixed tie priority (en > code > data). A real
+    * deployment swaps the marker lists for per-language stopword tables —
+    * the plan shape (scored case chain over one scan) is identical. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), predLangExpr.as("pred_lang"))
+
+  /** Composite quality score: token volume, alphabetic density, stopword
+    * ratio — the length/punct/stopword heuristics of corpus filtering. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
+        qualityExpr.as("quality"))
 
   /** Token counting: whitespace-word tokens, unique tokens, and a BPE-ish
     * segmentation (letter runs / digit runs / single punctuation). */
@@ -134,9 +143,12 @@ object TextOps {
     * curation steps as composable operators.
     */
   def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
-    val q = textQuality(spark, dir).select(col("doc_id"), col("quality"))
-    val l = textLangid(spark, dir).select(col("doc_id"), col("pred_lang"))
-    val passed = q.join(l, "doc_id")
+    // quality and language are both projections over the SAME scan —
+    // computing them in one select replaces two document scans joined
+    // (shuffled) on doc_id with a single scan and no exchange
+    val passed = Tables.documents(spark, dir)
+      .select(col("doc_id"), qualityExpr.as("quality"),
+        predLangExpr.as("pred_lang"))
       .filter(col("pred_lang") === "en" && col("quality") >= 0.5)
     // dedup among SURVIVORS: the representative is the minimum doc_id of
     // the cluster members that passed the filters — not the global
