@@ -177,4 +177,28 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("curation gram shift-chain agrees with the sliding-window model") {
+    val sparkS = spark
+    import sparkS.implicits._
+    for (n <- Seq(2, 4)) {
+      samples(Gen.listOfN(4, genDoc), 30).foreach { docs =>
+        // corners: empty docs, sub-n docs, exactly-n-token docs — the
+        // slice/greatest trimming in CurateOps.withGrams must yield an
+        // EMPTY array (not nulls) below n tokens, or gramRows would
+        // explode spurious rows into the decontamination join
+        val got = docs.zipWithIndex
+          .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+          .toDF("doc_id", "text")
+          .transform(df => operators.CurateOps.withGrams(df, n, "g"))
+          .collect().map(r => r.getAs[Long]("doc_id") ->
+            r.getSeq[String](r.fieldIndex("g")).toList).toMap
+        docs.zipWithIndex.foreach { case (toks, i) =>
+          val want = toks.map(_.toLowerCase)
+            .sliding(n).filter(_.sizeIs == n).map(_.mkString(" ")).toList
+          assert(got(i.toLong) == want, s"n=$n doc $toks")
+        }
+      }
+    }
+  }
 }
