@@ -34,6 +34,8 @@ object SparkEntry {
     "dsl_agg" -> QueryDsl.dslAgg _,
     "dsl_join_filter" -> QueryDsl.dslJoinFilter _,
     "q9b_approx_distinct" -> Relational.q9bApproxDistinct _,
+    // approximate by design (mergeable quantile sketch) => rows-only check
+    "q13b_approx_percentiles" -> Relational.q13bApproxPercentiles _,
     "vec_knn_brute" -> SearchOps.vecKnnBrute _,
     "vec_knn_ivf" -> SearchOps.vecKnnIvf _,
     "vec_knn_ivf_probe" -> SearchOps.vecKnnIvfProbe _,

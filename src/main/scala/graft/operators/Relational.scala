@@ -205,6 +205,24 @@ object Relational {
         round(max(col("o_totalprice")), 4).as("p100"))
       .orderBy(col("o_orderpriority"))
 
+  /** The 100 TB path for [[q13Percentiles]]: percentile_approx builds a
+    * MERGEABLE quantile sketch per partition (map-side partial, one thin
+    * shuffle of sketches, no global sort of values) where exact
+    * percentile collects every group value into one aggregation buffer —
+    * fine per moderate group, fatal when a group holds billions of rows.
+    * Approximate by design (rows-only driver check, like the HLL op);
+    * the accuracy contract vs the exact op is pinned in the test suite.
+    * Accuracy parameter 10000 bounds rank error at ~1/10000 of the
+    * group size. */
+  def q13bApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile_approx(o_totalprice, 0.5, 10000)"), 4).as("p50"),
+        round(expr("percentile_approx(o_totalprice, 0.95, 10000)"), 4).as("p95"),
+        round(max(col("o_totalprice")), 4).as("p100"))
+      .orderBy(col("o_orderpriority"))
+
   /** Pivot (long → wide): events count per user per event_type with an
     * EXPLICIT pivot column list — at scale the list comes from the
     * catalog, never from a discovery scan; the plan is then a single

@@ -39,9 +39,25 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
 
   test("every query key has a matching oracle or is explicitly rows-only") {
     // sketch/ANN outputs are approximate by design, so rows-only checked
-    val rowsOnly = Set("q9b_approx_distinct", "vec_knn_join_ann")
+    val rowsOnly =
+      Set("q9b_approx_distinct", "vec_knn_join_ann", "q13b_approx_percentiles")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+  }
+
+  test("approx percentiles track the exact op within 2% and share p100") {
+    def byKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val exact = byKey(operators.Relational.q13Percentiles(spark, SfDir))
+    val approx = byKey(operators.Relational.q13bApproxPercentiles(spark, SfDir))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p95, p100)) =>
+      val (a50, a95, a100) = approx(k)
+      assert(math.abs(a50 - p50) / p50 <= 0.02, s"$k p50 $a50 vs $p50")
+      assert(math.abs(a95 - p95) / p95 <= 0.02, s"$k p95 $a95 vs $p95")
+      assert(a100 == p100, s"$k max must be exact")
+    }
   }
 
   test("approx distinct stays within 10% of the exact count") {
