@@ -254,6 +254,48 @@ object StreamingOps {
         col("top_bigram_frac"), col("keep"))
   }
 
+  /** A document entering the streaming packer: id, source, token count. */
+  case class PackDoc(doc_id: Long, source: String, n_tok: Long)
+  /** A packed assignment: which training sequence, at which offset. */
+  case class PackedDoc(doc_id: Long, source: String, n_tok: Long,
+      seq_id: Long, seq_offset: Long)
+
+  /** Stateful streaming sequence packing — the ingest twin of
+    * curate_pack_sequences: each source's cumulative token cursor lives
+    * in the state store (O(1) per key — ONE long), so documents arriving
+    * across micro-batches continue filling the same training sequences
+    * exactly where the previous batch stopped. Within a batch, a
+    * source's arrivals are packed in doc_id order (the batch op's
+    * deterministic order); across batches, arrival order IS the packing
+    * order, which is what an append-only training-shard writer wants.
+    * Emission is append-mode; assignments are never retracted. Used by
+    * the test suite. */
+  def streamingPackSequences(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import docs.sparkSession.implicits._
+    val budget = graft.operators.CurateOps.PackBudget
+    docs
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+      .as[PackDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val off = cum
+            cum += d.n_tok
+            PackedDoc(d.doc_id, d.source, d.n_tok,
+              off / budget, off % budget)
+          }
+          state.update(cum)
+          out.iterator
+        }
+      .toDF()
+  }
+
   /** Streaming decontamination alerts — the watch-loop signal "this newly
     * ingested document overlaps the eval set, keep it out of training":
     * arriving documents explode to their distinct decontamination grams

@@ -1280,6 +1280,38 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq((shortId, 0.0, 0.0, 1)))
   }
 
+  test("stateful streaming packer continues sequences across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.documents(spark, SfDir)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val mid = corpus(corpus.length / 2)._1
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.streamingPackSequences(
+        mem.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches split in doc_id order: the per-source token
+      // cursor must carry across the batch boundary so the combined
+      // assignment equals the batch op over the whole corpus
+      mem.addData(corpus.filter(_._1 < mid).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(corpus.filter(_._1 >= mid).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("pack_stream")
+        .select("doc_id", "source", "n_tok", "seq_id", "seq_offset")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val batch = operators.CurateOps.curatePackSequences(spark, SfDir)
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(got == batch,
+        "streamed packing must equal the batch packing of the full corpus")
+    } finally q.stop()
+  }
+
   test("file-source ingest: curation gate consumes a growing parquet dir") {
     // the real watch-mode ingestion path (cortex's file watcher): a
     // parquet directory that gains files over time, read as a stream —
