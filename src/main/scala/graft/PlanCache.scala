@@ -75,8 +75,19 @@ object PlanCache {
       val built = build.persist()
       if (epoch.get() != asOfEpoch) { built.unpersist(); built }
       else {
-        val prev = cache.putIfAbsent(key, Entry(built, asOfEpoch))
-        if (prev != null) { built.unpersist(); prev.df } else built
+        val entry = Entry(built, asOfEpoch)
+        val prev = cache.putIfAbsent(key, entry)
+        if (prev != null) { built.unpersist(); prev.df }
+        else if (epoch.get() != asOfEpoch) {
+          // TOCTOU: an invalidate bumped+swept BETWEEN the check above and
+          // the install — our entry landed after the sweep and would be
+          // pinned as a stale memo. Conditionally remove exactly our own
+          // entry (a fresher thread may already have replaced it) and
+          // serve the caller its bounded-stale result uncached.
+          cache.remove(key, entry)
+          built.unpersist()
+          built
+        } else built
       }
     }
   }

@@ -194,9 +194,11 @@ object CurateOps {
 
   def curateSampleStratified(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      // project hk once, filter on the projected column — Filter and
-      // Project are separate codegen operators with no cross-operator
-      // CSE, so filtering on the raw expression would md5 twice per row
+      // NOTE: predicate pushdown re-inlines the hk expression below the
+      // Project, so the md5 is still evaluated in both Filter and Project
+      // (verified in the executed plan) — the staged column buys shared
+      // code with the streaming gate, not a saved evaluation; the double
+      // md5 over a short string is accepted as inherent
       .withColumn("hk", stratifiedKey)
       .filter(col("hk") < stratifiedThreshold)
       .select(col("doc_id"), col("lang"), col("hk"))
