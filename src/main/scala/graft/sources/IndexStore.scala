@@ -123,12 +123,25 @@ object IndexStore {
     * registry entries and the physical tables). The data-changed hook for
     * the dedup/ANN index relations — pairs with PlanCache.invalidate(dir),
     * which alone only releases PERSISTED relations: without this call the
-    * derived tables would keep answering from the pre-change snapshot. */
+    * derived tables would keep answering from the pre-change snapshot.
+    *
+    * Each key's drop runs under that key's build monitor: without it the
+    * DROP could land mid-write under an in-flight derivedBucketed (table
+    * writes are not idempotent mid-flight), or sweep BETWEEN the
+    * builder's table write and its registry put — leaving the registry
+    * pointing at a dropped table for the rest of the process. Serialized,
+    * an in-flight build completes first and its (pre-change) table is
+    * then dropped; a build arriving after sees an empty registry and
+    * rebuilds fresh. Residual (accepted): a build whose registry put
+    * lands after this sweep's weakly-consistent iteration snapshot can
+    * survive with pre-change data until the NEXT invalidation — the
+    * watch loop invalidates per micro-batch, so the staleness horizon is
+    * one batch; full closure would need the PlanCache epoch scheme. */
   def invalidateDerived(spark: SparkSession, dir: String): Unit = {
     val it = derived.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey._2 == dir) {
+      if (e.getKey._2 == dir) withBuildLock(e.getKey) {
         try spark.sql(s"DROP TABLE IF EXISTS ${e.getValue}")
         catch { case _: Throwable => () }
         it.remove()
