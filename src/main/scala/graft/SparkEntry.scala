@@ -99,7 +99,8 @@ object SparkEntry {
     "curate_pii_redact" -> CurateOps.curatePiiRedact _,
     "curate_sample_stratified" -> CurateOps.curateSampleStratified _,
     "curate_pack_sequences" -> CurateOps.curatePackSequences _,
-    "curate_shuffle_shards" -> CurateOps.curateShuffleShards _
+    "curate_shuffle_shards" -> CurateOps.curateShuffleShards _,
+    "curate_mix_domains" -> CurateOps.curateMixDomains _
   )
 
   private val duckTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -889,6 +890,25 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, shard,
         |  row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id)::INT AS pos
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    // weights / gate granularity come from the SAME constants the operator
+    // reads; the rate arithmetic mirrors the Spark expression order
+    // ((c * w) / tok * gate) so IEEE doubles agree bit-for-bit
+    "curate_mix_domains" ->
+      s"""WITH t AS (SELECT doc_id, source, len($duckTok)::BIGINT AS n_tok
+         |  FROM documents),
+         |w AS (SELECT source, sum(n_tok)::DOUBLE AS tok,
+         |    (CASE (substr(source, 4)::INT % 3)
+         |       WHEN 0 THEN ${CurateOps.MixW0} WHEN 1 THEN ${CurateOps.MixW1}
+         |       ELSE ${CurateOps.MixW2} END)::DOUBLE AS w
+         |  FROM t GROUP BY source),
+         |c AS (SELECT min(tok / w) AS c FROM w),
+         |r AS (SELECT source,
+         |    floor(c.c * w.w / w.tok * ${CurateOps.MixGate})::INT AS thr
+         |  FROM w, c)
+         |SELECT t.doc_id, t.source, t.n_tok, r.thr
+         |FROM t JOIN r USING (source)
+         |WHERE ('0x' || substr(md5('mix:' || t.doc_id::VARCHAR), 1, 3))::INT
+         |  < r.thr""".stripMargin
   )
 }

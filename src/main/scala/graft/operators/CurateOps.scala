@@ -226,6 +226,59 @@ object CurateOps {
         ((col("_cum") - col("n_tok")) % PackBudget).as("seq_offset"))
   }
 
+  /** Domain-mixing gate granularity: rates quantize to 4096ths (three hex
+    * chars of the gate hash), shared with the oracle SQL and the tests. */
+  val MixGate = 4096
+
+  /** Target mixing weight per source tier (source number mod 3 → tier):
+    * tier 0 domains carry 4× the weight of tier 2, 1 each of the three
+    * weights below. Shared with the oracle SQL and the tests. */
+  val MixW0 = 4.0
+  val MixW1 = 2.0
+  val MixW2 = 1.0
+
+  /** The per-source target weight — a static CASE over the source tier,
+    * evaluable by any executor with no lookup table. */
+  private[graft] def mixWeight: Column =
+    when(substring(col("source"), 4, 10).cast("int") % 3 === 0, MixW0)
+      .when(substring(col("source"), 4, 10).cast("int") % 3 === 1, MixW1)
+      .otherwise(MixW2)
+
+  /** Domain mixing (DoReMi-style static reweighting): downsample each
+    * source so the KEPT token mass matches the target weight proportions,
+    * retaining as much data as possible — rate_s = c·w_s/tok_s with
+    * c = min_s(tok_s/w_s), so the scarcest-per-weight ("binding") tier
+    * keeps everything and every other source is trimmed to match it.
+    * Rates quantize to [[MixGate]]ths and gate on three hex chars of
+    * md5("mix:"+doc_id) — the same deterministic hash-gate discipline as
+    * [[curateSampleStratified]] (salted differently so the two samples
+    * are independent), reproducible on any executor with no RNG state.
+    *
+    * Spark shape: two passes over documents — a per-source token
+    * aggregate (one shuffle over ~#sources groups) producing a
+    * rates table of #sources rows that BROADCASTS back onto the second
+    * scan; the gate itself is filter-only. At 100 TB the totals pass is
+    * the unavoidable statistics job every mixing run does once; the gate
+    * pass is embarrassingly parallel. */
+  def curateMixDomains(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val totals = docs.groupBy(col("source"))
+      .agg(sum(col("n_tok")).cast("double").as("tok"))
+      .withColumn("w", mixWeight)
+    // c = min(tok/w) as a 1-row frame; cross-joined (broadcast) rather
+    // than collect()ed so the whole plan stays one lazy DAG
+    val c = totals.agg(min(col("tok") / col("w")).as("c"))
+    val rates = totals.crossJoin(broadcast(c))
+      .select(col("source"),
+        floor(col("c") * col("w") / col("tok") * MixGate).cast("int").as("thr"))
+    docs.join(broadcast(rates), "source")
+      .filter(conv(substring(md5(concat(lit("mix:"),
+        col("doc_id").cast("string"))), 1, 3), 16, 10).cast("int") < col("thr"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("thr"))
+  }
+
   /** Shard count for the deterministic training shuffle (one hex digit). */
   val NumShards = 16
 

@@ -164,4 +164,49 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
     }
     assert(seen.toSet == positions.keySet)
   }
+
+  test("domain mixing hits the target token proportions with max retention") {
+    val tokCount = docs.view.mapValues { case (t, _, _) => toks(t).size.toLong }
+    val bySrc = docs.groupBy(_._2._3).view.mapValues(_.keys.toVector)
+    def weight(src: String): Double = (src.drop(3).toInt % 3) match {
+      case 0 => CurateOps.MixW0; case 1 => CurateOps.MixW1
+      case _ => CurateOps.MixW2
+    }
+    val tok = bySrc.mapValues(_.map(tokCount(_)).sum.toDouble).toMap
+    val c = tok.map { case (s, t) => t / weight(s) }.min
+    val thr = tok.map { case (s, t) =>
+      s -> math.floor(c * weight(s) / t * CurateOps.MixGate).toInt }
+    val expected = docs.collect {
+      case (id, (_, _, src))
+          if Integer.parseInt(md5hex(s"mix:$id").take(3), 16) < thr(src) =>
+        (id, src, tokCount(id), thr(src))
+    }.toSet
+    val got = CurateOps.curateMixDomains(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expected)
+    // the binding tier (scarcest tokens per unit weight) keeps everything:
+    // its rate is exactly 1 so the gate threshold is the full 4096
+    assert(thr.values.max == CurateOps.MixGate, "binding source keeps all docs")
+    // target-mix identity (deterministic — no hash-gate sampling noise):
+    // each source's EXPECTED kept token mass rate_s·tok_s equals c·w_s up
+    // to the 1/MixGate rate quantization, i.e. the kept corpus mixes the
+    // domains in exactly the target weight proportions
+    thr.foreach { case (s, t) =>
+      val expectedMass = t.toDouble / CurateOps.MixGate * tok(s)
+      assert(math.abs(expectedMass - c * weight(s)) <=
+        tok(s) / CurateOps.MixGate + 1e-6,
+        s"source $s expected kept mass $expectedMass, want ~${c * weight(s)}")
+    }
+  }
+
+  test("domain mixing broadcasts the rates table; one agg shuffle only") {
+    val plan = CurateOps.curateMixDomains(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates must broadcast onto the gate scan:\n$plan")
+    // the gate-side scan must not shuffle documents: the only exchanges
+    // belong to the per-source totals aggregation and the tiny rates build
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected at most the totals agg exchanges:\n$plan")
+  }
 }
