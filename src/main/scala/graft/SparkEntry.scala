@@ -56,6 +56,7 @@ object SparkEntry {
     "fts_wildcard" -> SearchOps.ftsWildcard _,
     "vec_knn_min_score" -> SearchOps.vecKnnMinScore _,
     "vec_knn_filtered" -> SearchOps.vecKnnFiltered _,
+    "vec_quantize_int8" -> SearchOps.vecQuantizeInt8 _,
     "graph_path" -> GraphOps.graphPath _,
     "graph_path_find" -> GraphOps.graphPathFind _,
     "graph_path_find_deep" -> GraphOps.graphPathFindDeep _,
@@ -506,6 +507,21 @@ object SparkEntry {
          |SELECT vec_id, label, score FROM fetched
          |WHERE label % 2 = 1
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    // +0.5-floor quantization (not round(): half-tie behavior differs
+    // across engines); expression order mirrors the Spark side so IEEE
+    // doubles agree bit-for-bit
+    "vec_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT vec_id, mx, list_transform(v, x ->
+        |    CASE WHEN mx = 0 THEN 0
+        |         ELSE floor(x * 127.0 / mx + 0.5)::BIGINT END) AS qs
+        |  FROM m)
+        |SELECT vec_id, round(mx / 127.0, 6) AS scale,
+        |  md5(array_to_string(qs, ',')) AS q_md5,
+        |  list_sum(list_transform(qs, x -> abs(x)))::BIGINT AS q_l1
+        |FROM q""".stripMargin,
     "graph_path" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem)
         |SELECT a.src AS a_id, b.src AS b_id, count(DISTINCT a.dst) AS n_paths

@@ -561,6 +561,35 @@ object SearchOps {
       .limit(k)
   }
 
+  /** Symmetric per-vector int8 quantization — the embedding-STORAGE
+    * compression a 100 TB vector corpus runs before anything else (4×
+    * smaller than float32, 8× smaller than the float64 compute form; the
+    * reference stores float32 blobs, internal/storage/chunk_writer.go,
+    * and this is the standard next step down). Each vector carries its
+    * own scale max|v|/127; codes are floor(v·127/max + 0.5) ∈ [-127,127]
+    * — the +0.5-floor formulation rounds identically in every engine,
+    * where round() half-to-even vs half-away ties differ. One
+    * column-pruned scan, no shuffle, no UDF: all array math is
+    * transform/aggregate expressions (higher-order lambdas evaluate
+    * interpreted — CodegenFallback by design — but stay inside the
+    * single scan stage). Emits the code-array md5 (exact content check),
+    * the scale, and the L1 code mass per vector.
+    */
+  def vecQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), _.cast("double"))
+    val mx = array_max(transform(v, x => abs(x)))
+    Tables.embeddings(spark, dir)
+      .withColumn("_mx", mx)
+      .withColumn("_q", transform(v, x =>
+        when(col("_mx") === 0.0, lit(0L))
+          .otherwise(floor(x * 127.0 / col("_mx") + 0.5))))
+      .select(col("vec_id"),
+        round(col("_mx") / 127.0, 6).as("scale"),
+        md5(array_join(transform(col("_q"), _.cast("string")), ","))
+          .as("q_md5"),
+        aggregate(col("_q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
+  }
+
   /** Filtered search: language/source/length predicates all push down to
     * the parquet scan before any ranking work (cortex tag/language/limit
     * filters, internal/mcp/search_sqlite.go:101).

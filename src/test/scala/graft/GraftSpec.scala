@@ -100,6 +100,47 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "label cell predicate should be pushed to the embeddings scan")
   }
 
+  test("int8 quantization reconstructs within half a quantization step") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toVector)
+      .toMap
+    val got = operators.SearchOps.vecQuantizeInt8(spark, SfDir).collect()
+    assert(got.length == emb.size)
+    got.foreach { r =>
+      val (id, scale, md5got, l1) =
+        (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3))
+      val v = emb(id)
+      val mx = v.map(math.abs).max
+      val q = v.map(x => if (mx == 0) 0L
+        else math.floor(x * 127.0 / mx + 0.5).toLong)
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $id codes in range")
+      // unrounded scale: every |v_i - q_i*(mx/127)| <= (mx/127)/2 — the
+      // defining property of symmetric uniform quantization
+      val s = mx / 127.0
+      v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(x - c * s) <= s / 2 + 1e-12, s"vec $id recon err")
+      }
+      assert(md5got == java.security.MessageDigest.getInstance("MD5")
+        .digest(q.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, s"vec $id code digest")
+      assert(l1 == q.map(math.abs).sum, s"vec $id L1 mass")
+      assert(math.abs(scale - BigDecimal(s).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"vec $id scale")
+    }
+  }
+
+  test("int8 quantization is one exchange-free column-pruned scan") {
+    val plan = operators.SearchOps.vecQuantizeInt8(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1, s"exactly one scan:\n$plan")
+    // label is not read: at 100 TB the pruned column is real IO
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"scan must read only vec_id+embedding:\n$plan")
+  }
+
   test("k-means assigns every vector once and uses multiple clusters") {
     val rows = operators.SearchOps.vecKmeans(spark, SfDir).collect()
     val n = Tables.embeddings(spark, SfDir).count()
