@@ -57,6 +57,8 @@ object SparkEntry {
     "vec_knn_min_score" -> SearchOps.vecKnnMinScore _,
     "vec_knn_filtered" -> SearchOps.vecKnnFiltered _,
     "vec_quantize_int8" -> SearchOps.vecQuantizeInt8 _,
+    // approximate by design (PQ codes + ADC) => no oracle, rows-only check
+    "vec_knn_pq" -> SearchOps.vecKnnPq _,
     "graph_path" -> GraphOps.graphPath _,
     "graph_path_find" -> GraphOps.graphPathFind _,
     "graph_path_find_deep" -> GraphOps.graphPathFindDeep _,

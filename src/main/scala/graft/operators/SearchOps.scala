@@ -361,6 +361,149 @@ object SearchOps {
       .limit(10)
   }
 
+  /** Product-quantization geometry: [[PqM]] subspaces of [[PqSub]] dims
+    * each, [[PqK]] centroids per subspace — codes compress a 64-float
+    * (256-byte) vector to 4 small ints, the storage step that makes a
+    * 100 TB vector corpus scannable from memory. */
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqK = 16
+  private val PqRerank = 100
+
+  /** L2-normalize the vector column: PQ indexes UNIT vectors so the ADC
+    * dot-product sum approximates cosine directly — encoding raw vectors
+    * would inflate large-norm vectors' approximate scores (the query's
+    * own norm is constant across candidates and cancels in the ranking). */
+  private def l2normalized(emb: DataFrame): DataFrame = {
+    val n = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+    emb.withColumn("v",
+      when(n === 0.0, col("v")).otherwise(transform(col("v"), _ / n)))
+  }
+
+  /** (vec_id, m, sv): each vector exploded into its PqM subvectors. */
+  private def pqSubRows(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(PqM - 1)),
+          m => slice(col("v"), m * PqSub + 1, lit(PqSub)))))
+      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("sv"))
+
+  /** Per-(vector, subspace) nearest centroid — broadcast the ≤ PqM·PqK
+    * centroid rows against the subvector scan, argmin by min(struct):
+    * total order, no tie luck (same discipline as [[kmeansAssignStep]]). */
+  private def pqAssignStep(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), "m")
+      .select(col("vec_id"), col("m"), col("sv"),
+        sqDist(col("sv"), col("c")).as("d"), col("cluster"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("cluster"))).as("a"),
+        first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("m"), col("sv"),
+        col("a.cluster").as("cluster"))
+
+  /** Lloyd iterations for codebook training. Unlike [[kmeansCents]]
+    * (oracle-bound, hand-unrolled in lockstep with DuckDB CTEs), PQ is
+    * approximate-by-design with no oracle, so training iterates freely —
+    * each round re-persists the small centroid relation and cuts lineage
+    * so the plan does not stack scans. */
+  private val PqIters = 4
+
+  /** Trained PQ codebooks — md5-seeded init (the PqK smallest-md5 vectors
+    * seed every subspace), [[PqIters]] Lloyd re-estimations with
+    * 6-decimal rounded centroids, the [[kmeansCents]] determinism recipe
+    * applied per subspace. All subspaces train in ONE plan per round: the
+    * subvector explode is a single scan, each re-estimation a single
+    * (m, cluster, dim) aggregate over ≤ PqM·PqK·PqSub thin rows. */
+  private[graft] def pqCents(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "pqCents") {
+      val emb = l2normalized(embAsDouble(spark, dir))
+      val sub = pqSubRows(emb)
+      val seeds = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(PqK)
+        .withColumn("cluster", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1)
+      val c0 = pqSubRows(seeds.select(col("cluster").as("vec_id"), col("v")))
+        .select(col("m"), col("vec_id").cast("int").as("cluster"),
+          col("sv").as("c"))
+      (1 to PqIters).foldLeft(c0) { (cents, _) =>
+        val next = pqAssignStep(sub, cents)
+          .select(col("m"), col("cluster"), posexplode(col("sv")))
+          .groupBy(col("m"), col("cluster"), col("pos").as("d"))
+          .agg(round(avg(col("col")), 6).as("cv"))
+          .groupBy(col("m"), col("cluster"))
+          .agg(array_sort(collect_list(struct(col("d"), col("cv")))).as("s"))
+          .select(col("m"), col("cluster"),
+            transform(col("s"), x => x.getField("cv")).as("c"))
+        // the centroid relation is tiny (≤ PqM·PqK rows): checkpoint each
+        // round so the training loop's lineage stays flat
+        next.localCheckpoint(eager = true)
+      }
+    }
+
+  /** The compressed corpus: one row per vector, codes[m] = nearest
+    * codebook entry per subspace — the THIN relation (4 small ints vs 64
+    * floats) every PQ query scans instead of the raw embeddings. */
+  private[graft] def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "pqCodes") {
+      pqAssignStep(pqSubRows(l2normalized(embAsDouble(spark, dir))),
+          pqCents(spark, dir))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("m"), col("cluster")))).as("s"))
+        .select(col("vec_id"),
+          transform(col("s"), x => x.getField("cluster")).as("codes"))
+    }
+
+  /** Dot product in array index order (portable accumulation). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** PQ KNN with asymmetric-distance scoring + exact re-rank — the other
+    * 100 TB single-query path next to IVF pruning ([[vecKnnKmeans]]):
+    * instead of reading 256 bytes/vector, the query scans the CODES
+    * relation (4 ints/vector) and scores each vector as the sum of
+    * per-subspace query·centroid dot products looked up from a
+    * PqM×PqK table (one broadcast row of 4 maps — the classic ADC
+    * lookup). The approximate top-[[PqRerank]] then re-rank EXACTLY
+    * against their true embeddings (a broadcast semi-join of ≤ 50 ids)
+    * before the final top-k cut — the standard recall repair that makes
+    * 4-int codes usable. No shuffle anywhere: codes scan + broadcast
+    * LUT + TakeOrdered, then a broadcast join for the re-rank.
+    * Approximate by design ⇒ rows-only driver check; the suite pins
+    * recall against [[vecKnnBrute]].
+    */
+  def vecKnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val qSub = pqSubRows(l2normalized(
+      queryVec(spark, dir).select(lit(0L).as("vec_id"),
+        col("q_emb").cast("array<double>").as("v"))))
+    // ADC lookup tables: per subspace, map cluster -> dot(q_m, c_{m,cl})
+    val lutCols = (0 until PqM).map(m =>
+      map_from_entries(collect_list(
+        when(col("m") === m, struct(col("cluster"), col("qd")))))
+        .as(s"lut$m"))
+    val luts = pqCents(spark, dir)
+      .join(broadcast(qSub.select(col("m"), col("sv"))), "m")
+      .select(col("m"), col("cluster"), dot(col("sv"), col("c")).as("qd"))
+      .groupBy()
+      .agg(lutCols.head, lutCols.tail: _*)
+    val approx = pqCodes(spark, dir)
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(luts))
+      .select(col("vec_id"),
+        (0 until PqM).map(m =>
+          element_at(col(s"lut$m"), element_at(col("codes"), m + 1)))
+          .reduce(_ + _).as("approx_score"))
+      .orderBy(col("approx_score").desc, col("vec_id"))
+      .limit(PqRerank)
+    Tables.embeddings(spark, dir)
+      .join(broadcast(approx.select(col("vec_id"))), "vec_id")
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("vec_id"), score(col("embedding"), col("q_emb")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Approximate batch KNN — the 100 TB scale path for [[vecKnnJoin]]:
     * instead of comparing every pair inside a label cell (cell² work,
     * detonates when a cell holds millions of vectors), candidates come

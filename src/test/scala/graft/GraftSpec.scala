@@ -40,7 +40,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
   test("every query key has a matching oracle or is explicitly rows-only") {
     // sketch/ANN outputs are approximate by design, so rows-only checked
     val rowsOnly =
-      Set("q9b_approx_distinct", "vec_knn_join_ann", "q13b_approx_percentiles")
+      Set("q9b_approx_distinct", "vec_knn_join_ann", "q13b_approx_percentiles",
+        "vec_knn_pq")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
@@ -139,6 +140,55 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // label is not read: at 100 TB the pruned column is real IO
     assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
       s"scan must read only vec_id+embedding:\n$plan")
+  }
+
+  test("PQ codes cover every vector with in-range codebook entries") {
+    import org.apache.spark.sql.functions._
+    val codes = operators.SearchOps.pqCodes(spark, SfDir).collect()
+    val n = Tables.embeddings(spark, SfDir).count()
+    assert(codes.length == n, "every vector is encoded")
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 8, s"vec ${r.getLong(0)}: 8 subspace codes")
+      assert(cs.forall(c => c >= 0 && c < 16),
+        s"vec ${r.getLong(0)}: codes within the codebook")
+    }
+  }
+
+  test("PQ ADC + exact re-rank keeps >= 0.7 recall of brute-force top-10") {
+    val brute = operators.SearchOps.vecKnnBrute(spark, SfDir).collect()
+      .map(_.getLong(0)).toSet
+    val pq = operators.SearchOps.vecKnnPq(spark, SfDir).collect()
+    assert(pq.length == 10)
+    // re-ranked scores are TRUE cosines: only membership is approximate
+    val recall = pq.map(_.getLong(0)).count(brute) / 10.0
+    assert(recall >= 0.7, s"PQ recall@10 $recall vs brute")
+  }
+
+  test("PQ ADC scan never hash-shuffles the code relation") {
+    val df = operators.SearchOps.vecKnnPq(spark, SfDir)
+    assert(df.count() == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // drop InMemoryRelation subtrees: they spell out the CACHED one-time
+    // codebook/code builds (which legitimately aggregate); the assertion
+    // is about the per-query path
+    def depth(l: String): Int = l.indexWhere(c => c != ' ' && c != ':' && c != '+' && c != '-')
+    val queryPath = new StringBuilder
+    var skipBelow = -1
+    plan.linesIterator.foreach { l =>
+      val d = math.max(depth(l), 0)
+      if (skipBelow >= 0 && d <= skipBelow) skipBelow = -1
+      if (skipBelow < 0) {
+        if (l.contains("InMemoryRelation")) skipBelow = d
+        else queryPath.append(l).append('\n')
+      }
+    }
+    // the LUT global agg legitimately gathers <= PqM*PqK thin rows to one
+    // partition; the CODES side must stay scan + broadcast + TakeOrdered
+    assert(!queryPath.toString.contains("Exchange hashpartitioning"),
+      s"ADC must be broadcast-only:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded TakeOrdered, not a global sort:\n$plan")
   }
 
   test("k-means assigns every vector once and uses multiple clusters") {
