@@ -89,6 +89,7 @@ object SparkEntry {
     "mm_frame_sample" -> MultimodalOps.mmFrameSample _,
     "mm_frame_energy" -> MultimodalOps.mmFrameEnergy _,
     "mm_decode_stub" -> MultimodalOps.mmDecodeStub _,
+    "mm_phash_dedup" -> MultimodalOps.mmPhashDedup _,
     "graph_khop" -> GraphOps.graphKhop _,
     "graph_khop_deep" -> GraphOps.graphKhopDeep _,
     "graph_dependents" -> GraphOps.graphDependents _,
@@ -740,6 +741,27 @@ object SparkEntry {
         |  ascii(substr(text, u.s::INT, 1)) AS byte_val
         |FROM documents
         |CROSS JOIN unnest(range(1, least(n_chars, 701) + 1, 100)) AS u(s)""".stripMargin,
+    // 32-frame average-hash: integer energy sums per equal character
+    // slice, bit = energy*32 > total, pairs at hamming <= 3 (the oracle
+    // brute-forces all pairs; Spark goes through the banded candidates)
+    "mm_phash_dedup" ->
+      """WITH f AS (SELECT doc_id, n_chars::INT AS nc, text FROM documents
+        |  WHERE n_chars >= 32),
+        |e AS (SELECT doc_id, u.f AS frame,
+        |    (SELECT sum(ascii(substr(text, p.p::INT, 1)) *
+        |                ascii(substr(text, p.p::INT, 1)))
+        |     FROM unnest(range((u.f * nc) // 32 + 1,
+        |                       ((u.f + 1) * nc) // 32 + 1)) AS p(p))::BIGINT AS ef
+        |  FROM f CROSS JOIN unnest(range(0, 32)) AS u(f)),
+        |h AS (SELECT doc_id,
+        |    sum(CASE WHEN ef * 32 >
+        |        (SELECT sum(ef) FROM e e2 WHERE e2.doc_id = e.doc_id)
+        |      THEN 1::BIGINT << frame ELSE 0 END)::BIGINT AS ph
+        |  FROM e GROUP BY doc_id)
+        |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |  bit_count(xor(x.ph, y.ph)) AS hamming
+        |FROM h x JOIN h y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.ph, y.ph)) <= 3""".stripMargin,
     "graph_khop" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
         |h1 AS (SELECT DISTINCT dst FROM e WHERE src < 10),

@@ -74,6 +74,81 @@ object MultimodalOps {
         size(col("bs")).cast("long").as("n_samples"),
         aggregate(col("bs"), lit(0L), (acc, b) => acc + b * b).as("energy_sum"))
 
+  /** Perceptual-hash geometry: [[PhashFrames]] equal payload slices, one
+    * average-hash bit each (energy above the payload mean ⇒ 1) → a 32-bit
+    * signature; near-dup = hamming <= [[PhashTau]]. Four 8-bit bands give
+    * the pigeonhole guarantee (3 differing bits over 4 bands always leave
+    * one band untouched), so banding is EXACT candidate generation — the
+    * same discipline as the simhash text dedup. At corpora where an 8-bit
+    * band value goes hot (millions of payloads per bucket), the knobs are
+    * the ones aHash deployments actually turn: more frames → wider bands
+    * (64-frame/16-bit needs unsigned-shift care at bit 63), or a
+    * format/size block key folded into the bucket key like the simhash
+    * (lang, length-bucket) fold. */
+  private[graft] val PhashFrames = 32
+  private[graft] val PhashTau = 3
+  private val PhashBands = 4
+
+  /** The signature/band relation, built once per (session, dir) as a
+    * table bucketed on (band, bv) — the candidate self-join's exact keys,
+    * so it reads both sides co-located with no exchange. Energies are
+    * INTEGER sums of squared byte values over equal character slices
+    * (the honest stand-in for decoded pixel/sample blocks, as in
+    * [[mmFrameEnergy]]); the bit threshold compares e·F > total, so the
+    * whole signature is exact integer math in every engine. */
+  private[graft] def phashBands(spark: SparkSession, dir: String): DataFrame =
+    spark.table(graft.sources.IndexStore.derivedBucketed(spark, dir,
+      "phash_bands", Seq("band", "bv")) {
+      val nc = col("nc")
+      val es = transform(sequence(lit(0), lit(PhashFrames - 1)), f => {
+        val s = floor(f * nc / PhashFrames).cast("int") + 1
+        val e = floor((f + 1) * nc / PhashFrames).cast("int")
+        aggregate(
+          transform(sequence(s, e), p => ascii(col("text").substr(p, lit(1)))),
+          lit(0L), (acc, b) => acc + (b * b).cast("long"))
+      })
+      val sig = (0 until PhashFrames).map { f =>
+        when(element_at(col("es"), f + 1) * PhashFrames > col("tot"),
+          lit(1L << f)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val bandStructs = (0 until PhashBands).map { b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("ph"), b * 8) % 256).as("bv"))
+      }
+      Tables.documents(spark, dir)
+        .filter(col("n_chars") >= PhashFrames)
+        .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("nc"))
+        .withColumn("es", es)
+        .withColumn("tot", aggregate(col("es"), lit(0L), (a, x) => a + x))
+        .withColumn("ph", sig)
+        .select(col("doc_id"), col("ph"),
+          explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id"), col("ph"),
+          col("b.band").as("band"), col("b.bv").as("bv"))
+    })
+
+  /** Near-duplicate detection over the OPAQUE payload — the multimodal
+    * twin of dedup_simhash: banded-LSH candidates from the bucketed
+    * signature table (exchange-free self-join, never all-pairs), exact
+    * xor + bit_count verify. This is how a training pipeline finds
+    * re-encoded/resized copies of the same image without decoding
+    * anything twice: signatures are one scan, candidates touch only
+    * colliding band buckets. */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val bands = phashBands(spark, dir)
+    bands
+      .join(bands.select(col("doc_id").as("b_id"), col("ph").as("b_ph"),
+          col("band").as("bb"), col("bv").as("b_bv")),
+        col("band") === col("bb") && col("bv") === col("b_bv") &&
+          col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"),
+        col("ph").as("a_ph"), col("b_ph"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).as("hamming"))
+      .filter(col("hamming") <= PhashTau)
+  }
+
   /** Media payload as it would arrive from an object store manifest. */
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   /** Typed decode output — the schema a real codec stage would produce. */

@@ -983,6 +983,48 @@ class IndexStoreSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("phash pairs equal a direct 32-frame average-hash recount") {
+    val docs = Tables.documents(spark, SfDir)
+      .filter(col("n_chars") >= 32)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2).toInt))
+    def phash(text: String, nc: Int): Long = {
+      val es = (0 until 32).map { f =>
+        val s = f * nc / 32
+        val e = (f + 1) * nc / 32
+        (s until e).map { i =>
+          val b = text.codePointAt(text.offsetByCodePoints(0, i)).toLong
+          b * b
+        }.sum
+      }
+      val tot = es.sum
+      (0 until 32).map(f => if (es(f) * 32 > tot) 1L << f else 0L).sum
+    }
+    val sigs = docs.map { case (id, t, nc) => id -> phash(t, nc) }.toMap
+    val expected = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      hm = java.lang.Long.bitCount(ha ^ hb) if hm <= 3
+    } yield (a, b, hm)).toSet
+    val got = operators.MultimodalOps.mmPhashDedup(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "the corpus must exercise the near-dup path")
+  }
+
+  test("phash candidate join reads the bucketed band table co-located") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = operators.MultimodalOps.mmPhashDedup(spark, SfDir)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      // one exchange belongs to the thin surviving-pairs distinct; the
+      // band self-join itself reads both sides co-located
+      assert(countExchanges(plan) <= 1,
+        s"band self-join must be exchange-free over the bucketed table:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("exact batch KNN aborts loudly when a cell exceeds the cap") {
     // sf0.001 cells hold ~100 vectors each: a cap of 10 must trip the
     // plan-embedded assert with the routing message, and the default cap
