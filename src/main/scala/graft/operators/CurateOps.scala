@@ -260,24 +260,36 @@ object CurateOps {
     * scan; the gate itself is filter-only. At 100 TB the totals pass is
     * the unavoidable statistics job every mixing run does once; the gate
     * pass is embarrassingly parallel. */
-  def curateMixDomains(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
-    val totals = docs.groupBy(col("source"))
+  /** The gate key: three hex chars of the salted doc hash as an int in
+    * [0, [[MixGate]]) — shared by the batch op and the streaming gate. */
+  private[graft] def mixGateKey: Column =
+    conv(substring(md5(concat(lit("mix:"),
+      col("doc_id").cast("string"))), 1, 3), 16, 10).cast("int")
+
+  /** The per-source rates table (#sources rows) from the statistics pass
+    * — broadcast by both the batch op and the streaming ingest gate (a
+    * deployment recomputes it per mixing epoch, not per batch). */
+  private[graft] def mixRates(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
       .agg(sum(col("n_tok")).cast("double").as("tok"))
       .withColumn("w", mixWeight)
     // c = min(tok/w) as a 1-row frame; cross-joined (broadcast) rather
     // than collect()ed so the whole plan stays one lazy DAG
     val c = totals.agg(min(col("tok") / col("w")).as("c"))
-    val rates = totals.crossJoin(broadcast(c))
+    totals.crossJoin(broadcast(c))
       .select(col("source"),
         floor(col("c") * col("w") / col("tok") * MixGate).cast("int").as("thr"))
-    docs.join(broadcast(rates), "source")
-      .filter(conv(substring(md5(concat(lit("mix:"),
-        col("doc_id").cast("string"))), 1, 3), 16, 10).cast("int") < col("thr"))
-      .select(col("doc_id"), col("source"), col("n_tok"), col("thr"))
   }
+
+  def curateMixDomains(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(broadcast(mixRates(spark, dir)), "source")
+      .filter(mixGateKey < col("thr"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("thr"))
 
   /** Shard count for the deterministic training shuffle (one hex digit). */
   val NumShards = 16

@@ -296,6 +296,24 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming domain-mix gate — the ingest twin of curate_mix_domains:
+    * the per-source rates table comes from the batch statistics pass (a
+    * deployment recomputes it per mixing epoch, not per micro-batch) and
+    * BROADCASTS into a stream-static join; the hash gate itself is a
+    * stateless per-row predicate, so admission is O(1) per document with
+    * no streaming state. Batch-equal admissions over the same corpus are
+    * pinned in the test suite. */
+  def streamingMixGate(docs: DataFrame, rates: DataFrame): DataFrame = {
+    import graft.operators.CurateOps
+    docs
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+      .join(broadcast(rates), "source")
+      .filter(CurateOps.mixGateKey < col("thr"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("thr"))
+  }
+
   /** Streaming decontamination alerts — the watch-loop signal "this newly
     * ingested document overlaps the eval set, keep it out of training":
     * arriving documents explode to their distinct decontamination grams

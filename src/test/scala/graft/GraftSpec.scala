@@ -1357,6 +1357,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("streaming mix gate admits exactly the batch domain-mix sample") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.documents(spark, SfDir)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(Long, String, String)]
+    // two micro-batches: the gate is stateless, so the split must not
+    // change admissions
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    mem.addData(b1.toIndexedSeq: _*)
+    val q = StreamingOps.streamingMixGate(
+        mem.toDF().toDF("doc_id", "text", "source"),
+        operators.CurateOps.mixRates(spark, SfDir))
+      .writeStream.format("memory").queryName("mix_gate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mix_gate")
+      .select("doc_id", "source", "n_tok", "thr")
+      .as[(Long, String, Long, Int)].collect().toSet
+    val batch = operators.CurateOps.curateMixDomains(spark, SfDir)
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(got == batch, "stream admissions must equal the batch mix")
+  }
+
   test("streaming decontamination alerts once per contaminated doc") {
     val sparkS = spark
     import sparkS.implicits._
