@@ -167,6 +167,64 @@ object ScaleProbe {
       f"exchange-rows(shuffle=$trainGrams, broadcast=$holdGrams)")
   }
 
+  /** Embedding corpus at N×: perturbed copies (deterministic per-dim
+    * jitter so directions spread instead of duplicating) with disjoint
+    * vec_id ranges; copy 0 keeps the original rows so the probe query
+    * vector (vec_id 0) exists. */
+  private def synthEmb(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
+    val emb = Tables.embeddings(spark, baseDir)
+    val parts = (0 until copies).map { c =>
+      val e = if (c == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          x + sin(col("vec_id") * 31 + i * 7 + lit(c * 13)) * lit(0.01))
+          .cast("array<float>")
+      emb.select((col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
+        e.as("embedding"), col("label"))
+    }
+    parts.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def dirBytes(p: String): Long = {
+    val root = java.nio.file.Paths.get(p)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  /** PQ vs brute-force single-query KNN at N×: wall time (both warm),
+    * top-10 recall, and the STORAGE ratio — the codes relation written as
+    * parquet next to the raw embeddings it replaces on the scan path.
+    * The storage column is the structural 100 TB claim (a query scans
+    * codes + re-ranks ~100 raw rows instead of scanning every raw row);
+    * local wall times over corpora this small mostly measure fixed plan
+    * overheads, and are reported honestly as such. */
+  private def pqProbe(spark: SparkSession, base: String, copies: Int): Unit = {
+    PlanCache.invalidate()
+    val dir = s"/tmp/graft_scale/emb$copies"
+    synthEmb(spark, base, dir, copies)
+    val brute = operators.SearchOps.vecKnnBrute(spark, dir)
+    brute.count()
+    val (tB, _) = time(brute.count())
+    operators.SearchOps.vecKnnPq(spark, dir).count() // builds codebooks+codes
+    val (tP, _) = time(operators.SearchOps.vecKnnPq(spark, dir).count())
+    val bIds = brute.collect().map(_.getLong(0)).toSet
+    val recall = operators.SearchOps.vecKnnPq(spark, dir).collect()
+      .map(_.getLong(0)).count(bIds) / 10.0
+    val codesDir = s"$dir/pq_codes.parquet"
+    operators.SearchOps.pqCodes(spark, dir)
+      .write.mode("overwrite").parquet(codesDir)
+    val (rawB, codeB) = (dirBytes(s"$dir/embeddings.parquet"), dirBytes(codesDir))
+    println(f"PQ copies=$copies%2d vecs=${copies * 2000}%6d " +
+      f"brute=$tB%6.2fs pq=$tP%6.2fs recall@10=$recall%.1f " +
+      f"parquet-bytes(raw=$rawB, codes=$codeB, ratio=${rawB.toDouble / codeB}%4.1fx)")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -191,6 +249,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("decontam")) {
       args.drop(1).map(_.toInt).foreach(c => decontamProbe(spark, base, c))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("pq")) {
+      args.drop(1).map(_.toInt).foreach(c => pqProbe(spark, base, c))
       spark.stop()
       return
     }
