@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_exact" -> DedupOps.dedupExact _,
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccard _,
     "dedup_minhash_lsh" -> DedupOps.dedupMinhashLsh _,
+    "dedup_incremental" -> DedupOps.dedupIncremental _,
     "dedup_simhash" -> DedupOps.dedupSimhash _,
     "dedup_clusters" -> DedupOps.dedupClusters _,
     "dedup_embedding" -> DedupOps.dedupEmbedding _,
@@ -592,6 +593,29 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT p.doc_id AS a_id, q.doc_id AS b_id
          |  FROM bands p JOIN bands q ON p.band = q.band AND p.sig = q.sig
          |    AND p.doc_id < q.doc_id)
+         |SELECT a_id, b_id, $duckJac AS jac
+         |FROM cand JOIN ng x ON cand.a_id = x.doc_id
+         |  JOIN ng y ON cand.b_id = y.doc_id
+         |WHERE jac >= 0.5""".stripMargin,
+    // the incremental split constants come from DedupOps (the WinnowDfCap
+    // drift lesson); a_id is always the NEW-batch doc, b_id the corpus doc
+    "dedup_incremental" ->
+      s"""WITH $duckNg,
+         |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS hv
+         |      FROM ng, unnest(gs) AS u(g)),
+         |hi AS (SELECT doc_id, hv, ix.i AS i
+         |       FROM h CROSS JOIN unnest(range(0, 16)) AS ix(i)),
+         |minh AS (SELECT doc_id, i,
+         |    min(((i*2+1)*hv + (i*12345+7)) % 2147483647) AS mh
+         |  FROM hi GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, (i // 2) AS band,
+         |    concat(sum(CASE WHEN i % 2 = 0 THEN mh END), '_',
+         |           sum(CASE WHEN i % 2 = 1 THEN mh END)) AS sig
+         |  FROM minh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT p.doc_id AS a_id, q.doc_id AS b_id
+         |  FROM bands p JOIN bands q ON p.band = q.band AND p.sig = q.sig
+         |    AND p.doc_id % ${DedupOps.IncrMod} = ${DedupOps.IncrRes}
+         |    AND q.doc_id % ${DedupOps.IncrMod} <> ${DedupOps.IncrRes})
          |SELECT a_id, b_id, $duckJac AS jac
          |FROM cand JOIN ng x ON cand.a_id = x.doc_id
          |  JOIN ng y ON cand.b_id = y.doc_id

@@ -141,38 +141,95 @@ object DedupOps {
     * agreeing on a full band, so work is proportional to true collisions
     * (P[candidate] = 1-(1-j^2)^8), not to n^2.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val ng = shingled(spark, dir)
-    // signature/band relation built once per (session, dir) as a table
-    // bucketed on (band, sig): the candidate self-join's keys are exactly
-    // the bucket keys, so it reads both sides co-located, exchange-free
-    val bands = spark.table(
+  /** MinHash band rows (doc_id, band, sig) for an arbitrary shingled
+    * frame — shared by the corpus index build and the incremental
+    * new-batch side, so the two signature computations cannot drift. */
+  private def minhashBandsOf(ng: DataFrame): DataFrame = {
+    val h = ng.select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), (hash60(col("g")) % P).as("hv"))
+    // all 16 minhashes as parallel aggregates: one shuffle on doc_id, no
+    // 16x row replication — each min((2i+1)*hv + 12345i+7 mod P) is a
+    // codegen'd partial aggregate
+    val mhAggs = (0 until 16).map { i =>
+      min((col("hv") * (i * 2 + 1) + (i * 12345 + 7)) % P).as(s"mh$i")
+    }
+    val minh = h.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    // bands pair signatures (2j, 2j+1); explode 8 band structs per doc
+    val bandStructs = (0 until 8).map { j =>
+      struct(lit(j.toLong).as("band"),
+        concat_ws("_", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")).as("sig"))
+    }
+    minh
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+  }
+
+  /** The corpus signature/band relation, built once per (session, dir) as
+    * a table bucketed on (band, sig) — the candidate joins' exact keys. */
+  private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    spark.table(
       graft.sources.IndexStore.derivedBucketed(spark, dir,
         "minhash_bands", Seq("band", "sig")) {
-      val h = ng.select(col("doc_id"), explode(col("gs")).as("g"))
-        .select(col("doc_id"), (hash60(col("g")) % P).as("hv"))
-      // all 16 minhashes as parallel aggregates: one shuffle on doc_id, no
-      // 16x row replication — each min((2i+1)*hv + 12345i+7 mod P) is a
-      // codegen'd partial aggregate
-      val mhAggs = (0 until 16).map { i =>
-        min((col("hv") * (i * 2 + 1) + (i * 12345 + 7)) % P).as(s"mh$i")
-      }
-      val minh = h.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-      // bands pair signatures (2j, 2j+1); explode 8 band structs per doc
-      val bandStructs = (0 until 8).map { j =>
-        struct(lit(j.toLong).as("band"),
-          concat_ws("_", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")).as("sig"))
-      }
-      minh
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-    })
+        minhashBandsOf(shingled(spark, dir))
+      })
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val ng = shingled(spark, dir)
+    // the candidate self-join's keys are exactly the bucket keys, so it
+    // reads both sides co-located, exchange-free
+    val bands = minhashBands(spark, dir)
     val cand = bands.select(col("band"), col("sig"), col("doc_id").as("a_id"))
       .join(bands.select(col("band").as("b_band"), col("sig").as("b_sig"),
           col("doc_id").as("b_id")),
         col("band") === col("b_band") && col("sig") === col("b_sig") &&
           col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(ng.select(col("doc_id").as("a_id"), col("gs").as("a_gs")), "a_id")
+      .join(ng.select(col("doc_id").as("b_id"), col("gs").as("b_gs")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_gs"), col("b_gs"))).cast("double") /
+          greatest(size(array_distinct(concat(col("a_gs"), col("b_gs")))), lit(1)), 4)
+          .as("jac"))
+      .filter(col("jac") >= 0.5)
+  }
+
+  /** The deterministic "new batch" for the incremental op: docs with
+    * doc_id ≡ [[IncrRes]] (mod [[IncrMod]]) — ~10% of the corpus, the
+    * stand-in for a day's crawl arriving against an indexed corpus.
+    * Shared with the oracle SQL. */
+  private[graft] val IncrMod = 10
+  private[graft] val IncrRes = 7
+
+  /** Incremental near-dup detection — the churn-proportional form every
+    * 100 TB pipeline actually runs: signatures are computed for the NEW
+    * batch only and joined (broadcast — churn ≪ corpus) against the
+    * pre-built bucketed corpus band table; the corpus is never
+    * re-signatured and never self-joined. Work scales with
+    * |batch| × collisions, not |corpus|². Emits (new doc, corpus dup,
+    * exact Jaccard) for verified near-dups; pairs WITHIN the new batch
+    * are the batch's own dedup problem (the minhash self-join or the
+    * streaming ingest dedup twin cover it) and are deliberately not
+    * re-reported here. */
+  /** The pre-verify candidate join — exposed so the plan suite asserts
+    * the corpus band table is probed in place (broadcast new-batch side,
+    * no exchange of the corpus rows). */
+  private[graft] def incrementalCandidates(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ng = shingled(spark, dir)
+    val newBands = minhashBandsOf(ng.filter(col("doc_id") % IncrMod === IncrRes))
+    val corpus = minhashBands(spark, dir)
+      .filter(col("doc_id") % IncrMod =!= IncrRes)
+    corpus
+      .join(broadcast(newBands.select(col("doc_id").as("a_id"),
+          col("band").as("a_band"), col("sig").as("a_sig"))),
+        col("band") === col("a_band") && col("sig") === col("a_sig"))
+      .select(col("a_id"), col("doc_id").as("b_id"))
+  }
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ng = shingled(spark, dir)
+    val cand = incrementalCandidates(spark, dir).distinct()
     cand
       .join(ng.select(col("doc_id").as("a_id"), col("gs").as("a_gs")), "a_id")
       .join(ng.select(col("doc_id").as("b_id"), col("gs").as("b_gs")), "b_id")

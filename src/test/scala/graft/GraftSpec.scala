@@ -983,6 +983,44 @@ class IndexStoreSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental dedup reports exactly the cross-split minhash pairs") {
+    val full = operators.DedupOps.dedupMinhashLsh(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def isNew(id: Long) =
+      id % operators.DedupOps.IncrMod == operators.DedupOps.IncrRes
+    // the (new, corpus) orientation of every full-corpus pair that
+    // crosses the batch split — band collisions and the Jaccard verify
+    // are the same machinery, so the sets must agree exactly
+    val expected = full.flatMap { case (a, b, j) =>
+      if (isNew(a) && !isNew(b)) Some((a, b, j))
+      else if (isNew(b) && !isNew(a)) Some((b, a, j))
+      else None
+    }.toSet
+    val got = operators.DedupOps.dedupIncremental(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "the corpus must exercise the cross-split path")
+    assert(got.forall { case (a, b, _) => isNew(a) && !isNew(b) })
+  }
+
+  test("incremental dedup probes the corpus band table without shuffling it") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = operators.DedupOps.incrementalCandidates(spark, SfDir)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"the new-batch bands must broadcast:\n$plan")
+      // the corpus side reads the bucketed table in place; the only
+      // hash exchange allowed is the NEW side's own signature aggregate
+      val corpusShuffles = "Exchange hashpartitioning\\(band".r
+        .findAllIn(plan).size
+      assert(corpusShuffles == 0,
+        s"corpus band rows must not repartition:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("phash pairs equal a direct 32-frame average-hash recount") {
     val docs = Tables.documents(spark, SfDir)
       .filter(col("n_chars") >= 32)
