@@ -7,6 +7,56 @@ import org.apache.spark.sql.SparkSession
   * stand-in for a cluster's long-lived executors) and once timed.
   */
 object Bench {
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+
+  private def fmt(v: Double): String =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+
+  /** The collector keeps only the LAST ~2000 chars of stdout, and sbt
+    * appends a ~75-char "[success]" trailer after us — a full-precision
+    * 80+-query map overflows that window and the line never parses
+    * (BENCH_r01..r03 all recorded parsed:null). So the parseable line is
+    * COMPACT: 2-decimal values with trailing zeros stripped, numeric sf,
+    * errors only when present, and — if the map still exceeds
+    * [[LineBudget]] — the FASTEST queries are dropped with an explicit
+    * "omitted" count (their time stays inside "value"). Unit-tested in
+    * BenchLineSpec so a future query-count bump cannot silently regrow
+    * the line past the window. */
+  private[graft] val LineBudget = 1860
+
+  private[graft] def renderLine(results: Seq[(String, Double, Option[String])],
+      sfDir: String): String = {
+    val total = results.map(_._2).sum
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse(jstr(sfDir))
+    val errs = results.collect {
+      case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(100)) }
+    val errField =
+      if (errs.isEmpty) "" else errs.mkString(""""errors":{""", ",", "},")
+    def line(entries: Seq[String], omitted: Int): String = {
+      val omitField = if (omitted == 0) "" else s""""omitted":$omitted,"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":${entries.mkString("{", ",", "}")},""" +
+        s"""$errField$omitField"sf":$sfNum}"""
+    }
+    val bySlowest = results.sortBy(-_._2)
+      .map { case (k, v, _) => jstr(k) + ":" + fmt(v) }
+    // keep the slowest-first prefix that fits the tail window
+    val keep = bySlowest.indices.reverse
+      .find(i =>
+        line(bySlowest.take(i + 1), bySlowest.size - i - 1).length <= LineBudget)
+      .map(_ + 1).getOrElse(if (bySlowest.isEmpty) 0 else 1)
+    line(bySlowest.take(keep), bySlowest.size - keep)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -32,48 +82,16 @@ object Bench {
       catch { case t: Throwable =>
         Some((t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage)).take(300)) }
     SparkEntry.queries.foreach { case (_, fn) => run(fn) }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = run(fn)
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => " "
-        case c => c.toString
-      } + "\""
-    // The harness that collects this line keeps only the LAST ~2000 chars of
-    // stdout, and sbt appends a ~75-char "[success]" trailer after us — a
-    // full-precision 80+-query map overflows that window and the line never
-    // parses (BENCH_r01..r03 all recorded parsed:null). So the parseable
-    // line is COMPACT: 2-decimal values with trailing zeros stripped,
-    // numeric sf, errors only when present, and — if the map still exceeds
-    // the budget — the FASTEST queries are dropped with an explicit
-    // "omitted" count (their time stays inside "value"). A full-precision
-    // line goes out first, prefixed so the tail parser can never match it.
-    def fmt(v: Double): String =
-      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-        .bigDecimal.stripTrailingZeros.toPlainString
-    val total = results.map(_._2).sum
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(jstr(sfDir))
+    // full precision for humans reading the log; the prefix keeps the
+    // tail parser from ever matching this line
     println("bench-full " + results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}"))
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(100)) }
-    val errField = if (errs.isEmpty) "" else errs.mkString(""""errors":{""", ",", "},")
-    def line(entries: Seq[String], omitted: Int): String = {
-      val omitField = if (omitted == 0) "" else s""""omitted":$omitted,"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},$errField$omitField"sf":$sfNum}"""
-    }
-    val bySlowest = results.toSeq.sortBy(-_._2)
-      .map { case (k, v, _) => jstr(k) + ":" + fmt(v) }
-    // keep the slowest-first prefix that fits the tail window
-    val budget = 1860
-    val keep = bySlowest.indices.reverse
-      .find(i => line(bySlowest.take(i + 1), bySlowest.size - i - 1).length <= budget)
-      .map(_ + 1).getOrElse(1)
-    println(line(bySlowest.take(keep), bySlowest.size - keep))
+    println(renderLine(results, sfDir))
     spark.stop()
   }
 }
