@@ -105,7 +105,8 @@ object SparkEntry {
     "curate_sample_stratified" -> CurateOps.curateSampleStratified _,
     "curate_pack_sequences" -> CurateOps.curatePackSequences _,
     "curate_shuffle_shards" -> CurateOps.curateShuffleShards _,
-    "curate_mix_domains" -> CurateOps.curateMixDomains _
+    "curate_mix_domains" -> CurateOps.curateMixDomains _,
+    "curate_mix_epochs" -> CurateOps.curateMixEpochs _
   )
 
   private val duckTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -973,6 +974,28 @@ object SparkEntry {
          |SELECT t.doc_id, t.source, t.n_tok, r.thr
          |FROM t JOIN r USING (source)
          |WHERE ('0x' || substr(md5('mix:' || t.doc_id::VARCHAR), 1, 3))::INT
-         |  < r.thr""".stripMargin
+         |  < r.thr""".stripMargin,
+    // upsampling epoch mix: rate = (w/Σw)·T / tok_s mirrored in the same
+    // IEEE order as the Spark expressions; copies via unnest(range(n))
+    "curate_mix_epochs" ->
+      s"""WITH t AS (SELECT doc_id, source, len($duckTok)::BIGINT AS n_tok
+         |  FROM documents),
+         |w AS (SELECT source, sum(n_tok)::DOUBLE AS tok,
+         |    (CASE (substr(source, 4)::INT % 3)
+         |       WHEN 0 THEN ${CurateOps.MixW0} WHEN 1 THEN ${CurateOps.MixW1}
+         |       ELSE ${CurateOps.MixW2} END)::DOUBLE AS w
+         |  FROM t GROUP BY source),
+         |g AS (SELECT sum(w) AS sw, sum(tok) AS tt FROM w),
+         |r AS (SELECT source, w.w / g.sw * g.tt / w.tok AS rate FROM w, g),
+         |r2 AS (SELECT source, floor(rate)::INT AS n_full,
+         |    floor((rate - floor(rate)) * ${CurateOps.MixGate})::INT AS fthr
+         |  FROM r),
+         |n AS (SELECT t.doc_id, t.source, r2.n_full +
+         |    (CASE WHEN ('0x' || substr(md5('epoch:' || t.doc_id::VARCHAR),
+         |                 1, 3))::INT < r2.fthr THEN 1 ELSE 0 END) AS n_copies
+         |  FROM t JOIN r2 USING (source))
+         |SELECT doc_id, source, n_copies, u.copy_idx::INT AS copy_idx
+         |FROM n CROSS JOIN unnest(range(0, n_copies)) AS u(copy_idx)
+         |WHERE n_copies > 0""".stripMargin
   )
 }

@@ -291,6 +291,45 @@ object CurateOps {
       .filter(mixGateKey < col("thr"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("thr"))
 
+  /** Epoch mixing with UPSAMPLING — the other half of the mixing story:
+    * [[curateMixDomains]] only ever downsamples (max retention at the
+    * target mix), which shrinks the corpus when weights are skewed; a
+    * training run that wants to KEEP its token budget instead repeats
+    * rare high-weight domains (the published LLM data recipes upsample
+    * small high-quality sources by 2-5 epochs). Here each source's rate
+    * is (w_s/Σw)·T / tok_s — total kept mass stays ≈ the corpus size T —
+    * and a document emits floor(rate) full copies plus one more iff the
+    * salted hash gate passes the fractional remainder. Copies carry
+    * copy_idx so a downstream shuffle can interleave them.
+    *
+    * Spark shape: the same census + broadcast-rates pattern as
+    * [[curateMixDomains]], then a NARROW generate (explode of a
+    * per-row sequence) — no extra shuffle; replication happens where
+    * the row already lives. */
+  def curateMixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val totals = docs.groupBy(col("source"))
+      .agg(sum(col("n_tok")).cast("double").as("tok"))
+      .withColumn("w", mixWeight)
+    val g = totals.agg(sum(col("w")).as("sw"), sum(col("tok")).as("tt"))
+    val rates = totals.crossJoin(broadcast(g))
+      .withColumn("rate", col("w") / col("sw") * col("tt") / col("tok"))
+      .select(col("source"),
+        floor(col("rate")).cast("int").as("n_full"),
+        floor((col("rate") - floor(col("rate"))) * MixGate).cast("int")
+          .as("fthr"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("n_copies", col("n_full") +
+        when(conv(substring(md5(concat(lit("epoch:"),
+          col("doc_id").cast("string"))), 1, 3), 16, 10).cast("int")
+          < col("fthr"), 1).otherwise(0))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("copy_idx"))
+  }
+
   /** Shard count for the deterministic training shuffle (one hex digit). */
   val NumShards = 16
 

@@ -199,6 +199,41 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("epoch mixing repeats high-weight domains and keeps the token budget") {
+    val tokCount = docs.view.mapValues { case (t, _, _) => toks(t).size.toLong }
+    def weight(src: String): Double = (src.drop(3).toInt % 3) match {
+      case 0 => CurateOps.MixW0; case 1 => CurateOps.MixW1
+      case _ => CurateOps.MixW2
+    }
+    val bySrc = docs.groupBy(_._2._3).view.mapValues(_.keys.toVector)
+    val tok = bySrc.mapValues(_.map(tokCount(_)).sum.toDouble).toMap
+    // keys is a Set: map over a Seq or the distinct weights collapse
+    val (sw, tt) = (tok.keys.toSeq.map(weight).sum, tok.values.sum)
+    val expected = docs.toSeq.flatMap { case (id, (_, _, src)) =>
+      val rate = weight(src) / sw * tt / tok(src)
+      val nFull = math.floor(rate).toInt
+      val fthr = math.floor((rate - math.floor(rate)) * CurateOps.MixGate).toInt
+      val n = nFull +
+        (if (Integer.parseInt(md5hex(s"epoch:$id").take(3), 16) < fthr) 1 else 0)
+      (0 until n).map(c => (id, src, n, c))
+    }.toSet
+    val got = CurateOps.curateMixEpochs(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == expected)
+    // upsampling is actually exercised: the heavy tier repeats documents
+    assert(got.exists(_._4 >= 1), "some document must emit a second copy")
+    // token-budget identity per source: expected kept mass tracks
+    // (w_s/Σw)·T up to the 1/MixGate fractional-gate quantization
+    tok.foreach { case (src, t) =>
+      val rate = weight(src) / sw * tt / t
+      val mass = (math.floor(rate) +
+        math.floor((rate - math.floor(rate)) * CurateOps.MixGate) /
+          CurateOps.MixGate.toDouble) * t
+      assert(math.abs(mass - weight(src) / sw * tt) <=
+        t / CurateOps.MixGate + 1e-6, s"source $src budget")
+    }
+  }
+
   test("domain mixing broadcasts the rates table; one agg shuffle only") {
     val plan = CurateOps.curateMixDomains(spark, SfDir)
       .queryExecution.executedPlan.toString
