@@ -106,7 +106,8 @@ object SparkEntry {
     "curate_pack_sequences" -> CurateOps.curatePackSequences _,
     "curate_shuffle_shards" -> CurateOps.curateShuffleShards _,
     "curate_mix_domains" -> CurateOps.curateMixDomains _,
-    "curate_mix_epochs" -> CurateOps.curateMixEpochs _
+    "curate_mix_epochs" -> CurateOps.curateMixEpochs _,
+    "curate_length_batches" -> CurateOps.curateLengthBatches _
   )
 
   private val duckTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -996,6 +997,18 @@ object SparkEntry {
          |  FROM t JOIN r2 USING (source))
          |SELECT doc_id, source, n_copies, u.copy_idx::INT AS copy_idx
          |FROM n CROSS JOIN unnest(range(0, n_copies)) AS u(copy_idx)
-         |WHERE n_copies > 0""".stripMargin
+         |WHERE n_copies > 0""".stripMargin,
+    "curate_length_batches" ->
+      s"""WITH t AS (SELECT doc_id, len($duckTok)::INT AS n_tok FROM documents),
+         |b AS (SELECT doc_id, n_tok, (n_tok // ${CurateOps.LenBucket})::INT AS lb
+         |  FROM t),
+         |r AS (SELECT doc_id, n_tok, lb,
+         |    ((row_number() OVER (PARTITION BY lb ORDER BY n_tok, doc_id) - 1)
+         |      // ${CurateOps.BatchSize})::INT AS batch_idx
+         |  FROM b)
+         |SELECT doc_id, lb, batch_idx, n_tok,
+         |  max(n_tok) OVER (PARTITION BY lb, batch_idx)::INT AS batch_max,
+         |  (max(n_tok) OVER (PARTITION BY lb, batch_idx) - n_tok)::INT AS pad
+         |FROM r""".stripMargin
   )
 }

@@ -330,6 +330,36 @@ object CurateOps {
         explode(sequence(lit(0), col("n_copies") - 1)).as("copy_idx"))
   }
 
+  /** Batch size and length-bucket width for padding-efficient batching. */
+  val BatchSize = 16
+  val LenBucket = 64
+
+  /** Padding-efficient length batching — the inference/eval counterpart
+    * of sequence packing: grouping similar-length documents into
+    * fixed-size batches makes per-batch padding (batch max minus own
+    * length) small, where random batching wastes ~half the compute on
+    * pad tokens. Scale-safe shape: a GLOBAL length sort would be one
+    * giant range exchange; instead documents bucket by length/[[LenBucket]]
+    * first (the shuffle key), then order by (n_tok, doc_id) within the
+    * bucket — batches never span buckets, so padding is bounded by the
+    * bucket width and the whole op is ONE hash exchange. The second
+    * window (batch max) reuses the same partitioning: hashpartitioning
+    * on the bucket already co-locates every (bucket, batch), so Spark
+    * adds only a sort, not another exchange (plan-tested). */
+  def curateLengthBatches(spark: SparkSession, dir: String): DataFrame = {
+    val byLen = Window.partitionBy(col("lb"))
+      .orderBy(col("n_tok"), col("doc_id"))
+    val byBatch = Window.partitionBy(col("lb"), col("batch_idx"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+      .withColumn("lb", (col("n_tok") / LenBucket).cast("int"))
+      .withColumn("batch_idx",
+        ((row_number().over(byLen) - 1) / BatchSize).cast("int"))
+      .withColumn("batch_max", max(col("n_tok")).over(byBatch))
+      .select(col("doc_id"), col("lb"), col("batch_idx"), col("n_tok"),
+        col("batch_max"), (col("batch_max") - col("n_tok")).as("pad"))
+  }
+
   /** Shard count for the deterministic training shuffle (one hex digit). */
   val NumShards = 16
 

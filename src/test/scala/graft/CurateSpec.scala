@@ -234,6 +234,29 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("length batching bounds padding and reuses one bucket exchange") {
+    val got = CurateOps.curateLengthBatches(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))
+    assert(got.length == docs.size)
+    got.groupBy(t => (t._2, t._3)).foreach { case ((lb, bi), rows) =>
+      assert(rows.length <= CurateOps.BatchSize, s"batch ($lb,$bi) size")
+      val mx = rows.map(_._4).max
+      rows.foreach { case (id, _, _, n, bmax, pad) =>
+        assert(bmax == mx && pad == mx - n, s"doc $id batch stats")
+        // padding is bounded by the bucket width: every batch member's
+        // length lives in the same LenBucket window
+        assert(pad < CurateOps.LenBucket, s"doc $id pad $pad")
+      }
+    }
+    val plan = CurateOps.curateLengthBatches(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    // hashpartitioning(lb) co-locates every (lb, batch_idx): the second
+    // window adds a sort, never a second exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"both windows must share the one bucket exchange:\n$plan")
+  }
+
   test("domain mixing broadcasts the rates table; one agg shuffle only") {
     val plan = CurateOps.curateMixDomains(spark, SfDir)
       .queryExecution.executedPlan.toString
