@@ -201,4 +201,26 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("phash banding is pigeonhole-exact: hamming<=3 pairs share a band") {
+    // the claim the whole candidate join rests on: 3 differing bits over
+    // four 8-bit bands always leave one band untouched — so band-equality
+    // candidates are a SUPERSET of every true near-dup pair. Randomized
+    // over signature pairs constructed AT the threshold (exactly 3 flips)
+    // and just past it (4 flips, where the guarantee must be allowed to
+    // fail but candidates may still appear — banding is one-sided).
+    def bands(sig: Long): Seq[Long] = (0 until 4).map(b => (sig >> (b * 8)) & 255)
+    val genSig = Gen.choose(0L, (1L << 32) - 1)
+    val genFlips = Gen.pick(3, 0 until 32)
+    samples(Gen.zip(genSig, genFlips), 500).foreach { case (sig, flips) =>
+      val other = flips.foldLeft(sig)((s, b) => s ^ (1L << b))
+      assert(java.lang.Long.bitCount(sig ^ other) <= 3)
+      assert(bands(sig).zip(bands(other)).exists { case (a, b) => a == b },
+        f"sig=$sig%08x flips=$flips: no shared band at hamming<=3")
+    }
+    // sanity on the one-sidedness: a 4-flip pair CAN lose every band
+    val allBandsHit = (0L, Seq(0, 8, 16, 24).foldLeft(0L)((s, b) => s ^ (1L << b)))
+    assert(!bands(allBandsHit._1).zip(bands(allBandsHit._2))
+      .forall { case (a, b) => a == b })
+  }
 }
