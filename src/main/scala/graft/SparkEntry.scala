@@ -107,7 +107,8 @@ object SparkEntry {
     "curate_shuffle_shards" -> CurateOps.curateShuffleShards _,
     "curate_mix_domains" -> CurateOps.curateMixDomains _,
     "curate_mix_epochs" -> CurateOps.curateMixEpochs _,
-    "curate_length_batches" -> CurateOps.curateLengthBatches _
+    "curate_length_batches" -> CurateOps.curateLengthBatches _,
+    "curate_pipeline" -> CurateOps.curatePipeline _
   )
 
   private val duckTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1009,6 +1010,45 @@ object SparkEntry {
          |SELECT doc_id, lb, batch_idx, n_tok,
          |  max(n_tok) OVER (PARTITION BY lb, batch_idx)::INT AS batch_max,
          |  (max(n_tok) OVER (PARTITION BY lb, batch_idx) - n_tok)::INT AS pad
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+    // the end-to-end composition of already-verified stage oracles:
+    // corpus_curate admission -> holdout/decontamination drop -> packing
+    "curate_pipeline" -> {
+      val qsel = oracleSqlTextQuality
+      val lsel = oracleSqlTextLangid
+      s"""WITH qsel AS ($qsel),
+         |lsel AS ($lsel),
+         |cl AS ($duckClustersSel),
+         |passed AS (SELECT q.doc_id, q.quality, l.pred_lang
+         |  FROM qsel q JOIN lsel l ON q.doc_id = l.doc_id
+         |  WHERE l.pred_lang = 'en' AND q.quality >= 0.5),
+         |pc AS (SELECT p.doc_id, cl.cluster_id
+         |       FROM passed p JOIN cl ON p.doc_id = cl.doc_id),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM pc GROUP BY cluster_id),
+         |curated AS (SELECT p.doc_id FROM passed p
+         |  WHERE p.doc_id NOT IN (SELECT doc_id FROM pc)
+         |     OR p.doc_id IN (SELECT doc_id FROM keepers)),
+         |dtok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |dg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ts) - ${CurateOps.DecontamN - 2}),
+         |    i -> array_to_string(ts[i:i+${CurateOps.DecontamN - 1}], ' ')))) AS gram
+         |  FROM dtok WHERE len(ts) >= ${CurateOps.DecontamN}),
+         |dhold AS (SELECT DISTINCT gram FROM dg
+         |          WHERE doc_id % ${CurateOps.HoldoutMod} = 0),
+         |contam AS (SELECT DISTINCT dg.doc_id FROM dg JOIN dhold USING (gram)
+         |           WHERE dg.doc_id % ${CurateOps.HoldoutMod} <> 0),
+         |clean AS (SELECT doc_id FROM curated
+         |  WHERE doc_id % ${CurateOps.HoldoutMod} <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |t AS (SELECT k.doc_id, d.source, len(k.ts)::BIGINT AS n_tok
+         |  FROM dtok k JOIN documents d USING (doc_id) JOIN clean USING (doc_id)),
+         |c AS (SELECT doc_id, source, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT doc_id, source, n_tok,
+         |  ((cum - n_tok) // ${CurateOps.PackBudget})::BIGINT AS seq_id,
+         |  ((cum - n_tok) % ${CurateOps.PackBudget})::BIGINT AS seq_offset
+         |FROM c""".stripMargin
+    }
   )
 }

@@ -330,6 +330,36 @@ object CurateOps {
         explode(sequence(lit(0), col("n_copies") - 1)).as("copy_idx"))
   }
 
+  /** The END-TO-END pipeline — raw corpus to training sequences in ONE
+    * declarative plan, composed entirely from the already-verified
+    * stages: [[TextOps.corpusCurate]] admission (quality + language
+    * gates, near-dup survivor-representative election), eval-holdout
+    * exclusion + [[curateDecontaminate]] drop, then token-budget
+    * sequence packing over the surviving set. This is the query a
+    * reference user would actually schedule nightly; because it is one
+    * lazy DAG, Catalyst sees every stage at once (shared scans stay
+    * shared, filters push through the composition) and the oracle
+    * verifies the whole composition end-to-end, not just the stages.
+    */
+  def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val admitted = TextOps.corpusCurate(spark, dir).select(col("doc_id"))
+    val contaminated = curateDecontaminate(spark, dir).select(col("doc_id"))
+    val clean = admitted
+      .filter(col("doc_id") % HoldoutMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .join(clean, "doc_id")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("_cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        floor((col("_cum") - col("n_tok")) / PackBudget).cast("long")
+          .as("seq_id"),
+        ((col("_cum") - col("n_tok")) % PackBudget).as("seq_offset"))
+  }
+
   /** Batch size and length-bucket width for padding-efficient batching. */
   val BatchSize = 16
   val LenBucket = 64

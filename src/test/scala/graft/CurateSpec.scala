@@ -257,6 +257,32 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
       s"both windows must share the one bucket exchange:\n$plan")
   }
 
+  test("pipeline composes its verified stages without drift") {
+    val admitted = operators.TextOps.corpusCurate(spark, SfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = CurateOps.curateDecontaminate(spark, SfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectedDocs = admitted
+      .filter(id => id % CurateOps.HoldoutMod != 0 && !contaminated(id))
+    val got = CurateOps.curatePipeline(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._1).toSet == expectedDocs,
+      "pipeline doc set must be admitted minus holdout minus contaminated")
+    assert(got.nonEmpty)
+    // packing invariants hold over the FILTERED set: offsets are the
+    // running totals of the surviving docs only, in (source, doc_id) order
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, seqId, off) =>
+        assert(seqId == cum / CurateOps.PackBudget, s"doc $id seq")
+        assert(off == cum % CurateOps.PackBudget, s"doc $id offset")
+        cum += n
+      }
+      assert(src.nonEmpty)
+    }
+  }
+
   test("domain mixing broadcasts the rates table; one agg shuffle only") {
     val plan = CurateOps.curateMixDomains(spark, SfDir)
       .queryExecution.executedPlan.toString
