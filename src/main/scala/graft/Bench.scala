@@ -35,8 +35,15 @@ object Bench {
   private[graft] def renderLine(results: Seq[(String, Double, Option[String])],
       sfDir: String): String = {
     val total = results.map(_._2).sum
+    // canonicalize through BigDecimal before inlining unquoted: a dir
+    // like .../sf01 or .../sf0.1.bak would otherwise yield invalid JSON
+    // ("sf":01 / "sf":0.1.) — exactly the parse failure this line exists
+    // to avoid; anything non-numeric falls back to a quoted string
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse(jstr(sfDir))
+      .flatMap(m => scala.util.Try(
+        BigDecimal(m.group(1)).bigDecimal.stripTrailingZeros.toPlainString)
+        .toOption)
+      .getOrElse(jstr(sfDir))
     val errs = results.collect {
       case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(100)) }
     val errField =

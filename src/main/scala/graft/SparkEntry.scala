@@ -775,8 +775,8 @@ object SparkEntry {
       """WITH f AS (SELECT doc_id, n_chars::INT AS nc, text FROM documents
         |  WHERE n_chars >= 32),
         |e AS (SELECT doc_id, u.f AS frame,
-        |    (SELECT sum(ascii(substr(text, p.p::INT, 1)) *
-        |                ascii(substr(text, p.p::INT, 1)))
+        |    (SELECT sum(ascii(substr(text, p.p::INT, 1))::BIGINT *
+        |                ascii(substr(text, p.p::INT, 1))::BIGINT)
         |     FROM unnest(range((u.f * nc) // 32 + 1,
         |                       ((u.f + 1) * nc) // 32 + 1)) AS p(p))::BIGINT AS ef
         |  FROM f CROSS JOIN unnest(range(0, 32)) AS u(f)),
@@ -971,7 +971,9 @@ object SparkEntry {
          |  FROM t GROUP BY source),
          |c AS (SELECT min(tok / w) AS c FROM w),
          |r AS (SELECT source,
-         |    floor(c.c * w.w / w.tok * ${CurateOps.MixGate})::INT AS thr
+         |    (CASE WHEN w.tok / w.w = c.c THEN ${CurateOps.MixGate}
+         |          ELSE floor(c.c * w.w / w.tok * ${CurateOps.MixGate})::INT
+         |     END)::INT AS thr
          |  FROM w, c)
          |SELECT t.doc_id, t.source, t.n_tok, r.thr
          |FROM t JOIN r USING (source)

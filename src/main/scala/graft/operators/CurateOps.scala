@@ -213,18 +213,24 @@ object CurateOps {
     * next sequence's worth of tokens without re-scanning. One window
     * shuffle on source (the packing unit a real pipeline partitions by);
     * cumulative sums stream within each partition. */
-  def curatePackSequences(spark: SparkSession, dir: String): DataFrame = {
+  /** Contiguous-fill packing over any (doc_id, source, n_tok) frame —
+    * ONE definition shared by the stage op and the end-to-end pipeline,
+    * so a packing-contract change cannot desynchronize them. */
+  private def packed(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
+    docs
       .withColumn("_cum", sum(col("n_tok")).over(w))
       .select(col("doc_id"), col("source"), col("n_tok"),
         floor((col("_cum") - col("n_tok")) / PackBudget).cast("long")
           .as("seq_id"),
         ((col("_cum") - col("n_tok")) % PackBudget).as("seq_offset"))
   }
+
+  def curatePackSequences(spark: SparkSession, dir: String): DataFrame =
+    packed(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok")))
 
   /** Domain-mixing gate granularity: rates quantize to 4096ths (three hex
     * chars of the gate hash), shared with the oracle SQL and the tests. */
@@ -260,27 +266,44 @@ object CurateOps {
     * scan; the gate itself is filter-only. At 100 TB the totals pass is
     * the unavoidable statistics job every mixing run does once; the gate
     * pass is embarrassingly parallel. */
-  /** The gate key: three hex chars of the salted doc hash as an int in
-    * [0, [[MixGate]]) — shared by the batch op and the streaming gate. */
-  private[graft] def mixGateKey: Column =
-    conv(substring(md5(concat(lit("mix:"),
+  /** The gate key for a given salt: three hex chars of the salted doc
+    * hash as an int in [0, [[MixGate]]) — shared by the batch mixers and
+    * the streaming gate, so the gates cannot drift (only salts differ). */
+  private[graft] def gateKey(salt: String): Column =
+    conv(substring(md5(concat(lit(salt),
       col("doc_id").cast("string"))), 1, 3), 16, 10).cast("int")
+
+  private[graft] def mixGateKey: Column = gateKey("mix:")
+
+  /** The one-scan per-source token census both mixers' rates derive
+    * from — a single definition so a tokenization or weight change
+    * cannot desynchronize the two statistics passes. */
+  private def mixCensus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).cast("double").as("tok"))
+      .withColumn("w", mixWeight)
 
   /** The per-source rates table (#sources rows) from the statistics pass
     * — broadcast by both the batch op and the streaming ingest gate (a
     * deployment recomputes it per mixing epoch, not per batch). */
   private[graft] def mixRates(spark: SparkSession, dir: String): DataFrame = {
-    val totals = Tables.documents(spark, dir)
-      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
-      .groupBy(col("source"))
-      .agg(sum(col("n_tok")).cast("double").as("tok"))
-      .withColumn("w", mixWeight)
+    val totals = mixCensus(spark, dir)
     // c = min(tok/w) as a 1-row frame; cross-joined (broadcast) rather
     // than collect()ed so the whole plan stays one lazy DAG
     val c = totals.agg(min(col("tok") / col("w")).as("c"))
     totals.crossJoin(broadcast(c))
       .select(col("source"),
-        floor(col("c") * col("w") / col("tok") * MixGate).cast("int").as("thr"))
+        // the BINDING source (its tok/w IS the min, bit-for-bit) keeps
+        // everything by contract; computing its rate as (tok/w)·w/tok
+        // can land at 0.999... in IEEE and floor to MixGate-1, silently
+        // dropping ~1/4096 of the scarcest source — so it is pinned to
+        // the full gate explicitly (mirrored in the oracle SQL)
+        when(col("tok") / col("w") === col("c"), lit(MixGate))
+          .otherwise(floor(col("c") * col("w") / col("tok") * MixGate)
+            .cast("int"))
+          .as("thr"))
   }
 
   def curateMixDomains(spark: SparkSession, dir: String): DataFrame =
@@ -307,12 +330,7 @@ object CurateOps {
     * per-row sequence) — no extra shuffle; replication happens where
     * the row already lives. */
   def curateMixEpochs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
-    val totals = docs.groupBy(col("source"))
-      .agg(sum(col("n_tok")).cast("double").as("tok"))
-      .withColumn("w", mixWeight)
+    val totals = mixCensus(spark, dir)
     val g = totals.agg(sum(col("w")).as("sw"), sum(col("tok")).as("tt"))
     val rates = totals.crossJoin(broadcast(g))
       .withColumn("rate", col("w") / col("sw") * col("tt") / col("tok"))
@@ -320,11 +338,11 @@ object CurateOps {
         floor(col("rate")).cast("int").as("n_full"),
         floor((col("rate") - floor(col("rate"))) * MixGate).cast("int")
           .as("fthr"))
-    docs.join(broadcast(rates), "source")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
       .withColumn("n_copies", col("n_full") +
-        when(conv(substring(md5(concat(lit("epoch:"),
-          col("doc_id").cast("string"))), 1, 3), 16, 10).cast("int")
-          < col("fthr"), 1).otherwise(0))
+        when(gateKey("epoch:") < col("fthr"), 1).otherwise(0))
       .filter(col("n_copies") > 0)
       .select(col("doc_id"), col("source"), col("n_copies"),
         explode(sequence(lit(0), col("n_copies") - 1)).as("copy_idx"))
@@ -347,17 +365,10 @@ object CurateOps {
     val clean = admitted
       .filter(col("doc_id") % HoldoutMod =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    packed(Tables.documents(spark, dir)
       .join(clean, "doc_id")
       .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("_cum", sum(col("n_tok")).over(w))
-      .select(col("doc_id"), col("source"), col("n_tok"),
-        floor((col("_cum") - col("n_tok")) / PackBudget).cast("long")
-          .as("seq_id"),
-        ((col("_cum") - col("n_tok")) % PackBudget).as("seq_offset"))
+        size(tokens(col("text"))).cast("long").as("n_tok")))
   }
 
   /** Batch size and length-bucket width for padding-efficient batching. */

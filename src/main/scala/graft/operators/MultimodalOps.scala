@@ -105,7 +105,9 @@ object MultimodalOps {
         val e = floor((f + 1) * nc / PhashFrames).cast("int")
         aggregate(
           transform(sequence(s, e), p => ascii(col("text").substr(p, lit(1)))),
-          lit(0L), (acc, b) => acc + (b * b).cast("long"))
+          // square in LONG: a supplementary-plane code point (>= 46341)
+          // would overflow Int.MaxValue in b*b and corrupt the signature
+          lit(0L), (acc, b) => acc + b.cast("long") * b.cast("long"))
       })
       val sig = (0 until PhashFrames).map { f =>
         when(element_at(col("es"), f + 1) * PhashFrames > col("tot"),

@@ -465,7 +465,7 @@ object SearchOps {
     * per-subspace query·centroid dot products looked up from a
     * PqM×PqK table (one broadcast row of 4 maps — the classic ADC
     * lookup). The approximate top-[[PqRerank]] then re-rank EXACTLY
-    * against their true embeddings (a broadcast semi-join of ≤ 50 ids)
+    * against their true embeddings (a broadcast join of ≤ PqRerank ids)
     * before the final top-k cut — the standard recall repair that makes
     * 4-int codes usable. No shuffle anywhere: codes scan + broadcast
     * LUT + TakeOrdered, then a broadcast join for the re-rank.

@@ -50,6 +50,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\"synthetic_query_name_number_0\""))
   }
 
+  test("awkward sf dir names still render valid JSON") {
+    val fake = Seq(("q", 0.5, None: Option[String]))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    // leading zero canonicalizes; regex-captured trailing dot falls back
+    // to a quoted string; no sf marker at all falls back too
+    assert(m.readTree(Bench.renderLine(fake, "/data/sf01"))
+      .get("sf").asDouble() == 1.0)
+    for (dir <- Seq("/data/sf0.1.bak", "/somewhere/else")) {
+      val node = m.readTree(Bench.renderLine(fake, dir))
+      assert(node.get("sf").isTextual || node.get("sf").isNumber, dir)
+    }
+  }
+
   test("errors surface in the line, truncated, with special chars escaped") {
     val fake = Seq(
       ("ok_query", 0.5, None: Option[String]),

@@ -174,8 +174,10 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
     }
     val tok = bySrc.mapValues(_.map(tokCount(_)).sum.toDouble).toMap
     val c = tok.map { case (s, t) => t / weight(s) }.min
+    // the binding source is pinned to the full gate, mirroring the op
     val thr = tok.map { case (s, t) =>
-      s -> math.floor(c * weight(s) / t * CurateOps.MixGate).toInt }
+      s -> (if (t / weight(s) == c) CurateOps.MixGate
+        else math.floor(c * weight(s) / t * CurateOps.MixGate).toInt) }
     val expected = docs.collect {
       case (id, (_, _, src))
           if Integer.parseInt(md5hex(s"mix:$id").take(3), 16) < thr(src) =>

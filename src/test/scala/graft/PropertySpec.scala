@@ -218,9 +218,10 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(bands(sig).zip(bands(other)).exists { case (a, b) => a == b },
         f"sig=$sig%08x flips=$flips: no shared band at hamming<=3")
     }
-    // sanity on the one-sidedness: a 4-flip pair CAN lose every band
+    // sanity on the one-sidedness: a 4-flip pair hitting every band CAN
+    // lose every band — NO band survives for this constructed pair
     val allBandsHit = (0L, Seq(0, 8, 16, 24).foldLeft(0L)((s, b) => s ^ (1L << b)))
     assert(!bands(allBandsHit._1).zip(bands(allBandsHit._2))
-      .forall { case (a, b) => a == b })
+      .exists { case (a, b) => a == b })
   }
 }
