@@ -225,6 +225,49 @@ object ScaleProbe {
       f"parquet-bytes(raw=$rawB, codes=$codeB, ratio=${rawB.toDouble / codeB}%4.1fx)")
   }
 
+  /** Data-skipping measurement behind layout_zorder: for rectangle
+    * predicates (user range × time range) count the manifest shards a
+    * min/max-pruning reader must touch under (a) the z-order layout and
+    * (b) a time-sorted layout with the SAME shard count — the 1-D
+    * baseline every unclustered pipeline ships. Manifests are ~256 rows,
+    * so the driver-side intersection math is fine (dev probe, not an
+    * operator). */
+  private def zorderProbe(spark: SparkSession, base: String): Unit = {
+    val e = Tables.events(spark, base)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"))
+    val b = e.agg(min(col("user_id")), max(col("user_id")),
+      min(col("tu")), max(col("tu"))).collect()(0)
+    val (ulo, uhi, tlo, thi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val zMan = operators.LayoutOps.layoutZorder(spark, base).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val tMan = e
+      .withColumn("shard",
+        expr(s"((tu - ${tlo}L) * 255) div (${thi}L - ${tlo}L)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)), min(col("user_id")), max(col("user_id")),
+        min(col("tu")), max(col("tu"))).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val total = zMan.map(_._1).sum
+    for (frac <- Seq(0.05, 0.10, 0.25)) {
+      // probe rectangle: frac of each dim, centered
+      val (uw, tw) = (((uhi - ulo) * frac).toLong, ((thi - tlo) * frac).toLong)
+      val (uq0, tq0) = (ulo + (uhi - ulo - uw) / 2, tlo + (thi - tlo - tw) / 2)
+      def touched(man: Array[(Long, Long, Long, Long, Long)]) = {
+        val hit = man.filter { case (_, ul, uh, tl, th) =>
+          uh >= uq0 && ul <= uq0 + uw && th >= tq0 && tl <= tq0 + tw }
+        (hit.length, hit.map(_._1).sum)
+      }
+      val ((zS, zR), (tS, tR)) = (touched(zMan), touched(tMan))
+      println(f"ZORDER rect=${(frac * 100).toInt}%2d%% " +
+        f"shards z=$zS%3d/${zMan.length} t=$tS%3d/${tMan.length} " +
+        f"rows z=$zR%7d t=$tR%7d total=$total%7d " +
+        f"scanratio=${tR.toDouble / math.max(zR, 1)}%5.2fx")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -249,6 +292,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("decontam")) {
       args.drop(1).map(_.toInt).foreach(c => decontamProbe(spark, base, c))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("zorder")) {
+      zorderProbe(spark, base)
       spark.stop()
       return
     }

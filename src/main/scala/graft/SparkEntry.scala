@@ -108,7 +108,8 @@ object SparkEntry {
     "curate_mix_domains" -> CurateOps.curateMixDomains _,
     "curate_mix_epochs" -> CurateOps.curateMixEpochs _,
     "curate_length_batches" -> CurateOps.curateLengthBatches _,
-    "curate_pipeline" -> CurateOps.curatePipeline _
+    "curate_pipeline" -> CurateOps.curatePipeline _,
+    "layout_zorder" -> LayoutOps.layoutZorder _
   )
 
   private val duckTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1051,6 +1052,25 @@ object SparkEntry {
          |  ((cum - n_tok) // ${CurateOps.PackBudget})::BIGINT AS seq_id,
          |  ((cum - n_tok) % ${CurateOps.PackBudget})::BIGINT AS seq_offset
          |FROM c""".stripMargin
-    }
+    },
+    // scale/interleave arithmetic interpolated from LayoutOps (shared
+    // definition); `//` matches Spark's `div` on the non-negative operands
+    "layout_zorder" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+         |b AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+         |    min(tu) AS tlo, max(tu) AS thi FROM e),
+         |s AS (SELECT user_id, tu,
+         |    (CASE WHEN uhi = ulo THEN 0
+         |          ELSE ((user_id - ulo) * 65535) // (uhi - ulo) END) AS u16,
+         |    (CASE WHEN thi = tlo THEN 0
+         |          ELSE ((tu - tlo) * 65535) // (thi - tlo) END) AS t16
+         |  FROM e, b),
+         |z AS (SELECT user_id, tu,
+         |    ${LayoutOps.mortonSql("u16", "t16")} AS zv FROM s)
+         |SELECT (zv >> ${LayoutOps.ZShardShift})::INT AS shard,
+         |  count(*) AS n,
+         |  min(user_id) AS u_min, max(user_id) AS u_max,
+         |  min(tu) AS t_min, max(tu) AS t_max
+         |FROM z GROUP BY shard ORDER BY shard""".stripMargin
   )
 }
