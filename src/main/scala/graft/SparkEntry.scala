@@ -109,6 +109,7 @@ object SparkEntry {
     "curate_mix_epochs" -> CurateOps.curateMixEpochs _,
     "curate_length_batches" -> CurateOps.curateLengthBatches _,
     "curate_pipeline" -> CurateOps.curatePipeline _,
+    "curate_boilerplate" -> CurateOps.curateBoilerplate _,
     "layout_zorder" -> LayoutOps.layoutZorder _
   )
 
@@ -1053,6 +1054,25 @@ object SparkEntry {
          |  ((cum - n_tok) % ${CurateOps.PackBudget})::BIGINT AS seq_offset
          |FROM c""".stripMargin
     },
+    // df cap from the SAME constant the operator reads; the injected
+    // footer/unique lines mirror CurateOps.boilerLines verbatim
+    "curate_boilerplate" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    string_split(text || chr(10) || 'footer generated by ' || source
+         |      || chr(10) || 'unique ' || doc_id::VARCHAR, chr(10)) AS ls
+         |  FROM documents),
+         |l AS (SELECT doc_id, source, unnest(ls) AS line FROM d),
+         |hot AS (SELECT source, line FROM l GROUP BY source, line
+         |        HAVING count(DISTINCT doc_id) > ${CurateOps.BoilerDf}),
+         |b AS (SELECT source, list(line) AS bl FROM hot GROUP BY source)
+         |SELECT d.doc_id, len(d.ls)::INT AS n_lines,
+         |  len(list_filter(d.ls,
+         |    x -> list_contains(coalesce(b.bl, []::VARCHAR[]), x)))::INT
+         |    AS n_removed,
+         |  md5(array_to_string(list_filter(d.ls,
+         |    x -> NOT list_contains(coalesce(b.bl, []::VARCHAR[]), x)),
+         |    chr(10))) AS clean_md5
+         |FROM d LEFT JOIN b USING (source)""".stripMargin,
     // scale/interleave arithmetic interpolated from LayoutOps (shared
     // definition); `//` matches Spark's `div` on the non-negative operands
     "layout_zorder" ->

@@ -156,6 +156,54 @@ object CurateOps {
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val NumRe = "[0-9]+"
 
+  /** Line-frequency boilerplate removal (the C4/CCNet cleaning step the
+    * PII pass sits beside): a LINE shared by more than [[BoilerDf]]
+    * distinct documents of the same source is boilerplate (nav bars,
+    * footers, license headers) and is stripped from every document; the
+    * output carries the removal counts and the digest of the cleaned
+    * text. The corpus has no natural repeated lines, so — like the PII
+    * op's injected contact suffix — a per-source footer plus a per-doc
+    * unique line are appended, exercising both the strip and the keep
+    * path; a deployment applies the same expressions to raw text.
+    *
+    * Shape: census scan (line explode → (source, line) count-distinct —
+    * one exchange) reduces to the per-source high-df line set, which is
+    * SMALL by construction (only lines shared across > cap docs) and
+    * broadcasts back onto a second scan where the strip is a pure array
+    * filter — no doc-level shuffle, no re-assembly join. At 100 TB the
+    * census is the one statistics pass; hot sources with huge boilerplate
+    * vocabularies are bounded because df > cap lines per source cannot
+    * exceed (docs_in_source · lines_per_doc) / cap. */
+  val BoilerDf = 3
+
+  /** Text under boilerplate analysis: raw text + the injected footer
+    * (df = docs-per-source, stripped) + a unique line (df = 1, kept) —
+    * shared with the oracle SQL. */
+  private def boilerLines: Column =
+    split(concat(col("text"), lit("\nfooter generated by "), col("source"),
+      lit("\nunique "), col("doc_id").cast("string")), "\n", -1)
+
+  def curateBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), boilerLines.as("ls"))
+    val boilerSets = d
+      .select(col("doc_id"), col("source"), explode(col("ls")).as("line"))
+      .groupBy(col("source"), col("line"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") > BoilerDf)
+      .groupBy(col("source"))
+      .agg(collect_list(col("line")).as("bl"))
+    d.join(broadcast(boilerSets), Seq("source"), "left")
+      .withColumn("_bl",
+        coalesce(col("bl"), array().cast("array<string>")))
+      .select(col("doc_id"),
+        size(col("ls")).as("n_lines"),
+        size(filter(col("ls"), l => array_contains(col("_bl"), l)))
+          .as("n_removed"),
+        md5(array_join(filter(col("ls"),
+          l => !array_contains(col("_bl"), l)), "\n")).as("clean_md5"))
+  }
+
   def curatePiiRedact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("_txt", concat(lower(col("text")),
