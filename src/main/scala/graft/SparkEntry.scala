@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_clusters" -> DedupOps.dedupClusters _,
     "dedup_embedding" -> DedupOps.dedupEmbedding _,
     "dedup_winnow" -> DedupOps.dedupWinnow _,
+    "dedup_substring" -> DedupOps.dedupSubstring _,
     "text_langid" -> TextOps.textLangid _,
     "text_quality" -> TextOps.textQuality _,
     "text_tokens" -> TextOps.textTokens _,
@@ -1053,6 +1054,30 @@ object SparkEntry {
          |  ((cum - n_tok) // ${CurateOps.PackBudget})::BIGINT AS seq_id,
          |  ((cum - n_tok) % ${CurateOps.PackBudget})::BIGINT AS seq_offset
          |FROM c""".stripMargin
+    },
+    // span length from the SAME constant the operator reads; coverage =
+    // gap-capped sum over sorted duplicated starts, mirrored via lead()
+    "dedup_substring" -> {
+      val L = operators.DedupOps.SubstrL
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |g AS (SELECT doc_id, u.i AS pos,
+         |    md5(array_to_string(ts[u.i:u.i+${L - 1}], ' ')) AS gh
+         |  FROM tok CROSS JOIN
+         |    unnest(range(1, greatest(len(ts) - ${L - 2}, 1))) AS u(i)),
+         |hot AS (SELECT gh FROM g GROUP BY gh
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |s AS (SELECT DISTINCT doc_id, pos FROM g JOIN hot USING (gh)),
+         |cv AS (SELECT doc_id, sum(CASE WHEN nxt IS NULL THEN $L
+         |      ELSE least($L, nxt - pos) END)::BIGINT AS n_dup_tok
+         |  FROM (SELECT doc_id, pos,
+         |      lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |    FROM s) GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.ts)::INT AS n_tok,
+         |  coalesce(cv.n_dup_tok, 0)::BIGINT AS n_dup_tok,
+         |  (CASE WHEN len(t.ts) > 0
+         |        THEN round(coalesce(cv.n_dup_tok, 0)::DOUBLE / len(t.ts), 4)
+         |        ELSE 0.0 END) AS dup_frac
+         |FROM tok t LEFT JOIN cv USING (doc_id)""".stripMargin
     },
     // df cap from the SAME constant the operator reads; the injected
     // footer/unique lines mirror CurateOps.boilerLines verbatim

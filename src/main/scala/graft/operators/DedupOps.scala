@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions.cosineSim
@@ -468,6 +469,67 @@ object DedupOps {
     * so a cell of millions of vectors costs signature collisions, not
     * cell², in pair comparisons.
     */
+  /** Exact duplicated-substring coverage (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): the fraction of each
+    * document's tokens covered by an [[SubstrL]]-token span that also
+    * appears VERBATIM in another document. The paper's suffix array finds
+    * arbitrary-length repeats; the distributed formulation fixes the span
+    * length and gets the same per-token coverage signal with
+    * embarrassingly parallel pieces:
+    *
+    *  1. positional 8-grams via the zip_with doubling chain (2→4→8 —
+    *     three array ops per row, no per-element re-eval), md5-thinned so
+    *     the census shuffles 16-byte keys, never gram text;
+    *  2. the df census — ONE exchange on gram hash, the statistics pass
+    *     every corpus-frequency method pays;
+    *  3. duplicated starts back to their docs (same exchange key), then
+    *     coverage = gap-capped sum over the per-doc sorted starts
+    *     (Σ min(L, next−pos)) — a lead() window on the doc_id
+    *     partitioning, NOT an L-fold position explode.
+    *
+    * Output joins every document (left), so clean docs report 0.0 — the
+    * downstream filter (drop docs above a coverage threshold) is then a
+    * pure scan. */
+  val SubstrL = 8
+
+  private def shiftArr(a: Column, by: Int): Column =
+    slice(a, lit(by + 1), greatest(size(a) - by, lit(0)))
+
+  /** Positional space-joined 8-grams: g8[i] covers tokens i..i+7. */
+  private def grams8(toks: Column): Column = {
+    val b2 = zip_with(toks, shiftArr(toks, 1), (a, b) => concat(a, lit(" "), b))
+    val g4 = zip_with(b2, shiftArr(b2, 2), (a, b) => concat(a, lit(" "), b))
+    val g8 = zip_with(g4, shiftArr(g4, 4), (a, b) => concat(a, lit(" "), b))
+    slice(g8, lit(1), greatest(size(toks) - (SubstrL - 1), lit(0)))
+  }
+
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+    val g = d.select(col("doc_id"), posexplode(grams8(col("ts"))))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("gh"))
+    val hot = g.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gh"))
+    val starts = g.join(hot, "gh").select("doc_id", "pos").distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = starts
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .select(col("doc_id"),
+        when(col("nxt").isNull, lit(SubstrL))
+          .otherwise(least(lit(SubstrL), col("nxt") - col("pos"))).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("nd"))
+    d.select(col("doc_id"), size(col("ts")).as("n_tok"))
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("n_dup_tok", coalesce(col("nd"), lit(0L)))
+      .select(col("doc_id"), col("n_tok"), col("n_dup_tok"),
+        when(col("n_tok") > 0,
+          round(col("n_dup_tok").cast("double") / col("n_tok"), 4))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val bands = embBands(spark, dir)

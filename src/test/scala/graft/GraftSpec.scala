@@ -282,6 +282,38 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkFixture {
 class DedupSpec extends AnyFunSuite with SparkFixture {
   import operators.DedupOps
 
+  test("substring coverage equals the interval-union model") {
+    // plain-Scala reference: positions covered by any cross-doc-repeated
+    // 8-token span, as an EXPLICIT interval union — the gap-capped
+    // lead() sum in the operator must agree exactly
+    val docs = Tables.documents(spark, SfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val L = DedupOps.SubstrL
+    val grams = docs.map { case (id, ts) =>
+      id -> ts.sliding(L).filter(_.size == L).map(_.mkString(" ")).toVector
+    }
+    val df = grams.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = grams.map { case (id, gs) =>
+      val covered = gs.zipWithIndex.collect {
+        case (g, i) if df(g) >= 2 => (i until i + L)
+      }.flatten.toSet
+      val n = docs.toMap.apply(id).size
+      (id, n, covered.size.toLong,
+        if (n > 0) BigDecimal(covered.size.toDouble / n)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0)
+    }.toSet
+    val got = DedupOps.dedupSubstring(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    assert(expected.exists(_._3 > 0), "corpus must exercise the dup path")
+    assert(expected.exists(_._3 == 0), "corpus must exercise the clean path")
+  }
+
   test("ngram jaccard pairs are canonical (a<b) and within threshold") {
     val rows = DedupOps.dedupNgramJaccard(spark, SfDir).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
