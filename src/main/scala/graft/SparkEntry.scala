@@ -111,7 +111,8 @@ object SparkEntry {
     "curate_length_batches" -> CurateOps.curateLengthBatches _,
     "curate_pipeline" -> CurateOps.curatePipeline _,
     "curate_boilerplate" -> CurateOps.curateBoilerplate _,
-    "layout_zorder" -> LayoutOps.layoutZorder _
+    "layout_zorder" -> LayoutOps.layoutZorder _,
+    "ingest_jsonl" -> graft.sources.CorpusIO.ingestJsonl _
   )
 
   private val duckTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1098,6 +1099,13 @@ object SparkEntry {
          |    x -> NOT list_contains(coalesce(b.bl, []::VARCHAR[]), x)),
          |    chr(10))) AS clean_md5
          |FROM d LEFT JOIN b USING (source)""".stripMargin,
+    // the oracle reads the PARQUET table; Spark reads its own JSONL
+    // round-trip of it — the hash comparison IS the fidelity check
+    "ingest_jsonl" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
+        |  sum(('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+        |    1, 8))::BIGINT)::BIGINT AS content_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // scale/interleave arithmetic interpolated from LayoutOps (shared
     // definition); `//` matches Spark's `div` on the non-negative operands
     "layout_zorder" ->

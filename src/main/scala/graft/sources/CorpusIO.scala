@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Corpus ingestion beyond parquet: JSONL (one JSON object per line) is
+  * the wire format training corpora actually arrive in — crawls, dumps,
+  * and inter-team handoffs all ship it — so the engine must read it as a
+  * first-class source, not via a conversion detour.
+  *
+  * Reference analogue: project-cortex ingests from the filesystem walk
+  * (internal/indexer/loader.go) and trusts its own extractor's schema;
+  * the 100 TB equivalent of "trust the schema" is an EXPLICIT read
+  * schema: `spark.read.json` without one runs a full inference pass over
+  * the data — a second scan of the corpus before the first real job.
+  *
+  * Scale posture: uncompressed (or zstd-framed) JSONL is splittable, so
+  * a 100 TB drop parallelizes across executors like parquet does; the
+  * JSON parse is JacksonParser inside whole-stage codegen. FAILFAST
+  * surfaces corrupt lines immediately; pipelines that must tolerate them
+  * switch to PERMISSIVE + corrupt-record column and quarantine. */
+object CorpusIO {
+
+  /** The documents schema, explicit — matches the parquet tables. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocumentsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentsSchema)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  def writeDocumentsJsonl(df: DataFrame, path: String): Unit =
+    df.select(col("doc_id"), col("text"), col("lang"), col("source"),
+      col("n_chars")).write.mode("overwrite").json(path)
+
+  /** Ingestion fidelity check as an oracle-checked operator: round-trip
+    * the documents table through JSONL, then aggregate per source an
+    * order-insensitive content checksum (sum of 32-bit md5 prefixes over
+    * doc_id:text) next to counts and char totals. The DuckDB oracle
+    * computes the same aggregate from the PARQUET table, so any
+    * JSON-boundary corruption — escaping, encoding, type coercion,
+    * line splitting — breaks the hash match. */
+  def ingestJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    writeDocumentsJsonl(Tables.documents(spark, dir), tmp)
+    readDocumentsJsonl(spark, tmp)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("text"))), 1, 8), 16, 10).cast("long"))
+          .as("content_sum"))
+      .orderBy(col("source"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.CorpusIO
+
+class CorpusIOSpec extends AnyFunSuite with SparkFixture {
+
+  test("jsonl round-trip preserves every row and column exactly") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    // the corpus text is single-line ascii, so plant one adversarial doc
+    // exercising the JSON escape paths: newlines, quotes, backslashes,
+    // tabs, and non-ascii
+    val nasty = (-1L, "line1\nline2\t\"quoted\" \\back\\ κόσμε ✓", "en",
+      "srcX", 42L)
+    val docs = Tables.documents(spark, SfDir)
+      .union(Seq(nasty).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    CorpusIO.writeDocumentsJsonl(docs, out)
+    val back = CorpusIO.readDocumentsJsonl(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    val orig = docs
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(back == orig)
+    assert(back.contains(nasty))
+  }
+
+  test("the explicit schema skips inference and FAILFAST rejects corrupt lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad")
+    java.nio.file.Files.write(dir.resolve("part-0.json"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""",
+        """{"doc_id": broken"""))
+    assert(CorpusIO.readDocumentsJsonl(spark, dir.toString).schema ==
+      CorpusIO.documentsSchema)
+    val e = intercept[org.apache.spark.SparkException] {
+      CorpusIO.readDocumentsJsonl(spark, dir.toString).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+}
