@@ -503,11 +503,29 @@ object DedupOps {
     slice(g8, lit(1), greatest(size(toks) - (SubstrL - 1), lit(0)))
   }
 
+  /** The positional gram-hash relation, persisted and memoized per
+    * (session, dir): the census AND the duplicated-start recovery both
+    * scan it, so without materialization the zip_with chain + hash runs
+    * twice over the corpus (measured ~2× the operator's cost). The key
+    * is xxhash64, not md5 — it is ENGINE-INTERNAL (never output, so the
+    * oracle's own internal key needn't match) and an 8-byte long keeps
+    * the persisted rows and the census shuffle thin. Collision math: a
+    * 64-bit birthday collision needs ~10^9 more grams than any driver
+    * run holds; even at 10^12 grams (100 TB) the expected ~3e-8 false
+    * dup-position fraction is noise for a coverage METRIC (an exactness
+    * consumer would widen to the 128-bit hash). */
+  private def substrGrams(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "substr_grams") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"), posexplode(grams8(col("ts"))))
+        .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gh"))
+    }
+
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
-    val g = d.select(col("doc_id"), posexplode(grams8(col("ts"))))
-      .select(col("doc_id"), col("pos"), md5(col("col")).as("gh"))
+    val g = substrGrams(spark, dir)
     val hot = g.groupBy(col("gh"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
