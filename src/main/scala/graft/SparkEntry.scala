@@ -31,6 +31,8 @@ object SparkEntry {
     "q12_asof_join" -> Relational.q12AsofJoin _,
     "q13_percentiles" -> Relational.q13Percentiles _,
     "q14_pivot" -> Relational.q14Pivot _,
+    "q15_funnel" -> Relational.q15Funnel _,
+    "q16_retention" -> Relational.q16Retention _,
     "dsl_agg" -> QueryDsl.dslAgg _,
     "dsl_join_filter" -> QueryDsl.dslJoinFilter _,
     "q9b_approx_distinct" -> Relational.q9bApproxDistinct _,
@@ -362,6 +364,26 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |  count(*) FILTER (WHERE event_type = 'error') AS n_error
         |FROM events GROUP BY user_id""".stripMargin,
+    "q15_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tn FROM events),
+        |s1 AS (SELECT user_id, min(tn) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(tn) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tn > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(tn) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tn > t2 GROUP BY e.user_id)
+        |SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY step""".stripMargin,
+    "q16_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  (day - cohort)::INT AS offset_days,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "vec_knn_brute" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${duckCos("embedding::DOUBLE[]", "q_emb")}, 4) AS score

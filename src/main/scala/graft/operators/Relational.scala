@@ -255,4 +255,53 @@ object Relational {
       .select(col("user_id"), col("event_id"), col("event_type"),
         round(col("value"), 4).as("value"))
   }
+
+  /** Ordered conversion funnel view → click → purchase (the windowFunnel
+    * shape every event-analytics engine ships): step k counts users whose
+    * earliest step-k event falls strictly after their earliest qualifying
+    * step-(k-1) event. The join-chain formulation keeps per-user state
+    * out of memory entirely — each stage is a pre-filtered scan (the
+    * event_type predicate pushes to parquet) aggregated to one row per
+    * user, and every join/agg shares the user_id partitioning, so AQE
+    * plans one shuffle lineage instead of a per-user sorted array (which
+    * a hot user could blow up). Nanosecond ts_ns comparisons keep the
+    * strict-after semantics exact under microsecond ties. */
+  def q15Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def stage(tpe: String) = e.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("ts_ns"))
+    val s1 = stage("view").groupBy(col("user_id"))
+      .agg(min(col("ts_ns")).as("t1"))
+    val s2 = stage("click").join(s1, "user_id")
+      .filter(col("ts_ns") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t2"))
+    val s3 = stage("purchase").join(s2, "user_id")
+      .filter(col("ts_ns") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t3"))
+    val steps = Seq((1, "view", s1), (2, "click", s2), (3, "purchase", s3))
+    steps.map { case (k, name, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(k).as("step"), lit(name).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionAll _).orderBy(col("step"))
+  }
+
+  /** Cohort retention (day-granularity): users grouped by first-active
+    * day, counted on each later activity day as an offset from the
+    * cohort day — the triangle every growth dashboard draws. One distinct
+    * (user, day) pass, the per-user min reusing that partitioning, and a
+    * final (cohort, offset) aggregate; at 100 TB each exchanged row is
+    * two ints past the first distinct. */
+  def q16Retention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"))
+    days.join(cohorts, "user_id")
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort")).as("offset_days"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
 }

@@ -206,6 +206,43 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     assert(labels.size <= 2, s"expected <= 2 probed cells, got $labels")
   }
 
+  test("funnel step counts match the per-user event-replay model") {
+    val events = Tables.events(spark, SfDir)
+      .select("user_id", "event_type", "ts_ns").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def stepTime(prev: Map[Long, Long], tpe: String): Map[Long, Long] =
+      events.filter(_._2 == tpe)
+        .flatMap { case (u, _, t) =>
+          prev.get(u).filter(t > _).map(_ => (u, t)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val t1 = events.filter(_._2 == "view").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val t2 = stepTime(t1, "click")
+    val t3 = stepTime(t2, "purchase")
+    val got = operators.Relational.q15Funnel(spark, SfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> t1.size.toLong, 2 -> t2.size.toLong,
+      3 -> t3.size.toLong))
+    // a funnel narrows by construction and the corpus must walk it
+    assert(t1.size >= t2.size && t2.size >= t3.size && t3.nonEmpty)
+  }
+
+  test("retention triangle: offset-0 row per cohort equals cohort size") {
+    val rows = operators.Relational.q16Retention(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val day0 = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    // every user is active on their own cohort day, so the offset-0
+    // count is the cohort population and no later offset can exceed it
+    for ((cohort, off, n) <- rows) {
+      assert(day0.contains(cohort), s"cohort $cohort missing offset 0")
+      assert(n <= day0(cohort), s"cohort $cohort offset $off exceeds day0")
+      assert(off >= 0)
+    }
+    val totalUsers = Tables.events(spark, SfDir)
+      .select("user_id").distinct().count()
+    assert(day0.values.sum == totalUsers)
+  }
+
   test("q4 uses broadcast joins for the dimension tables") {
     val plan = operators.Relational.q4BroadcastJoin(spark, SfDir)
       .queryExecution.executedPlan.toString
