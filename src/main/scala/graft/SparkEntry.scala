@@ -364,17 +364,32 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |  count(*) FILTER (WHERE event_type = 'error') AS n_error
         |FROM events GROUP BY user_id""".stripMargin,
+    // the same chained-running-min single pass the Spark op plans, with
+    // an identical (tn, event_id) total order so the frames agree
     "q15_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tn FROM events),
-        |s1 AS (SELECT user_id, min(tn) AS t1 FROM e
-        |       WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(tn) AS t2 FROM e JOIN s1 USING (user_id)
-        |       WHERE event_type = 'click' AND tn > t1 GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(tn) AS t3 FROM e JOIN s2 USING (user_id)
-        |       WHERE event_type = 'purchase' AND tn > t2 GROUP BY e.user_id)
-        |SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
-        |UNION ALL SELECT 2, 'click', count(*) FROM s2
-        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tn, event_id
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tn END)
+        |    OVER (PARTITION BY user_id ORDER BY tn, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rv
+        |  FROM e),
+        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND tn > rv
+        |                      THEN tn END AS qc FROM w1),
+        |w3 AS (SELECT *, min(qc)
+        |    OVER (PARTITION BY user_id ORDER BY tn, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+        |  FROM w2),
+        |p AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN tn END) AS t1,
+        |    min(qc) AS t2,
+        |    min(CASE WHEN event_type = 'purchase' AND tn > rc
+        |             THEN tn END) AS t3
+        |  FROM w3 GROUP BY user_id),
+        |c AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3
+        |      FROM p)
+        |SELECT 1 AS step, 'view' AS event_type, n1 AS n_users FROM c
+        |UNION ALL SELECT 2, 'click', n2 FROM c
+        |UNION ALL SELECT 3, 'purchase', n3 FROM c
         |ORDER BY step""".stripMargin,
     "q16_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),

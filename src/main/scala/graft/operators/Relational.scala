@@ -259,49 +259,65 @@ object Relational {
   /** Ordered conversion funnel view → click → purchase (the windowFunnel
     * shape every event-analytics engine ships): step k counts users whose
     * earliest step-k event falls strictly after their earliest qualifying
-    * step-(k-1) event. The join-chain formulation keeps per-user state
-    * out of memory entirely — each stage is a pre-filtered scan (the
-    * event_type predicate pushes to parquet) aggregated to one row per
-    * user, and every join/agg shares the user_id partitioning, so AQE
-    * plans one shuffle lineage instead of a per-user sorted array (which
-    * a hot user could blow up). Nanosecond ts_ns comparisons keep the
-    * strict-after semantics exact under microsecond ties. */
+    * step-(k-1) event. ONE pass: chained running mins over a single
+    * (user_id, ts, event_id) window sort — a click qualifies iff it
+    * strictly trails the running view-min, a purchase iff it strictly
+    * trails the running qualified-click-min — then one per-user aggregate
+    * and a stack() to step rows. A join-chain of per-stage aggregates was
+    * measured to RE-COMPUTE stage 1 three times (no physical subtree
+    * reuse across the union), so the window formulation wins at any
+    * scale: one pushed-filter scan, one user_id exchange, one sort, and
+    * per-row state that never materializes a per-user array (hot-user
+    * safe). Nanosecond ts_ns keeps strict-after exact under µs ties. */
   def q15Funnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    def stage(tpe: String) = e.filter(col("event_type") === tpe)
-      .select(col("user_id"), col("ts_ns"))
-    val s1 = stage("view").groupBy(col("user_id"))
-      .agg(min(col("ts_ns")).as("t1"))
-    val s2 = stage("click").join(s1, "user_id")
-      .filter(col("ts_ns") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t2"))
-    val s3 = stage("purchase").join(s2, "user_id")
-      .filter(col("ts_ns") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t3"))
-    val steps = Seq((1, "view", s1), (2, "click", s2), (3, "purchase", s3))
-    steps.map { case (k, name, df) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(k).as("step"), lit(name).as("event_type"),
-          col("n_users"))
-    }.reduce(_ unionAll _).orderBy(col("step"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("rv",
+        min(when(col("event_type") === "view", col("ts_ns"))).over(w))
+      .withColumn("qc",
+        when(col("event_type") === "click" && col("ts_ns") > col("rv"),
+          col("ts_ns")))
+      .withColumn("rc", min(col("qc")).over(w))
+      .withColumn("qp",
+        when(col("event_type") === "purchase" && col("ts_ns") > col("rc"),
+          col("ts_ns")))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_ns"))).as("t1"),
+        min(col("qc")).as("t2"), min(col("qp")).as("t3"))
+    per
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .selectExpr("stack(3, 1, 'view', n1, 2, 'click', n2," +
+        " 3, 'purchase', n3) AS (step, event_type, n_users)")
+      .orderBy(col("step"))
   }
 
   /** Cohort retention (day-granularity): users grouped by first-active
     * day, counted on each later activity day as an offset from the
-    * cohort day — the triangle every growth dashboard draws. One distinct
-    * (user, day) pass, the per-user min reusing that partitioning, and a
-    * final (cohort, offset) aggregate; at 100 TB each exchanged row is
-    * two ints past the first distinct. */
-  def q16Retention(spark: SparkSession, dir: String): DataFrame = {
-    val days = Tables.events(spark, dir)
+    * cohort day — the triangle every growth dashboard draws. TWO
+    * exchanges total: collect_set(day) per user (map-side partial
+    * aggregation dedups (user, day) before the shuffle) yields day set
+    * AND cohort (= array_min) in one pass, a narrow explode re-emits the
+    * days where the row lives, and the (cohort, offset) aggregate counts
+    * plain rows — (user, day) is already unique, so no distinct
+    * machinery. The per-user state is its set of ACTIVE DAYS, bounded by
+    * the calendar (a few thousand even over years), not by event
+    * volume. The join-free shape replaces a distinct + per-user-min +
+    * join chain that cost 4 exchanges. */
+  def q16Retention(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
-      .distinct()
-    val cohorts = days.groupBy(col("user_id"))
-      .agg(min(col("day")).as("cohort"))
-    days.join(cohorts, "user_id")
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("day")).as("ds"))
+      .select(col("user_id"), array_min(col("ds")).as("cohort"),
+        explode(col("ds")).as("day"))
       .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
         datediff(col("day"), col("cohort")).as("offset_days"))
-      .agg(count_distinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("offset_days"))
-  }
 }

@@ -243,6 +243,17 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     assert(day0.values.sum == totalUsers)
   }
 
+  test("funnel and retention stay within their exchange budgets") {
+    val funnel = operators.Relational.q15Funnel(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(funnel).size == 1,
+      s"funnel must be one user_id exchange (chained window mins):\n$funnel")
+    val ret = operators.Relational.q16Retention(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(ret).size == 2,
+      s"retention must be user_id + (cohort, offset) exchanges only:\n$ret")
+  }
+
   test("q4 uses broadcast joins for the dimension tables") {
     val plan = operators.Relational.q4BroadcastJoin(spark, SfDir)
       .queryExecution.executedPlan.toString
