@@ -225,6 +225,24 @@ object ScaleProbe {
       f"parquet-bytes(raw=$rawB, codes=$codeB, ratio=${rawB.toDouble / codeB}%4.1fx)")
   }
 
+  /** dedup_substring at N×: the synth marker tokens land at the END of
+    * each copy, so for N ≥ 2 every document's whole 8-gram body is
+    * duplicated across copies — TOTAL SATURATION, the adversarial case
+    * where any pair-forming dedup op degenerates to N²-per-group
+    * candidates. Coverage never forms pairs (hot grams mark positions,
+    * the window sums them), so the probe's claim is that cost stays
+    * linear in corpus size even when every gram is hot. */
+  private def substrProbe(spark: SparkSession, base: String,
+      copies: Int): Unit = {
+    PlanCache.invalidate()
+    val dir = s"/tmp/graft_scale/x$copies"
+    synth(spark, base, dir, copies)
+    val (t, n) = time(operators.DedupOps.dedupSubstring(spark, dir)
+      .filter(col("n_dup_tok") > 0).count())
+    println(f"SUBSTR copies=$copies%2d docs=${copies * 5000}%6d " +
+      f"time=$t%6.2fs docs_with_dups=$n%d")
+  }
+
   /** Data-skipping measurement behind layout_zorder: for rectangle
     * predicates (user range × time range) count the manifest shards a
     * min/max-pruning reader must touch under (a) the z-order layout and
@@ -292,6 +310,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("decontam")) {
       args.drop(1).map(_.toInt).foreach(c => decontamProbe(spark, base, c))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("substr")) {
+      args.drop(1).map(_.toInt).foreach(c => substrProbe(spark, base, c))
       spark.stop()
       return
     }
