@@ -85,6 +85,54 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Per-user funnel progress: earliest step times reached so far. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelDepth(user_id: Long, depth: Int, reached_ns: Long)
+
+  /** Streaming conversion funnel (the q15_funnel twin): per-user state is
+    * three longs — the earliest view, earliest strictly-later click, and
+    * earliest strictly-later purchase seen so far — updated per event
+    * with the same chained-min rules the batch window computes. O(1)
+    * state per user, update-mode emission of the user's current depth.
+    *
+    * In-order contract: within a user, events arrive in event-time order
+    * (the replayed-log regime; the suite feeds ordered batches). A
+    * retro-arriving EARLIER view cannot re-qualify a click that was seen
+    * before it — the batch op is the backfill truth a deployment
+    * reconciles against, exactly like the dedup_incremental split. */
+  def streamingFunnel(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import events.sparkSession.implicits._
+    val None_ = Long.MaxValue
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), (unix_micros(col("ts")) * 1000).as("ts_ns"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelDepth](
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        var s = state.getOption.getOrElse(FunnelState(None_, None_, None_))
+        // micro-batch iterators carry no order guarantee even when the
+        // SOURCE is ordered — restore the event-time total order
+        for ((_, tn, _, tpe) <- rows.toSeq.sortBy(r => (r._2, r._3)))
+          tpe match {
+            case "view" if tn < s.t1 => s = s.copy(t1 = tn)
+            case "click" if tn > s.t1 && tn < s.t2 => s = s.copy(t2 = tn)
+            case "purchase" if tn > s.t2 && tn < s.t3 => s = s.copy(t3 = tn)
+            case _ => ()
+          }
+        state.update(s)
+        val (depth, at) =
+          if (s.t3 != None_) (3, s.t3)
+          else if (s.t2 != None_) (2, s.t2)
+          else if (s.t1 != None_) (1, s.t1)
+          else (0, 0L)
+        FunnelDepth(uid, depth, at)
+      }
+      .toDF()
+  }
+
   /** Open-session state: extent and event count of the session in flight. */
   case class SessionState(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long)

@@ -1243,6 +1243,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming funnel depths replay to the batch funnel counts") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the real sf0.001 event log, replayed per the in-order contract
+    val log = Tables.events(spark, SfDir)
+      .orderBy(col("ts_ns"), col("event_id"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect()
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.streamingFunnel(mem.toDF())
+      .writeStream.format("memory").queryName("funnel_state")
+      .outputMode("update").start()
+    try {
+      for (chunk <- log.grouped(log.length / 3 + 1)) {
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // newest depth per user (update mode appends every revision)
+      val depths = spark.table("funnel_state")
+        .groupBy("user_id").agg(max(col("depth")).as("depth"))
+        .select("depth").as[Int].collect()
+      val batch = operators.Relational.q15Funnel(spark, SfDir).collect()
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      for (k <- 1 to 3)
+        assert(depths.count(_ >= k).toLong == batch(k), s"step $k")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits closed sessions as the watermark advances") {
     val sparkS = spark
     import sparkS.implicits._
