@@ -262,7 +262,8 @@ object ScaleProbe {
         r.getLong(4), r.getLong(5)))
     val tMan = e
       .withColumn("shard",
-        expr(s"((tu - ${tlo}L) * 255) div (${thi}L - ${tlo}L)"))
+        expr(s"((CAST(tu AS DECIMAL(38,0)) - ${tlo}L) * 255)" +
+          s" div (${thi}L - ${tlo}L)"))
       .groupBy(col("shard"))
       .agg(count(lit(1)), min(col("user_id")), max(col("user_id")),
         min(col("tu")), max(col("tu"))).collect()

@@ -1140,7 +1140,8 @@ object SparkEntry {
     // round-trip of it — the hash comparison IS the fidelity check
     "ingest_jsonl" ->
       """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
-        |  sum(('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+        |  sum(('0x' || substr(md5(doc_id::VARCHAR || ':' || lang || ':'
+        |    || n_chars::VARCHAR || ':' || text),
         |    1, 8))::BIGINT)::BIGINT AS content_sum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // scale/interleave arithmetic interpolated from LayoutOps (shared
@@ -1151,9 +1152,11 @@ object SparkEntry {
          |    min(tu) AS tlo, max(tu) AS thi FROM e),
          |s AS (SELECT user_id, tu,
          |    (CASE WHEN uhi = ulo THEN 0
-         |          ELSE ((user_id - ulo) * 65535) // (uhi - ulo) END) AS u16,
+         |          ELSE ((user_id::HUGEINT - ulo) * 65535)
+         |               // (uhi - ulo) END)::BIGINT AS u16,
          |    (CASE WHEN thi = tlo THEN 0
-         |          ELSE ((tu - tlo) * 65535) // (thi - tlo) END) AS t16
+         |          ELSE ((tu::HUGEINT - tlo) * 65535)
+         |               // (thi - tlo) END)::BIGINT AS t16
          |  FROM e, b),
          |z AS (SELECT user_id, tu,
          |    ${LayoutOps.mortonSql("u16", "t16")} AS zv FROM s)

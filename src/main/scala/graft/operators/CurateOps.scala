@@ -30,7 +30,7 @@ object CurateOps {
   private def tokens(c: Column): Column = graft.functions.Tokenize.tokens(c)
 
   private def shift(a: Column, by: Int): Column =
-    slice(a, lit(by + 1), greatest(size(a) - by, lit(0)))
+    graft.functions.Tokenize.shift(a, by)
 
   /** Positional word n-grams (n = 2 or 4) as space-joined strings, built
     * with the zip_with shift-chain (see TextOps.winnowed): b2[i] =

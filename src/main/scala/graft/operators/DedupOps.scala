@@ -493,7 +493,7 @@ object DedupOps {
   val SubstrL = 8
 
   private def shiftArr(a: Column, by: Int): Column =
-    slice(a, lit(by + 1), greatest(size(a) - by, lit(0)))
+    graft.functions.Tokenize.shift(a, by)
 
   /** Positional space-joined 8-grams: g8[i] covers tokens i..i+7. */
   private def grams8(toks: Column): Column = {

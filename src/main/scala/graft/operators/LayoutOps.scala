@@ -67,10 +67,16 @@ object LayoutOps {
   /** Min-max scale to [0, 65535] in INTEGER arithmetic: `div`, not `/` —
     * (tu - tlo) * 65535 reaches ~1.7e17 for a month of microseconds,
     * past double's 53-bit mantissa, so float division would round a
-    * fraction of rows into the neighboring cell and break the oracle. */
+    * fraction of rows into the neighboring cell and break the oracle.
+    * The multiply is staged through DECIMAL(38,0) (HUGEINT in the
+    * oracle): in raw int64 it overflows once the dimension's range
+    * passes 2^63/65535 ≈ 1.4e14 — about 4.5 years of microseconds, or
+    * any snowflake-style 64-bit id space — which a 100 TB events table
+    * absolutely reaches. IntegralDivide on decimals returns BIGINT, so
+    * everything downstream stays long. */
   private def scaled16(x: String, lo: String, hi: String): Column =
     expr(s"CASE WHEN $hi = $lo THEN 0 " +
-      s"ELSE (($x - $lo) * 65535) div ($hi - $lo) END")
+      s"ELSE ((CAST($x AS DECIMAL(38,0)) - $lo) * 65535) div ($hi - $lo) END")
 
   /** Events scan with the z-value attached — shared by the manifest op
     * and the sink so the curve definition cannot drift between them. */

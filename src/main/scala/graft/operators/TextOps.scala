@@ -109,7 +109,7 @@ object TextOps {
     * refuses to duplicate non-cheap expressions. */
   private[graft] def winnowed(df: DataFrame, text: Column): DataFrame = {
     def shift(a: Column, by: Int): Column =
-      slice(a, lit(by + 1), greatest(size(a) - by, lit(0)))
+      graft.functions.Tokenize.shift(a, by)
     df.withColumn("_t", tokens(text))
       .withColumn("_b2",
         zip_with(col("_t"), shift(col("_t"), 1), (x, y) => concat(x, lit(" "), y)))

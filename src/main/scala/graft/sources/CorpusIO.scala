@@ -43,22 +43,27 @@ object CorpusIO {
   /** Ingestion fidelity check as an oracle-checked operator: round-trip
     * the documents table through JSONL, then aggregate per source an
     * order-insensitive content checksum (sum of 32-bit md5 prefixes over
-    * doc_id:text) next to counts and char totals. The DuckDB oracle
-    * computes the same aggregate from the PARQUET table, so any
-    * JSON-boundary corruption — escaping, encoding, type coercion,
-    * line splitting — breaks the hash match. */
+    * EVERY column of the row) next to counts and char totals. The DuckDB
+    * oracle computes the same aggregate from the PARQUET table, so any
+    * JSON-boundary corruption — escaping, encoding, type coercion, line
+    * splitting, in ANY field — breaks the hash match.
+    *
+    * Deliberately EAGER: the JSONL copy is written when the operator is
+    * invoked (the read needs the files to exist), into a fresh
+    * per-invocation temp dir so concurrent sessions over the same corpus
+    * can never overwrite each other's in-flight read. */
   def ingestJsonl(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_jsonl_").toString
     writeDocumentsJsonl(Tables.documents(spark, dir), tmp)
     readDocumentsJsonl(spark, tmp)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("chars"),
-        sum(conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit(":"), col("text"))), 1, 8), 16, 10).cast("long"))
-          .as("content_sum"))
+        sum(conv(substring(md5(concat_ws(":",
+          col("doc_id").cast("string"), col("lang"),
+          col("n_chars").cast("string"), col("text"))),
+          1, 8), 16, 10).cast("long")).as("content_sum"))
       .orderBy(col("source"))
   }
 }

@@ -67,11 +67,20 @@ object StreamingOps {
     * State per key is one row, so the store stays O(distinct keys); the
     * batch twin is q11_upsert_latest. Used by the test suite.
     */
+  /** Streams carry TimestampType (µs); the batch twins compare on the
+    * raw parquet NANOS (ts_ns). A source that preserves the ns column
+    * passes it through untouched — deriving ts*1000 would ZERO the
+    * sub-µs bits and flip strict-after comparisons on µs-tied events —
+    * and only a source without one falls back to the µs-derived value. */
+  private def eventsWithNs(events: DataFrame): DataFrame =
+    if (events.columns.contains("ts_ns")) events
+    else events.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+
   def streamingUpsertLatest(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import events.sparkSession.implicits._
-    events
-      .select(col("user_id"), (unix_micros(col("ts")) * 1000).as("ts_ns"),
+    eventsWithNs(events)
+      .select(col("user_id"), col("ts_ns"),
         col("event_id"), col("event_type"), col("value"))
       .as[UserLatest]
       .groupByKey(_.user_id)
@@ -104,9 +113,9 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import events.sparkSession.implicits._
     val None_ = Long.MaxValue
-    events
+    eventsWithNs(events)
       .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"), (unix_micros(col("ts")) * 1000).as("ts_ns"),
+      .select(col("user_id"), col("ts_ns"),
         col("event_id"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)

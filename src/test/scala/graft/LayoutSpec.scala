@@ -26,12 +26,17 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     val (ulo, uhi) = (bounds.getLong(0), bounds.getLong(1))
     val (tlo, thi) = (bounds.getLong(2), bounds.getLong(3))
     // shard = top 4 bits of each dimension's 16-bit scale; members agree
-    // on those, so each extent spans < 2^12 of 65536 scale cells →
-    // <= range/16 in original units (+1 for the floor-scaling slack)
+    // on those, so each extent spans < 2^12 of 65536 scale cells. The
+    // exact attainable preimage of a 4096-cell block is
+    // range·4096/65535 (+1 floor slack) — range/16 PLUS range/2^20, and
+    // the excess is real: ~2.5e6 µs on a 30-day range, so the naive
+    // range/16 bound can fail on denser data with no code bug.
+    def bound(range: Long): Long =
+      (BigInt(range) * 4096 / 65535).toLong + 1
     for (r <- manifest) {
-      assert(r.getLong(3) - r.getLong(2) <= (uhi - ulo) / 16 + 1,
+      assert(r.getLong(3) - r.getLong(2) <= bound(uhi - ulo),
         s"shard ${r.getInt(0)} user extent")
-      assert(r.getLong(5) - r.getLong(4) <= (thi - tlo) / 16 + 1,
+      assert(r.getLong(5) - r.getLong(4) <= bound(thi - tlo),
         s"shard ${r.getInt(0)} time extent")
     }
   }
