@@ -82,6 +82,9 @@ object SparkEntry {
     "text_tokens" -> TextOps.textTokens _,
     "text_fingerprint" -> TextOps.textFingerprint _,
     "text_winnow" -> TextOps.textWinnow _,
+    // iterative (each merge feeds the next round) => not SQL-expressible,
+    // rows-only check; plain-Scala BPE reference pinned in the suite
+    "text_bpe_train" -> TextOps.textBpeTrain _,
     "corpus_curate" -> TextOps.corpusCurate _,
     "chunk_documents" -> ChunkOps.chunkDocuments _,
     "chunk_structured" -> ChunkOps.chunkStructured _,

@@ -163,4 +163,68 @@ object TextOps {
       .join(keep, Seq("doc_id"), "left_anti")
     passed.join(drop, Seq("doc_id"), "left_anti")
   }
+
+  /** BPE merge rounds learned per training run. */
+  val BpeMerges = 8
+
+  /** Distributed BPE merge training (Sennrich et al. 2016, the tokenizer
+    * recipe GPT-style vocabularies derive from): learn the [[BpeMerges]]
+    * highest-frequency adjacent symbol pairs, greedily, ties broken
+    * lexicographically. Output one row per learned merge
+    * (rank, pair, freq).
+    *
+    * The scale shape is what makes BPE trainable at 100 TB: ONE
+    * corpus-wide pass builds the word-frequency table, and every round
+    * after that runs over the VOCABULARY (distinct words — millions,
+    * bounded by language, not by corpus bytes): pair counts are an
+    * explode + agg over vocab weighted by word count, the argmax is a
+    * TakeOrdered(1), and the merge applies as a broadcast of that single
+    * rule + a per-word left-to-right aggregate() fold (non-overlapping,
+    * like the reference implementations). Rounds are localCheckpoint-cut
+    * like dedup_clusters so 8 chained merges don't stack one giant
+    * expression tree.
+    *
+    * Iterative (argmax feeds the next round's input), hence not
+    * SQL-expressible for DuckDB — driver check is rows-only; the suite
+    * verifies against a plain-Scala BPE reference on the real corpus. */
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val empty = expr("CAST(array() AS array<string>)")
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // split on the empty pattern leaves a trailing "" element, which
+      // would mint phantom (x, "") pairs whose merge is a NO-OP — the
+      // argmax then repeats forever. Strip it.
+      .select(array_remove(split(col("w"), ""), "").as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = (1 to BpeMerges).map { rank =>
+      val best = vocab
+        .select(explode(zip_with(col("syms"),
+          graft.functions.Tokenize.shift(col("syms"), 1),
+          (a, b) => struct(a.as("pa"), b.as("pb")))).as("p"), col("cnt"))
+        // zip_with pads the shorter (shifted) side with null: the last
+        // symbol's (x, null) phantom pair must not enter the counts
+        .filter(col("p.pb").isNotNull)
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("pa"), col("pb"))
+        .limit(1)
+        .localCheckpoint() // 1 row; pin it so the output union is free
+      // left-to-right non-overlapping merge: fold each word, replacing a
+      // trailing `pa` with `pa+pb` when `pb` arrives — "aaa" under (a,a)
+      // becomes [aa, a], exactly the reference greedy application. The
+      // rule rides in as a broadcast column, never a driver value.
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(aggregate(col("syms"), empty, (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, size(acc)) === col("pa") && x === col("pb"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(col("pa"), col("pb")))))
+            .otherwise(concat(acc, array(x)))).as("syms"), col("cnt"))
+        .localCheckpoint()
+      best.select(lit(rank).as("rank"),
+        concat_ws(" ", col("pa"), col("pb")).as("pair"), col("freq"))
+    }
+    merges.reduce(_ unionAll _).orderBy(col("rank"))
+  }
 }

@@ -38,10 +38,11 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("every query key has a matching oracle or is explicitly rows-only") {
-    // sketch/ANN outputs are approximate by design, so rows-only checked
+    // sketch/ANN outputs are approximate by design, and BPE training is
+    // iterative (not SQL-expressible) — rows-only checked, suite-pinned
     val rowsOnly =
       Set("q9b_approx_distinct", "vec_knn_join_ann", "q13b_approx_percentiles",
-        "vec_knn_pq")
+        "vec_knn_pq", "text_bpe_train")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
@@ -414,6 +415,41 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       }
       assert(collide, s"sig pair $a/$b (hamming<=5) missed by every band")
     }
+  }
+
+  test("BPE merges match a plain-Scala reference trainer on the corpus") {
+    // reference BPE (Sennrich 2016): word-frequency table, then greedy
+    // max-frequency adjacent pair per round (lexicographic tie-break),
+    // left-to-right non-overlapping application
+    val words = Tables.documents(spark, SfDir).select("text").collect()
+      .flatMap(r => "[a-z0-9]+".r.findAllIn(r.getString(0).toLowerCase))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var vocab: Map[Vector[String], Long] =
+      words.groupBy { case (w, _) => w.map(_.toString).toVector }
+        .view.mapValues(_.values.sum).toMap
+    def mergeWord(w: Vector[String], pa: String, pb: String): Vector[String] =
+      w.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == pa && x == pb)
+          acc.init :+ (pa + pb)
+        else acc :+ x
+      }
+    val expected = (1 to operators.TextOps.BpeMerges).map { rank =>
+      val counts = vocab.toSeq.flatMap { case (syms, cnt) =>
+        syms.zip(syms.tail).map(_ -> cnt)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((pa, pb), freq) = counts.minBy { case ((a, b), f) => (-f, a, b) }
+      vocab = vocab.toSeq.map { case (syms, cnt) =>
+        mergeWord(syms, pa, pb) -> cnt
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (rank, s"$pa $pb", freq)
+    }
+    val got = operators.TextOps.textBpeTrain(spark, SfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+    // the learned merges must compose (a later merge building on an
+    // earlier one), or 8 rounds degenerate to an 8-way unigram count
+    assert(expected.exists { case (_, pair, _) =>
+      pair.split(" ").exists(_.length > 1) })
   }
 
   test("curation keeps exactly the min SURVIVING doc per near-dup cluster") {
