@@ -85,6 +85,8 @@ object SparkEntry {
     // iterative (each merge feeds the next round) => not SQL-expressible,
     // rows-only check; plain-Scala BPE reference pinned in the suite
     "text_bpe_train" -> TextOps.textBpeTrain _,
+    // applies the iteratively-trained rules => rows-only like the trainer
+    "text_bpe_apply" -> TextOps.textBpeApply _,
     "corpus_curate" -> TextOps.corpusCurate _,
     "chunk_documents" -> ChunkOps.chunkDocuments _,
     "chunk_structured" -> ChunkOps.chunkStructured _,

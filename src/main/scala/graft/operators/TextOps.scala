@@ -187,7 +187,12 @@ object TextOps {
     * Iterative (argmax feeds the next round's input), hence not
     * SQL-expressible for DuckDB — driver check is rows-only; the suite
     * verifies against a plain-Scala BPE reference on the real corpus. */
-  def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "bpe_merges") {
+      bpeTrainRounds(spark, dir)
+    }
+
+  private def bpeTrainRounds(spark: SparkSession, dir: String): DataFrame = {
     val empty = expr("CAST(array() AS array<string>)")
     var vocab = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
@@ -226,5 +231,42 @@ object TextOps {
         concat_ws(" ", col("pa"), col("pb")).as("pair"), col("freq"))
     }
     merges.reduce(_ unionAll _).orderBy(col("rank"))
+  }
+
+  /** BPE tokenization with the trained merges (the APPLY side of
+    * [[textBpeTrain]], subword-nmt semantics: rules applied in learned
+    * rank order, each as a left-to-right non-overlapping pass per word).
+    * Per document: initial symbol count and post-merge BPE token count —
+    * the token-budget inputs the packing/batching stages consume.
+    *
+    * Shape: the 8 trained rules collapse to ONE array-of-structs row
+    * (broadcast), and the application is a nested aggregate() fold —
+    * outer over the rule array, inner the same merge fold training uses —
+    * inside a single corpus scan. No shuffle on the apply side at all;
+    * training itself is memoized per (session, dir) via PlanCache.
+    * Rows-only check (the rules come from the iterative trainer); the
+    * suite pins a plain-Scala reference segmentation. */
+  def textBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val rules = textBpeTrain(spark, dir)
+      .agg(array_sort(collect_list(struct(col("rank"),
+        split(col("pair"), " ").as("ps")))).as("rules"))
+    val empty = expr("CAST(array() AS array<string>)")
+    Tables.documents(spark, dir)
+      .crossJoin(broadcast(rules))
+      .select(col("doc_id"),
+        transform(tokens(col("text")),
+          w => array_remove(split(w, ""), "")).as("ws"), col("rules"))
+      .select(col("doc_id"),
+        aggregate(col("ws"), lit(0), (n, w) => n + size(w)).as("n_sym"),
+        aggregate(col("ws"), lit(0), (n, w) => n + size(
+          aggregate(col("rules"), w, (syms, r) =>
+            aggregate(syms, empty, (acc, x) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, size(acc)) === r.getField("ps")(0) &&
+                  x === r.getField("ps")(1),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(r.getField("ps")(0), r.getField("ps")(1)))))
+                .otherwise(concat(acc, array(x)))))))
+          .as("n_bpe"))
   }
 }

@@ -42,7 +42,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // iterative (not SQL-expressible) — rows-only checked, suite-pinned
     val rowsOnly =
       Set("q9b_approx_distinct", "vec_knn_join_ann", "q13b_approx_percentiles",
-        "vec_knn_pq", "text_bpe_train")
+        "vec_knn_pq", "text_bpe_train", "text_bpe_apply")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
@@ -450,6 +450,32 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     // earlier one), or 8 rounds degenerate to an 8-way unigram count
     assert(expected.exists { case (_, pair, _) =>
       pair.split(" ").exists(_.length > 1) })
+  }
+
+  test("BPE apply segments like the reference in learned-rank order") {
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val rules = operators.TextOps.textBpeTrain(spark, SfDir).collect()
+      .sortBy(_.getInt(0)).map { r =>
+        val Array(pa, pb) = r.getString(1).split(" "); (pa, pb) }
+    def mergePass(w: Vector[String], pa: String, pb: String) =
+      w.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == pa && x == pb) acc.init :+ (pa + pb)
+        else acc :+ x
+      }
+    val expected = docs.map { case (id, text) =>
+      val ws = "[a-z0-9]+".r.findAllIn(text.toLowerCase)
+        .map(_.map(_.toString).toVector).toVector
+      val bpe = ws.map(w => rules.foldLeft(w) { case (s, (pa, pb)) =>
+        mergePass(s, pa, pb) })
+      (id, ws.map(_.size).sum, bpe.map(_.size).sum)
+    }.toSet
+    val got = operators.TextOps.textBpeApply(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == expected)
+    // merges must actually compress — the apply path is vacuous otherwise
+    assert(expected.forall { case (_, n0, nb) => nb <= n0 } &&
+      expected.exists { case (_, n0, nb) => nb < n0 })
   }
 
   test("curation keeps exactly the min SURVIVING doc per near-dup cluster") {
