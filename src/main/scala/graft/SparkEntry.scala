@@ -82,6 +82,7 @@ object SparkEntry {
     "text_tokens" -> TextOps.textTokens _,
     "text_fingerprint" -> TextOps.textFingerprint _,
     "text_winnow" -> TextOps.textWinnow _,
+    "text_perplexity" -> TextOps.textPerplexity _,
     // iterative (each merge feeds the next round) => not SQL-expressible,
     // rows-only check; plain-Scala BPE reference pinned in the suite
     "text_bpe_train" -> TextOps.textBpeTrain _,
@@ -1098,6 +1099,24 @@ object SparkEntry {
          |  ((cum - n_tok) % ${CurateOps.PackBudget})::BIGINT AS seq_offset
          |FROM c""".stripMargin
     },
+    // self-trained add-one bigram LM; ln/exp/round mirror the Spark
+    // expression shapes so the 4-decimal ppl agrees cross-engine
+    "text_perplexity" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |bi AS (SELECT doc_id, ts[u.i] || ' ' || ts[u.i+1] AS bg,
+         |    ts[u.i] AS w1
+         |  FROM tok CROSS JOIN
+         |    unnest(range(1, greatest(len(ts), 1))) AS u(i)),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+         |v AS (SELECT count(DISTINCT u.t) AS v
+         |      FROM (SELECT unnest(ts) AS t FROM tok) u),
+         |s AS (SELECT bi.doc_id,
+         |    ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) AS lp
+         |  FROM bi JOIN c2 USING (bg) JOIN c1 USING (w1), v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(exp(-sum(lp) / count(*)), 4) AS ppl
+         |FROM s GROUP BY doc_id""".stripMargin,
     // span length from the SAME constant the operator reads; coverage =
     // gap-capped sum over sorted duplicated starts, mirrored via lead()
     "dedup_substring" -> {

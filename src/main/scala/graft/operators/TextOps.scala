@@ -164,6 +164,48 @@ object TextOps {
     passed.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** The positional bigram relation (doc_id, bg, w1), persisted and
+    * memoized per (session, dir): the LM counts AND the scoring join all
+    * read it, so the corpus tokenizes once. */
+  private def bigramRel(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "bigram_rel") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"), explode(slice(
+          zip_with(col("ts"), graft.functions.Tokenize.shift(col("ts"), 1),
+            (a, b) => concat(a, lit(" "), b)),
+          lit(1), greatest(size(col("ts")) - 1, lit(0)))).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+    }
+
+  /** Bigram-LM perplexity (the CCNet/KenLM quality signal): train an
+    * add-one-smoothed bigram model on the corpus itself and score every
+    * document's perplexity under it — low ppl ≈ fluent/in-domain, high
+    * ppl ≈ noise, the standard corpus-quality ranking feature.
+    *
+    * Shape: counts are aggregations over the shared bigram relation (the
+    * vocabulary-sized statistics pass), the vocab size rides in as a
+    * broadcast 1-row frame, and scoring is the bigram join (shuffle on
+    * the bigram key — at 100 TB the count table is the small side and
+    * broadcasts) + one per-doc aggregate. Σln reassociation across
+    * partitions perturbs the sum ~1e-11 relative, far inside the
+    * 4-decimal rounding both engines share. */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val bi = bigramRel(spark, dir)
+    val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    bi.join(c2, "bg").join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("c2") + 1).cast("double") / (col("c1") + col("v")))
+          .as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-sum(col("lp")) / count(lit(1))), 4).as("ppl"))
+  }
+
   /** BPE merge rounds learned per training run. */
   val BpeMerges = 8
 

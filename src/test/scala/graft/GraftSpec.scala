@@ -417,6 +417,32 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("perplexity matches a plain-Scala bigram LM within rounding") {
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val bigrams = docs.flatMap { case (id, ts) =>
+      ts.zip(ts.tail).map(p => (id, p)) }
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.length).toMap
+    val c1 = bigrams.groupBy(_._2._1).view.mapValues(_.length).toMap
+    val v = docs.flatMap(_._2).distinct.length
+    val expected = docs.map { case (id, ts) =>
+      val lps = ts.zip(ts.tail).map(p =>
+        math.log((c2(p) + 1).toDouble / (c1(p._1) + v)))
+      id -> (lps.length.toLong, math.exp(-lps.sum / lps.length))
+    }.toMap
+    val got = operators.TextOps.textPerplexity(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, (n, ppl)) <- expected) {
+      assert(got(id)._1 == n, s"doc $id bigram count")
+      assert(math.abs(got(id)._2 - ppl) < 5e-4, s"doc $id ppl")
+    }
+    // the self-trained LM must separate documents, or it ranks nothing
+    val ppls = expected.values.map(_._2)
+    assert(ppls.max > ppls.min * 1.05)
+  }
+
   test("BPE merges match a plain-Scala reference trainer on the corpus") {
     // reference BPE (Sennrich 2016): word-frequency table, then greedy
     // max-frequency adjacent pair per round (lexicographic tie-break),
