@@ -1113,10 +1113,12 @@ object SparkEntry {
          |      FROM (SELECT unnest(ts) AS t FROM tok) u),
          |s AS (SELECT bi.doc_id,
          |    ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) AS lp
-         |  FROM bi JOIN c2 USING (bg) JOIN c1 USING (w1), v)
-         |SELECT doc_id, count(*) AS n_bigrams,
-         |  round(exp(-sum(lp) / count(*)), 4) AS ppl
-         |FROM s GROUP BY doc_id""".stripMargin,
+         |  FROM bi JOIN c2 USING (bg) JOIN c1 USING (w1), v),
+         |p AS (SELECT doc_id, count(*) AS n,
+         |    round(exp(-sum(lp) / count(*)), 4) AS ppl
+         |  FROM s GROUP BY doc_id)
+         |SELECT tok.doc_id, coalesce(p.n, 0)::BIGINT AS n_bigrams, p.ppl
+         |FROM tok LEFT JOIN p USING (doc_id)""".stripMargin,
     // span length from the SAME constant the operator reads; coverage =
     // gap-capped sum over sorted duplicated starts, mirrored via lead()
     "dedup_substring" -> {

@@ -197,13 +197,21 @@ object TextOps {
     val v = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("t"))
       .agg(count_distinct(col("t")).as("v"))
-    bi.join(c2, "bg").join(c1, "w1").crossJoin(broadcast(v))
+    val scored = bi.join(c2, "bg").join(c1, "w1").crossJoin(broadcast(v))
       .select(col("doc_id"),
         log((col("c2") + 1).cast("double") / (col("c1") + col("v")))
           .as("lp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(count(lit(1)).as("n"),
         round(exp(-sum(col("lp")) / count(lit(1))), 4).as("ppl"))
+    // LEFT join from the corpus: a doc with < 2 tokens has no bigrams
+    // and no defined ppl (null), but a quality ranker must still SEE it
+    // — silently dropping exactly the degenerate docs would be the
+    // worst failure mode for a filter stage
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_bigrams"), col("ppl"))
   }
 
   /** BPE merge rounds learned per training run. */
@@ -228,7 +236,14 @@ object TextOps {
     *
     * Iterative (argmax feeds the next round's input), hence not
     * SQL-expressible for DuckDB — driver check is rows-only; the suite
-    * verifies against a plain-Scala BPE reference on the real corpus. */
+    * verifies against a plain-Scala BPE reference on the real corpus.
+    *
+    * Degenerate corpora (vocabulary runs out of adjacent pairs before
+    * [[BpeMerges]] rounds): that round's argmax frame is EMPTY, the
+    * cross join empties the working vocabulary, and every later round
+    * contributes no merge row — the output simply carries fewer than
+    * [[BpeMerges]] rows. [[textBpeApply]] guards its per-rank lookups
+    * with size(rules), so a short rule list is applied as-is. */
   def textBpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.getOrBuild(spark, dir, "bpe_merges") {
       bpeTrainRounds(spark, dir)
@@ -276,10 +291,14 @@ object TextOps {
   }
 
   /** BPE tokenization with the trained merges (the APPLY side of
-    * [[textBpeTrain]], subword-nmt semantics: rules applied in learned
-    * rank order, each as a left-to-right non-overlapping pass per word).
-    * Per document: initial symbol count and post-merge BPE token count —
-    * the token-budget inputs the packing/batching stages consume.
+    * [[textBpeTrain]]): rules applied in learned rank order, ONE
+    * left-to-right non-overlapping pass each. (Real subword-nmt
+    * re-applies earlier rules when a later merge re-creates their
+    * operands; the single-pass order is the common streaming
+    * approximation, is mutually consistent with the trainer here, and
+    * the suite pins exactly this contract.) Per document: initial symbol
+    * count and post-merge BPE token count — the token-budget inputs the
+    * packing/batching stages consume.
     *
     * Shape: the document becomes ONE symbol-spaced string (words
     * separated by \n so no merge crosses a word boundary), and each rule
@@ -300,25 +319,29 @@ object TextOps {
       w => array_join(array_remove(split(w, ""), ""), " ")), "\n")
     def rulePart(k: Int, i: Int): Column =
       element_at(col("rules"), k).getField("ps").getItem(i)
-    val merged = (1 to BpeMerges).foldLeft(col("doc0")) { (c, k) =>
-      regexp_replace(c,
-        concat(lit("(^|(?<=[ \n]))"), rulePart(k, 0), lit(" "),
-          rulePart(k, 1), lit("((?=[ \n])|$)")),
-        concat(rulePart(k, 0), rulePart(k, 1)))
-    }
-    Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .crossJoin(broadcast(rules))
-      .select(col("doc_id"), spaced.as("doc0"), col("rules"))
-      .select(col("doc_id"),
-        (length(col("doc0")) -
-          length(translate(col("doc0"), " \n", ""))
-          + when(length(col("doc0")) > 0, 1).otherwise(0))
-          .as("_sep_plus1"),
-        merged.as("_m"))
-      .select(col("doc_id"),
-        col("_sep_plus1").as("n_sym"),
-        when(length(col("_m")) === 0, lit(0))
-          .otherwise(length(col("_m")) -
-            length(translate(col("_m"), " \n", "")) + 1).as("n_bpe"))
+      .select(col("doc_id"), spaced.as("_m0"), col("rules"))
+    // one withColumn per rule so each stage is a shared projection
+    // alias — folding `when(guard, replace(c)).otherwise(c)` inline
+    // would duplicate the whole chain per level (the measured 2^k
+    // expression-blowup trap the winnow shift-chain documents). The
+    // size(rules) >= k guard keeps a short-trained rule list (a corpus
+    // that runs out of pairs) a no-op instead of an ANSI
+    // INVALID_ARRAY_INDEX error from element_at.
+    val staged = (1 to BpeMerges).foldLeft(base) { (df, k) =>
+      df.withColumn(s"_m$k",
+        when(size(col("rules")) >= k, regexp_replace(col(s"_m${k - 1}"),
+          concat(lit("(^|(?<=[ \n]))"), rulePart(k, 0), lit(" "),
+            rulePart(k, 1), lit("((?=[ \n])|$)")),
+          concat(rulePart(k, 0), rulePart(k, 1))))
+          .otherwise(col(s"_m${k - 1}")))
+    }
+    def units(c: Column): Column =
+      when(length(c) === 0, lit(0))
+        .otherwise(length(c) - length(translate(c, " \n", "")) + 1)
+    staged.select(col("doc_id"),
+      units(col("_m0")).as("n_sym"),
+      units(col(s"_m$BpeMerges")).as("n_bpe"))
   }
 }

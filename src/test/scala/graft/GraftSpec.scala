@@ -417,6 +417,15 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** The reference left-to-right non-overlapping merge pass — shared by
+    * the BPE train and apply tests so they pin ONE semantics. */
+  private def bpeMergePass(w: Vector[String], pa: String,
+      pb: String): Vector[String] =
+    w.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == pa && x == pb) acc.init :+ (pa + pb)
+      else acc :+ x
+    }
+
   test("perplexity matches a plain-Scala bigram LM within rounding") {
     val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
       .collect().map(r => r.getLong(0) ->
@@ -426,20 +435,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val c2 = bigrams.groupBy(_._2).view.mapValues(_.length).toMap
     val c1 = bigrams.groupBy(_._2._1).view.mapValues(_.length).toMap
     val v = docs.flatMap(_._2).distinct.length
-    val expected = docs.map { case (id, ts) =>
-      val lps = ts.zip(ts.tail).map(p =>
-        math.log((c2(p) + 1).toDouble / (c1(p._1) + v)))
-      id -> (lps.length.toLong, math.exp(-lps.sum / lps.length))
-    }.toMap
+    val expected: Map[Long, (Long, Option[Double])] =
+      docs.map { case (id, ts) =>
+        val lps = ts.zip(ts.tail).map(p =>
+          math.log((c2(p) + 1).toDouble / (c1(p._1) + v)))
+        // < 2 tokens → no bigrams → ppl undefined (null), row kept
+        id -> (lps.length.toLong,
+          if (lps.isEmpty) None else Some(math.exp(-lps.sum / lps.length)))
+      }.toMap
     val got = operators.TextOps.textPerplexity(spark, SfDir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     assert(got.keySet == expected.keySet)
     for ((id, (n, ppl)) <- expected) {
       assert(got(id)._1 == n, s"doc $id bigram count")
-      assert(math.abs(got(id)._2 - ppl) < 5e-4, s"doc $id ppl")
+      (got(id)._2, ppl) match {
+        case (Some(g), Some(e)) => assert(math.abs(g - e) < 5e-4, s"doc $id")
+        case (g, e) => assert(g == e, s"doc $id null mismatch")
+      }
     }
     // the self-trained LM must separate documents, or it ranks nothing
-    val ppls = expected.values.map(_._2)
+    val ppls = expected.values.flatMap(_._2)
     assert(ppls.max > ppls.min * 1.05)
   }
 
@@ -453,19 +469,13 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     var vocab: Map[Vector[String], Long] =
       words.groupBy { case (w, _) => w.map(_.toString).toVector }
         .view.mapValues(_.values.sum).toMap
-    def mergeWord(w: Vector[String], pa: String, pb: String): Vector[String] =
-      w.foldLeft(Vector.empty[String]) { (acc, x) =>
-        if (acc.nonEmpty && acc.last == pa && x == pb)
-          acc.init :+ (pa + pb)
-        else acc :+ x
-      }
     val expected = (1 to operators.TextOps.BpeMerges).map { rank =>
       val counts = vocab.toSeq.flatMap { case (syms, cnt) =>
         syms.zip(syms.tail).map(_ -> cnt)
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
       val ((pa, pb), freq) = counts.minBy { case ((a, b), f) => (-f, a, b) }
       vocab = vocab.toSeq.map { case (syms, cnt) =>
-        mergeWord(syms, pa, pb) -> cnt
+        bpeMergePass(syms, pa, pb) -> cnt
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
       (rank, s"$pa $pb", freq)
     }
@@ -484,16 +494,11 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val rules = operators.TextOps.textBpeTrain(spark, SfDir).collect()
       .sortBy(_.getInt(0)).map { r =>
         val Array(pa, pb) = r.getString(1).split(" "); (pa, pb) }
-    def mergePass(w: Vector[String], pa: String, pb: String) =
-      w.foldLeft(Vector.empty[String]) { (acc, x) =>
-        if (acc.nonEmpty && acc.last == pa && x == pb) acc.init :+ (pa + pb)
-        else acc :+ x
-      }
     val expected = docs.map { case (id, text) =>
       val ws = "[a-z0-9]+".r.findAllIn(text.toLowerCase)
         .map(_.map(_.toString).toVector).toVector
       val bpe = ws.map(w => rules.foldLeft(w) { case (s, (pa, pb)) =>
-        mergePass(s, pa, pb) })
+        bpeMergePass(s, pa, pb) })
       (id, ws.map(_.size).sum, bpe.map(_.size).sum)
     }.toSet
     val got = operators.TextOps.textBpeApply(spark, SfDir).collect()
