@@ -296,6 +296,9 @@ object SearchOps {
       val c0 = emb
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(KmeansK)
+        // the unpartitioned window (WindowExec single-partition warning)
+        // numbers only the K rows the TakeOrdered limit already kept —
+        // never the corpus
         .withColumn("cluster", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1)
@@ -420,6 +423,8 @@ object SearchOps {
       val seeds = emb
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(PqK)
+        // unpartitioned window over the PqK-row limited frame only (see
+        // kmeansCents) — the single-partition warning is benign here
         .withColumn("cluster", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1)
