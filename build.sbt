@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify collector tail-parses the LAST stdout line as JSON.
+// sbt's default LoggedOutput wraps forked output as "[info] {...}" and
+// appends a "[success] Total time ..." trailer — both break that parse
+// (BENCH_r01..r04 all recorded parsed:null). StdoutOutput passes the
+// forked JVM's stdout through raw; showSuccess kills the trailer.
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is read by sbt's command loop, not a task — lint can't see it
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

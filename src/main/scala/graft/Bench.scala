@@ -46,9 +46,15 @@ object Bench {
       .getOrElse(jstr(sfDir))
     val errs = results.collect {
       case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(100)) }
-    val errField =
-      if (errs.isEmpty) "" else errs.mkString(""""errors":{""", ",", "},")
-    def line(entries: Seq[String], omitted: Int): String = {
+    def line(entries: Seq[String], omitted: Int,
+        errKeep: Int): String = {
+      val errField =
+        if (errs.isEmpty) ""
+        else {
+          val eo = errs.size - errKeep
+          val eoField = if (eo == 0) "" else s""""errors_omitted":$eo,"""
+          errs.take(errKeep).mkString(""""errors":{""", ",", "},") + eoField
+        }
       val omitField = if (omitted == 0) "" else s""""omitted":$omitted,"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":${entries.mkString("{", ",", "}")},""" +
@@ -56,12 +62,19 @@ object Bench {
     }
     val bySlowest = results.sortBy(-_._2)
       .map { case (k, v, _) => jstr(k) + ":" + fmt(v) }
-    // keep the slowest-first prefix that fits the tail window
-    val keep = bySlowest.indices.reverse
-      .find(i =>
-        line(bySlowest.take(i + 1), bySlowest.size - i - 1).length <= LineBudget)
-      .map(_ + 1).getOrElse(if (bySlowest.isEmpty) 0 else 1)
-    line(bySlowest.take(keep), bySlowest.size - keep)
+    // The shrink search covers BOTH unbounded fields: prefer keeping every
+    // error (errors are the signal the driver most needs in a mass-failure
+    // round) and as many slowest-first query entries as fit; if even the
+    // 1-query line overflows, drop trailing errors too — an all-99-failing
+    // run must still produce a parseable line inside the tail window.
+    val fit = (errs.size to 0 by -1).view.flatMap { ek =>
+      bySlowest.indices.reverse
+        .find(i =>
+          line(bySlowest.take(i + 1), bySlowest.size - i - 1, ek).length <= LineBudget)
+        .map(qk => (qk + 1, ek))
+    }.headOption
+    val (keep, errKeep) = fit.getOrElse((if (bySlowest.isEmpty) 0 else 1, 0))
+    line(bySlowest.take(keep), bySlowest.size - keep, errKeep)
   }
 
   def main(args: Array[String]): Unit = {

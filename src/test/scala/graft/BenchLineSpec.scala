@@ -63,6 +63,25 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("a mass-failure round (all 99 queries erroring) still fits the budget") {
+    // e.g. a bad/missing SF dir fails every query with a long path message
+    val fake = (0 until 99).map { i =>
+      (s"synthetic_query_name_number_$i", 0.05,
+        Some("FileNotFoundException: Path does not exist: " +
+          "file:/root/testdata/sf0.1-definitely-not-here/lineitem.parquet"))
+    }
+    val line = Bench.renderLine(fake, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget, s"len=${line.length}")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.readTree(line)
+    // at least one error survives verbatim, the rest are counted
+    val kept = node.get("errors").size()
+    assert(kept >= 1)
+    assert(node.get("errors_omitted").asInt() == 99 - kept)
+    assert(node.get("queries").size() +
+      Option(node.get("omitted")).map(_.asInt()).getOrElse(0) == 99)
+  }
+
   test("errors surface in the line, truncated, with special chars escaped") {
     val fake = Seq(
       ("ok_query", 0.5, None: Option[String]),
