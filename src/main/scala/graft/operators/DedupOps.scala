@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Checkpoints.LineageCut
 import graft.functions.VectorFunctions.cosineSim
 
 /** Deduplication operators for a training-data pipeline: exact, n-gram
@@ -408,10 +409,10 @@ object DedupOps {
       // uncut lineage would double per round like the BFS layers
       val e = p.select(col("a_id").as("u"), col("b_id").as("v"))
         .unionAll(p.select(col("b_id").as("u"), col("a_id").as("v")))
-        .localCheckpoint(true)
+        .lineageCut
       var labels = e.select(col("u").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
-        .localCheckpoint(true)
+        .lineageCut
       for (_ <- 1 to CcRounds) {
         // every node has >= 1 neighbor by construction (it came from a
         // pair), so the inner join loses nobody
@@ -420,7 +421,7 @@ object DedupOps {
           .groupBy(col("u").as("id")).agg(min(col("v_lbl")).as("nb"))
         labels = labels.join(nb, "id")
           .select(col("id"), least(col("lbl"), col("nb")).as("lbl"))
-          .localCheckpoint(true)
+          .lineageCut
       }
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
         (col("id") === col("lbl")).cast("int").as("is_rep"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Checkpoints.LineageCut
 
 /** Code-graph query analogues over the supplier→part bipartite graph
   * derived from lineitem (edge = "supplier ships part").
@@ -107,7 +108,7 @@ object GraphOps {
             Seq("f_t", "f_id"))
           .select(col("t_t").as("t"), col("t_id").as("id")).distinct()
           .join(visited, Seq("t", "id"), "left_anti")
-          .localCheckpoint(true)
+          .lineageCut
       }
       val hopRows = next.select(lit(h).as("hop"), col("t").as("node_type"),
         col("id").as("node_id"))
@@ -350,7 +351,7 @@ object GraphOps {
             .select(col("t"), col("id"),
               col("p.f_t").as("parent_t"), col("p.f_id").as("parent_id"))
             .join(visited, Seq("t", "id"), "left_anti")
-            .localCheckpoint(true)
+            .lineageCut
         }
         val hopRows = next.select(lit(h).as("hop"), col("t"), col("id"),
           col("parent_t"), col("parent_id"))
@@ -383,7 +384,7 @@ object GraphOps {
       // a deployment answering many distinct path queries would pin
       // maxDepth persisted layers each and grow executor storage without
       // bound. After the cut, the memo holds only the tiny path itself.
-      val out = full.localCheckpoint(true)
+      val out = full.lineageCut
       for (h <- 1 to maxDepth)
         graft.PlanCache.drop(spark, dir, s"$tag:layer$h")
       out

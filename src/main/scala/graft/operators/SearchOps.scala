@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Checkpoints.LineageCut
 import graft.functions.VectorFunctions.cosineSim
 
 /** Search-domain operators: vector KNN (brute / IVF-pruned / batch join),
@@ -442,7 +443,7 @@ object SearchOps {
             transform(col("s"), x => x.getField("cv")).as("c"))
         // the centroid relation is tiny (≤ PqM·PqK rows): checkpoint each
         // round so the training loop's lineage stays flat
-        next.localCheckpoint(eager = true)
+        next.lineageCut
       }
     }
 

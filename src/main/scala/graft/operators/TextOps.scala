@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Checkpoints.LineageCut
 
 /** Text-analysis operators for corpus curation: language-ID heuristic,
   * quality scoring, token counting, and document fingerprinting.
@@ -197,7 +198,13 @@ object TextOps {
     val v = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("t"))
       .agg(count_distinct(col("t")).as("v"))
-    val scored = bi.join(c2, "bg").join(c1, "w1").crossJoin(broadcast(v))
+    // FORCE the count tables to broadcast: both are vocabulary-bounded
+    // (millions of rows at any corpus size) while bi is corpus-sized, and
+    // bigram frequencies are Zipfian — a shuffle join on bg would make
+    // "of the" a straggler partition at 100 TB. Relying on AQE to notice
+    // is not a plan; the hint is.
+    val scored = bi.join(broadcast(c2), "bg").join(broadcast(c1), "w1")
+      .crossJoin(broadcast(v))
       .select(col("doc_id"),
         log((col("c2") + 1).cast("double") / (col("c1") + col("v")))
           .as("lp"))
@@ -258,7 +265,7 @@ object TextOps {
       // would mint phantom (x, "") pairs whose merge is a NO-OP — the
       // argmax then repeats forever. Strip it.
       .select(array_remove(split(col("w"), ""), "").as("syms"), col("cnt"))
-      .localCheckpoint()
+      .lineageCut
     val merges = (1 to BpeMerges).map { rank =>
       val best = vocab
         .select(explode(zip_with(col("syms"),
@@ -271,7 +278,7 @@ object TextOps {
         .agg(sum(col("cnt")).as("freq"))
         .orderBy(col("freq").desc, col("pa"), col("pb"))
         .limit(1)
-        .localCheckpoint() // 1 row; pin it so the output union is free
+        .lineageCut // 1 row; pin it so the output union is free
       // left-to-right non-overlapping merge: fold each word, replacing a
       // trailing `pa` with `pa+pb` when `pb` arrives — "aaa" under (a,a)
       // becomes [aa, a], exactly the reference greedy application. The
@@ -283,7 +290,7 @@ object TextOps {
             concat(slice(acc, lit(1), size(acc) - 1),
               array(concat(col("pa"), col("pb")))))
             .otherwise(concat(acc, array(x)))).as("syms"), col("cnt"))
-        .localCheckpoint()
+        .lineageCut
       best.select(lit(rank).as("rank"),
         concat_ws(" ", col("pa"), col("pb")).as("pair"), col("freq"))
     }

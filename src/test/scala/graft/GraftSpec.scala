@@ -459,6 +459,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(ppls.max > ppls.min * 1.05)
   }
 
+  test("perplexity scoring joins broadcast the vocab-bounded count tables") {
+    val plan = operators.TextOps.textPerplexity(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    // c2/c1 are vocabulary-bounded while the bigram relation is
+    // corpus-sized, and bigram keys are Zipfian — a shuffle join on bg
+    // makes "of the" a straggler partition at 100 TB. The plan must
+    // broadcast both count tables, never shuffle the corpus side.
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(1500))
+    for (l <- plan.linesIterator if l.contains("SortMergeJoin"))
+      assert(!l.contains("bg#") && !l.contains("w1#"), l)
+  }
+
   test("BPE merges match a plain-Scala reference trainer on the corpus") {
     // reference BPE (Sennrich 2016): word-frequency table, then greedy
     // max-frequency adjacent pair per round (lexicographic tie-break),
