@@ -53,6 +53,7 @@ object SparkEntry {
     "fts_bm25" -> SearchOps.ftsBm25 _,
     "fts_boolean" -> SearchOps.ftsBoolean _,
     "fts_fuzzy" -> SearchOps.ftsFuzzy _,
+    "fts_near" -> SearchOps.ftsNear _,
     "fts_search_page" -> SearchOps.ftsSearchPage _,
     "fts_snippet" -> SearchOps.ftsSnippet _,
     "fts_wildcard" -> SearchOps.ftsWildcard _,
@@ -504,6 +505,20 @@ object SparkEntry {
          |FROM documents
          |WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // 1-based DuckDB positions vs 0-based Spark — the pairwise gap
+    // differences cancel the offset, so both engines agree exactly
+    "fts_near" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |pos AS (SELECT doc_id,
+         |    list_filter(range(1, len(ts) + 1), i -> ts[i] = 'data') AS pa,
+         |    list_filter(range(1, len(ts) + 1), i -> ts[i] = 'query') AS pb
+         |  FROM tok),
+         |gap AS (SELECT doc_id,
+         |    list_min(flatten(list_transform(pa,
+         |      p1 -> list_transform(pb, p2 -> abs(p1 - p2) - 1)))) AS min_gap
+         |  FROM pos WHERE len(pa) > 0 AND len(pb) > 0)
+         |SELECT doc_id, min_gap FROM gap WHERE min_gap <= 6
+         |ORDER BY min_gap, doc_id LIMIT 20""".stripMargin,
     "fts_boolean" ->
       s"""WITH d AS (SELECT doc_id, lang, lower(text) AS lt, $duckTok AS ts
          |           FROM documents)

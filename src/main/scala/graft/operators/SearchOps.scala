@@ -37,9 +37,21 @@ object SearchOps {
     case class Prefix(p: String) extends FtsQuery
     /** edit-distance fuzzy token match (FTS5 fuzzy analogue) */
     case class Fuzzy(t: String, maxDist: Int) extends FtsQuery
+    /** FTS5 `NEAR(t1 t2 ... tn, k)` (exact_sqlite.go:40-44 passes the
+      * full FTS5 query syntax through, NEAR included): every term
+      * matches, and some choice of one position per term spans at most
+      * `k` intervening tokens — max(pos) - min(pos) - 1 <= k. */
+    case class Near(ts: Seq[String], k: Int) extends FtsQuery
     case class And(qs: Seq[FtsQuery]) extends FtsQuery
     case class Or(qs: Seq[FtsQuery]) extends FtsQuery
     case class Not(q: FtsQuery) extends FtsQuery
+
+    /** 0-based positions of token `t` in the token array — index-aware
+      * transform + filter, evaluated inside the same codegen'd scan. */
+    private[operators] def positionsOf(toks: Column, t: String): Column =
+      filter(
+        transform(toks, (x, i) => when(x === lit(t), i).otherwise(lit(-1))),
+        _ >= 0)
 
     /** Compile the query tree against (lowercased text, token array). */
     def compile(q: FtsQuery, lowText: Column, toks: Column): Column = q match {
@@ -54,6 +66,21 @@ object SearchOps {
       case Or(qs)       => qs.map(compile(_, lowText, toks))
         .reduceOption(_ || _).getOrElse(lit(false))
       case Not(s)       => !compile(s, lowText, toks)
+      case Near(ts2, k) =>
+        // nested exists over each term's position list, the span check at
+        // the bottom referencing every bound position lexically — still
+        // pure expression composition, so the whole thing stays inside
+        // one whole-stage-codegen'd scan. Term count is query-sized
+        // (2-3 in practice), not data-sized.
+        def within(rem: List[String], acc: List[Column]): Column = rem match {
+          case Nil => greatest(acc: _*) - least(acc: _*) - 1 <= k
+          case t :: rest => exists(positionsOf(toks, t), p => within(rest, p :: acc))
+        }
+        ts2.toList match {
+          case Nil => lit(true)
+          case t :: Nil => array_contains(toks, t)
+          case all => within(all, Nil)
+        }
     }
   }
 
@@ -100,6 +127,29 @@ object SearchOps {
             levenshtein(t, lit(probe)) <= d)).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** FTS5 proximity query `NEAR(data query, 6)` (exact_sqlite.go:40-44:
+    * the reference passes FTS5 NEAR through verbatim — "error NEAR retry"
+    * is the bread-and-butter code-search query). The [[FtsQuery.Near]]
+    * predicate does the admission; the reported `min_gap` (fewest
+    * intervening tokens over all occurrence pairs) is the ranking signal,
+    * nearest-first. One codegen'd scan + TakeOrdered — the position
+    * lists, the pairwise gap matrix, and the min all evaluate per row
+    * inside the scan (plan-tested). */
+  def ftsNear(spark: SparkSession, dir: String): DataFrame = {
+    val (ta, tb, k) = ("data", "query", 6)
+    val q = FtsQuery.Near(Seq(ta, tb), k)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("lt"),
+        tokens(col("text")).as("ts"))
+      .filter(FtsQuery.compile(q, col("lt"), col("ts")))
+      .select(col("doc_id"),
+        array_min(flatten(transform(FtsQuery.positionsOf(col("ts"), ta),
+          pa => transform(FtsQuery.positionsOf(col("ts"), tb),
+            pb => abs(pa - pb) - 1)))).as("min_gap"))
+      .orderBy(col("min_gap"), col("doc_id"))
       .limit(20)
   }
 

@@ -778,6 +778,40 @@ class FtsBooleanSpec extends AnyFunSuite with SparkFixture {
     val scoped = SearchOps.ftsBoolean(spark, SfDir).collect()
     assert(scoped.nonEmpty)
   }
+
+  test("NEAR matches a plain-Scala FTS5 span check, n-ary included") {
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    def refNear(terms: Seq[String], k: Int): Set[Long] = docs.collect {
+      case (id, ts) =>
+        val pos = terms.map(t => ts.zipWithIndex.collect {
+          case (x, i) if x == t => i })
+        def choices(ps: Seq[Seq[Int]]): Seq[Seq[Int]] = ps match {
+          case Seq() => Seq(Seq())
+          case h +: rest => for (p <- h; c <- choices(rest)) yield p +: c
+        }
+        val hit = pos.forall(_.nonEmpty) &&
+          choices(pos).exists(c => c.max - c.min - 1 <= k)
+        (id, hit)
+    }.collect { case (id, true) => id }.toSet
+    for ((terms, k) <- Seq(
+        (Seq("data", "query"), 6), (Seq("data", "query"), 0),
+        (Seq("data", "query", "table"), 8))) {
+      assert(ids(Near(terms, k)) == refNear(terms, k), s"NEAR($terms, $k)")
+    }
+    // NEAR is strictly tighter than the bare conjunction
+    assert(ids(Near(Seq("data", "query"), 2))
+      .subsetOf(ids(And(Seq(Term("data"), Term("query"))))))
+  }
+
+  test("fts_near is one scan: no exchange before the TakeOrdered") {
+    val plan = SearchOps.ftsNear(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(1200))
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+  }
 }
 
 /** Depth-parameterized BFS invariants at sf0.001. */
