@@ -547,15 +547,29 @@ object SparkEntry {
          |      / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
          |  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * 2.2)
          |      / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) AS score,
-         |  substr(text, greatest(instr(lower(text), 'data') - 20, 1), 60) AS snippet
+         |  (CASE WHEN greatest(instr(lower(text), 'data') - 20, 1) > 1
+         |        THEN '...' ELSE '' END) ||
+         |  regexp_replace(
+         |    substr(text, greatest(instr(lower(text), 'data') - 20, 1), 60),
+         |    '(?i)\\bdata\\b', '<mark>\\0</mark>', 'g') ||
+         |  (CASE WHEN length(text) >=
+         |          greatest(instr(lower(text), 'data') - 20, 1) + 60
+         |        THEN '...' ELSE '' END) AS snippet
          |FROM base, stats
          |WHERE lang = 'en' AND tf0 > 0 AND tf1 > 0
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // \0 is RE2's whole-match backreference (Spark side uses Java's $0);
+    // 'g' matches Spark's replace-all default
     "fts_snippet" ->
-      """SELECT doc_id, instr(lower(text), 'data query') AS hit_pos,
-        |  substr(text, greatest(instr(lower(text), 'data query') - 20, 1), 60) AS snippet
-        |FROM documents WHERE contains(lower(text), 'data query')
-        |ORDER BY doc_id LIMIT 20""".stripMargin,
+      """WITH w AS (SELECT doc_id, text, instr(lower(text), 'data query') AS hp
+        |  FROM documents WHERE contains(lower(text), 'data query')),
+        |s AS (SELECT doc_id, hp, greatest(hp - 20, 1) AS st, length(text) AS n,
+        |  substr(text, greatest(hp - 20, 1), 60) AS win FROM w)
+        |SELECT doc_id, hp AS hit_pos,
+        |  (CASE WHEN st > 1 THEN '...' ELSE '' END) ||
+        |  regexp_replace(win, '(?i)\bdata query\b', '<mark>\0</mark>', 'g') ||
+        |  (CASE WHEN n >= st + 60 THEN '...' ELSE '' END) AS snippet
+        |FROM s ORDER BY doc_id LIMIT 20""".stripMargin,
     "fts_wildcard" ->
       s"""SELECT doc_id,
          |  len(list_filter($duckTok, t -> t LIKE 'dat%')) AS score

@@ -695,8 +695,7 @@ object SearchOps {
     bm25Scored(spark, dir)
       .filter(col("lang") === "en" && FtsQuery.compile(q, col("lt"), col("ts")))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("score"),
-        expr("substr(text, greatest(instr(lower(text), 'data') - 20, 1), 60)")
-          .as("snippet"))
+        markSnippet(col("text"), "data").as("snippet"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(15)
   }
@@ -712,17 +711,41 @@ object SearchOps {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
 
-  /** Snippet highlighting: a fixed-width window of context around the
-    * first phrase hit (FTS5 snippet() analogue,
-    * internal/mcp/exact_sqlite.go snippet extraction). Pure codegen
-    * string ops on the already-filtered rows. */
+  /** Snippet window width / leading context, chars. */
+  private val SnipWidth = 60
+  private val SnipCtx = 20
+
+  /** FTS5 `snippet()`-parity highlighting (exact_sqlite.go:64:
+    * `snippet(files_fts, 1, '<mark>', '</mark>', '...', 32)`): a bounded
+    * context window around the first hit, EVERY hit inside the window
+    * wrapped in `<mark>`/`</mark>` (original case preserved via the $0
+    * backreference), `...` ellipses marking truncation on either side.
+    * Pure codegen string ops; the word-boundary regex keeps the marks on
+    * token hits, not substrings of longer words. */
+  private def markSnippet(text: Column, probeLower: String): Column = {
+    val hp = instr(lower(text), probeLower)
+    val st = greatest(hp - SnipCtx, lit(1))
+    val win = text.substr(st, lit(SnipWidth))
+    concat(
+      when(st > 1, lit("...")).otherwise(lit("")),
+      // the probe is a code-controlled literal with no regex metachars,
+      // so the pattern string is IDENTICAL to the DuckDB oracle's —
+      // Java regex and RE2 agree on (?i) and \b for ASCII probes
+      regexp_replace(win, lit(s"(?i)\\b$probeLower\\b"),
+        lit("<mark>$0</mark>")),
+      when(length(text) >= st + SnipWidth, lit("...")).otherwise(lit("")))
+  }
+
+  /** Snippet highlighting over the phrase-hit docs: context window around
+    * the first phrase hit with every in-window hit `<mark>`-delimited and
+    * ellipsis truncation context — what every search result page renders
+    * (FTS5 snippet() analogue, internal/mcp/exact_sqlite.go:64). */
   def ftsSnippet(spark: SparkSession, dir: String): DataFrame = {
     val pos = instr(lower(col("text")), "data query")
     Tables.documents(spark, dir)
       .filter(contains(lower(col("text")), lit("data query")))
       .select(col("doc_id"), pos.as("hit_pos"),
-        expr("substr(text, greatest(instr(lower(text), 'data query') - 20, 1), 60)")
-          .as("snippet"))
+        markSnippet(col("text"), "data query").as("snippet"))
       .orderBy(col("doc_id"))
       .limit(20)
   }
