@@ -67,6 +67,7 @@ object SparkEntry {
     "graph_path_find_deep" -> GraphOps.graphPathFindDeep _,
     "graph_impact_phased" -> GraphOps.graphImpactPhased _,
     "pattern_search" -> PatternOps.patternSearch _,
+    "symbols_extract" -> PatternOps.symbolsExtract _,
     "pattern_search_all" -> PatternOps.patternSearchAll _,
     "pattern_search_gap" -> PatternOps.patternSearchGap _,
     "dedup_exact" -> DedupOps.dedupExact _,
@@ -611,6 +612,19 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
         |WHERE a.src < 10 AND b.src < 10
         |GROUP BY 1, 2""".stripMargin,
+    // MUST stay in lockstep with PatternOps.SymbolKinds; 1-based DuckDB
+    // positions match the operator's pos = 0-based keyword index + 1
+    "symbols_extract" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |t AS (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
+         |    i -> ts[i] = 'table')) AS i FROM tok),
+         |q AS (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
+         |    i -> ts[i] = 'query')) AS i FROM tok),
+         |s AS (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
+         |    i -> ts[i] = 'stream')) AS i FROM tok)
+         |SELECT doc_id, ts[i+1] AS symbol, 'type' AS kind, i AS pos FROM t
+         |UNION ALL SELECT doc_id, ts[i+1], 'function', i FROM q
+         |UNION ALL SELECT doc_id, ts[i+1], 'stream', i FROM s""".stripMargin,
     "pattern_search" -> {
       // MUST stay in lockstep with PatternOps.patternSearch's template
       val r = "(?:^|[^a-z0-9])(hash[^a-z0-9]+([a-z0-9]+)[^a-z0-9]+join)\\b"

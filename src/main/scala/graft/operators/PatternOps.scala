@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -222,4 +222,48 @@ object PatternOps {
     * zero or more tokens between (the ast-grep `$$$` shape). */
   def patternSearchGap(spark: SparkSession, dir: String): DataFrame =
     patternMatches(spark, dir, "hash $$$ join", 20)
+
+  /** The declaration templates [[symbolsExtract]] scans for: keyword →
+    * the kind of symbol the NEXT token names — the `def f` / `class C` /
+    * `type T` shape of real code, phrased over this corpus's vocabulary. */
+  private[graft] val SymbolKinds =
+    Seq("table" -> "type", "query" -> "function", "stream" -> "stream")
+
+  /** Symbol extraction relation — the data-level stand-in for the
+    * reference's tree-sitter extraction feeding its functions/types
+    * tables (internal/indexer/extraction/, internal/storage/schema.go):
+    * ONE scan over `documents` emits (doc_id, symbol, kind, pos) for
+    * every keyword-declaration occurrence, where `pos` is the 1-based
+    * token index of the declaring keyword. Real code swaps the keyword
+    * table for the grammar's declaration nodes; the relational shape —
+    * corpus scan → thin symbol relation the graph/metrics layers join —
+    * is exactly what schema.go stores.
+    *
+    * All three templates evaluate over ONE staged token array (index-aware
+    * transform + filter + narrow explode) — a single parquet scan, no
+    * shuffle (plan-tested); at 100 TB this is an embarrassingly parallel
+    * projection whose output is ~occurrences, not corpus bytes. */
+  def symbolsExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ts = col("ts")
+    // per keyword: positions i (0-based) with a following token → struct
+    // (symbol = ts[i+1], kind, pos = i+1 to match 1-based oracle indexing)
+    def decls(kw: String, kind: String): Column =
+      filter(
+        transform(ts, (x, i) =>
+          when(x === lit(kw) && i < size(ts) - 1,
+            struct(
+              element_at(ts, (i + lit(2)).cast("int")).as("symbol"),
+              lit(kind).as("kind"),
+              (i + lit(1)).cast("long").as("pos")))
+            .otherwise(lit(null))),
+        _.isNotNull)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Tokenize.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        explode(concat(SymbolKinds.map { case (k, v) => decls(k, v) }: _*))
+          .as("d"))
+      .select(col("doc_id"), col("d.symbol").as("symbol"),
+        col("d.kind").as("kind"), col("d.pos").as("pos"))
+  }
 }

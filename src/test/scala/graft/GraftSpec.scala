@@ -984,6 +984,32 @@ class PatternSpec extends AnyFunSuite with SparkFixture {
       s"no shuffle before the thin top-k:\n$plan")
   }
 
+  test("symbols_extract matches a plain-Scala keyword-declaration scan") {
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val want = (for {
+      (id, ts) <- docs.toSeq
+      (kw, kind) <- PatternOps.SymbolKinds
+      i <- ts.indices.dropRight(1) if ts(i) == kw
+    } yield (id, ts(i + 1), kind, (i + 1).toLong)).toSet
+    val got = PatternOps.symbolsExtract(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    // the relation must actually be populated on this corpus
+    assert(got.nonEmpty)
+    assert(got.map(_._3) == Set("type", "function", "stream"))
+  }
+
+  test("symbols_extract is one scan with a narrow explode, no shuffle") {
+    val plan = operators.PatternOps.symbolsExtract(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(1200))
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    assert(plan.contains("Generate"), plan.take(1200))
+  }
+
   test("matches, captures and counts agree with a per-doc reference scan") {
     val got = PatternOps.patternMatches(spark, SfDir, "hash $KIND join", 1000)
       .collect()
