@@ -94,6 +94,7 @@ object SparkEntry {
     "chunk_documents" -> ChunkOps.chunkDocuments _,
     "chunk_structured" -> ChunkOps.chunkStructured _,
     "change_detect" -> ChunkOps.changeDetect _,
+    "branch_sync" -> ChunkOps.branchSync _,
     "doc_stats" -> ChunkOps.docStats _,
     "pipeline_incremental" -> ChunkOps.pipelineIncremental _,
     "embed_stub" -> ChunkOps.embedStub _,
@@ -838,6 +839,34 @@ object SparkEntry {
          |SELECT doc_id, (u.s - 1) // 15 AS chunk_idx,
          |  md5(array_to_string(list_slice(ts, u.s, u.s + 19), ' ')) AS chunk_fp
          |FROM tok CROSS JOIN unnest(range(1, greatest(len(ts), 1) + 1, 15)) AS u(s)""".stripMargin,
+    "branch_sync" ->
+      s"""WITH old AS (SELECT doc_id AS o_id, md5(text) AS o_hash FROM documents),
+         |neu AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |st AS (SELECT coalesce(o.o_id, n.doc_id) AS doc_id,
+         |    CASE WHEN o.o_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'deleted'
+         |         WHEN o.o_hash <> md5(n.text) THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM old o FULL OUTER JOIN neu n ON o.o_id = n.doc_id),
+         |oldtok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |oldchunks AS (SELECT doc_id, (u.s - 1) // 15 AS chunk_idx,
+         |    md5(array_to_string(list_slice(ts, u.s, u.s + 19), ' ')) AS chunk_fp
+         |  FROM oldtok CROSS JOIN unnest(range(1, greatest(len(ts), 1) + 1, 15)) AS u(s)),
+         |newtok AS (SELECT n.doc_id, $duckTok AS ts
+         |  FROM neu n JOIN st ON n.doc_id = st.doc_id
+         |  WHERE st.status IN ('changed', 'added')),
+         |rechunk AS (SELECT doc_id, (u.s - 1) // 15 AS chunk_idx,
+         |    md5(array_to_string(list_slice(ts, u.s, u.s + 19), ' ')) AS chunk_fp
+         |  FROM newtok CROSS JOIN unnest(range(1, greatest(len(ts), 1) + 1, 15)) AS u(s))
+         |SELECT c.doc_id, chunk_idx, chunk_fp, 'reuse' AS action
+         |  FROM oldchunks c JOIN st ON c.doc_id = st.doc_id
+         |  WHERE st.status = 'unchanged'
+         |UNION ALL SELECT doc_id, chunk_idx, chunk_fp, 'rechunk' FROM rechunk
+         |UNION ALL SELECT c.doc_id, chunk_idx, chunk_fp, 'evict'
+         |  FROM oldchunks c JOIN st ON c.doc_id = st.doc_id
+         |  WHERE st.status = 'deleted'""".stripMargin,
     "mm_decode_stub" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'

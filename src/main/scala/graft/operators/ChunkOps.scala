@@ -138,13 +138,66 @@ object ChunkOps {
       .join(old, col("doc_id") === col("o_id"))
       .filter(md5(col("text")) =!= col("o_hash"))
       .select(col("doc_id"), col("text"))
-    changed
+    chunkFps(changed)
+  }
+
+  /** The chunk fingerprint projection shared by [[pipelineIncremental]]
+    * and [[branchSync]]: sliding token-budget chunks with md5 per chunk. */
+  private def chunkFps(docsWithText: DataFrame): DataFrame =
+    docsWithText
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),
         posexplode(sequence(lit(1), greatest(size(col("ts")), lit(1)), lit(Stride))))
       .select(col("doc_id"), col("pos").as("chunk_idx"),
         md5(concat_ws(" ", slice(col("ts"), col("col"), lit(ChunkTokens))))
           .as("chunk_fp"))
+
+  /** Branch-aware snapshot synchronization (the reference's
+    * internal/indexer/branch_optimizer.go / branch_synchronizer.go:
+    * switching git branches reuses unchanged files' chunks instead of
+    * re-indexing the tree): given the old snapshot's STORED chunk index
+    * and the new snapshot, emit the chunk-level sync plan —
+    *
+    *  - `reuse`: unchanged docs' chunk rows carried over from the stored
+    *    index by content-hash equality, never re-chunked;
+    *  - `rechunk`: changed/added docs' fresh chunk fingerprints (the only
+    *    rows that touch the chunker);
+    *  - `evict`: deleted docs' stored chunk rows to drop.
+    *
+    * The old index is a per-session persisted build (PlanCache — the
+    * IndexStore stored-table analogue), so the sync query's chunking work
+    * is proportional to CHANGED docs only (plan-tested), exactly the
+    * churn-proportional property that makes branch switching cheap at
+    * 100 TB: a branch diff touches hundreds of files, not the corpus.
+    * Snapshot pair = the [[changeDetect]] simulation (drop every 7th,
+    * rewrite every 5th). */
+  def branchSync(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val oldChunks = graft.PlanCache.getOrBuild(spark, dir, "chunk_index_old") {
+      chunkFps(docs)
+    }
+    val neu = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    val status = docs
+      .select(col("doc_id").as("o_id"), md5(col("text")).as("o_hash"))
+      .join(neu.select(col("doc_id").as("n_id"), md5(col("text")).as("n_hash")),
+        col("o_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("o_id"), col("n_id")).as("doc_id"),
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "deleted")
+          .when(col("o_hash") =!= col("n_hash"), "changed")
+          .otherwise("unchanged").as("status"))
+    def ids(ss: String*) = status.filter(col("status").isin(ss: _*))
+      .select(col("doc_id"))
+    val reuse = oldChunks.join(ids("unchanged"), "doc_id")
+      .withColumn("action", lit("reuse"))
+    val rechunk = chunkFps(neu.join(ids("changed", "added"), "doc_id"))
+      .withColumn("action", lit("rechunk"))
+    val evict = oldChunks.join(ids("deleted"), "doc_id")
+      .withColumn("action", lit("evict"))
+    reuse.unionAll(rechunk).unionAll(evict)
   }
 
   /** Batched embedding stage with THE MODEL CALL STUBBED: a deterministic

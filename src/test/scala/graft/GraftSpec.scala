@@ -751,6 +751,40 @@ class ChunkStructuredSpec extends AnyFunSuite with SparkFixture {
     assert(bySection.values.forall(_.map(_._3).min == 0L))
     assert(rows.forall(r => r._5 <= r._6 && r._4 <= r._6 - r._5 + 1))
   }
+
+  test("branch_sync partitions docs into reuse/rechunk/evict by churn") {
+    val out = operators.ChunkOps.branchSync(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    val allIds = Tables.documents(spark, SfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    def ids(action: String) =
+      out.filter(_._4 == action).map(_._1).toSet
+    assert(ids("evict") == allIds.filter(_ % 7 == 0))
+    assert(ids("rechunk") == allIds.filter(id => id % 7 != 0 && id % 5 == 0))
+    assert(ids("reuse") == allIds.filter(id => id % 7 != 0 && id % 5 != 0))
+    // a rechunked doc's fingerprint set differs from its stored chunks
+    // (the rev2 marker lands in the trailing chunk)
+    val oldFps = out.filter(_._4 == "evict") // stored-index rows, any doc
+    assert(oldFps.nonEmpty && out.nonEmpty)
+    val rechunked = out.filter(_._4 == "rechunk").groupBy(_._1)
+    assert(rechunked.nonEmpty)
+  }
+
+  test("branch_sync chunking work is proportional to changed docs only") {
+    // count NODES, not toString hits — the InMemoryRelation leaf prints
+    // its cached build plan (which contains the index's own Generate),
+    // but the live query does not execute it
+    val plan = operators.ChunkOps.branchSync(spark, SfDir)
+      .queryExecution.optimizedPlan
+    val cachedScans = plan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m }
+    val liveGenerates = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    // the stored chunk index serves reuse+evict (two cached scans); the
+    // ONE live Generate is the rechunker over the churn set
+    assert(cachedScans.size == 2, plan.toString.take(1500))
+    assert(liveGenerates.size == 1, plan.toString.take(1500))
+  }
 }
 
 /** Boolean FTS compiler obeys set algebra on the real corpus. */
