@@ -35,6 +35,7 @@ object SparkEntry {
     "q16_retention" -> Relational.q16Retention _,
     "dsl_agg" -> QueryDsl.dslAgg _,
     "dsl_join_filter" -> QueryDsl.dslJoinFilter _,
+    "dsl_modules" -> QueryDsl.dslModules _,
     "q9b_approx_distinct" -> Relational.q9bApproxDistinct _,
     // approximate by design (mergeable quantile sketch) => rows-only check
     "q13b_approx_percentiles" -> Relational.q13bApproxPercentiles _,
@@ -359,6 +360,14 @@ object SparkEntry {
         |  AND n_name LIKE '%A%'
         |  AND c_mktsegment NOT IN ('MACHINERY', 'HOUSEHOLD')
         |ORDER BY c_custkey LIMIT 25 OFFSET 5""".stripMargin,
+    "dsl_modules" ->
+      """WITH files AS (SELECT source AS module_path, lang, n_chars,
+        |    (n_chars + 79) // 80 AS line_count FROM documents)
+        |SELECT module_path, count(*) AS file_count,
+        |  sum(line_count)::BIGINT AS line_count_total,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM files GROUP BY module_path
+        |ORDER BY file_count DESC, module_path""".stripMargin,
     "q13_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

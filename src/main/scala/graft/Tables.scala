@@ -14,7 +14,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    name match {
+      // virtual views the DSL can query like stored tables
+      case "files" => files(spark, dir)
+      case _ => spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** The reference's `files` table shape (internal/storage/schema.go;
+    * files_tool.go queries it and its `modules` rollup): each document is
+    * a file at `source/doc_id`, `module_path` is the path's source
+    * PREFIX, and `line_count` is the 80-column line estimate — a pure
+    * projection over the documents scan, so module rollups stay one
+    * scan + one aggregate. */
+  def files(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(s, d, "documents").select(
+      concat_ws("/", col("source"), col("doc_id")).as("file_path"),
+      col("source").as("module_path"),
+      col("lang"), col("n_chars"),
+      expr("(n_chars + 79) div 80").as("line_count"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -227,6 +227,25 @@ object QueryDsl {
       having = Some(Cmp("n_orders", ">", 100L)),
       orderBy = Seq(Order("o_orderpriority"))))
 
+  /** Contract row 3: the `modules` rollup from the tool's own examples
+    * ("Module statistics: {"from": "modules", "fields": ["module_path",
+    * "file_count", "line_count_total"], ...}", files_tool.go:30-31) —
+    * file counts and line totals per module_path (the file path's source
+    * prefix), derived through the DSL compiler over the virtual `files`
+    * view rather than a pre-materialized table: one scan, one partial
+    * aggregate, TakeOrdered-free full ordering of a tiny result. */
+  def dslModules(spark: SparkSession, dir: String): DataFrame =
+    compile(spark, dir, parse("""{
+      "from": "files",
+      "groupBy": ["module_path"],
+      "aggregations": [
+        {"function": "COUNT", "alias": "file_count"},
+        {"function": "SUM", "field": "line_count", "alias": "line_count_total"},
+        {"function": "AVG", "field": "n_chars", "alias": "avg_chars", "round": 4}],
+      "orderBy": [{"field": "file_count", "direction": "DESC"},
+                  {"field": "module_path", "direction": "ASC"}]
+    }"""))
+
   /** Contract row 2 (via the JSON front-end): join + WHERE with
     * IN/BETWEEN/LIKE + projection + pagination — the "find large files"
     * shape. Parsed from the literal wire format to pin the parser too. */

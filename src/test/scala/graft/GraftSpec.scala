@@ -649,6 +649,22 @@ class QueryDslSpec extends AnyFunSuite with SparkFixture {
   import operators.QueryDsl
   import operators.QueryDsl._
 
+  test("dsl_modules rolls the files view up to module stats, ordered") {
+    val rows = QueryDsl.dslModules(spark, SfDir).collect()
+    val docs = Tables.documents(spark, SfDir).select("source", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val byModule = docs.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet == byModule.keySet)
+    rows.foreach { r =>
+      val ds = byModule(r.getString(0))
+      assert(r.getLong(1) == ds.size, s"${r.getString(0)} file_count")
+      assert(r.getLong(2) == ds.map(d => (d._2 + 79) / 80).sum,
+        s"${r.getString(0)} line_count_total")
+    }
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys == keys.sorted, "ordered by file_count DESC, module_path")
+  }
+
   test("JSON parse produces the equivalent AST result") {
     val viaAst = QueryDsl.compile(spark, SfDir, QuerySpec(
       from = "orders",
