@@ -108,7 +108,19 @@ object StreamingOps {
     * (the replayed-log regime; the suite feeds ordered batches). A
     * retro-arriving EARLIER view cannot re-qualify a click that was seen
     * before it — the batch op is the backfill truth a deployment
-    * reconciles against, exactly like the dedup_incremental split. */
+    * reconciles against, exactly like the dedup_incremental split.
+    *
+    * Working-set bound: the PERSISTED state is three longs, but restoring
+    * the per-user time order (micro-batch group iterators carry no order
+    * guarantee even over an ordered source) materializes and sorts the
+    * user's events OF THIS BATCH — transient memory is
+    * O(events-per-user-per-batch), bounded by trigger sizing
+    * (maxOffsetsPerTrigger / files-per-trigger), not by stream history.
+    * A pathological hot user in an unbounded batch pressures the executor
+    * heap before the state store does; cap the trigger, or run the
+    * hot-user-safe batch q15 window op as the backfill. A sort-free
+    * single pass is NOT equivalent under equal-timestamp ties, so the
+    * sort stays. */
   def streamingFunnel(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import events.sparkSession.implicits._
