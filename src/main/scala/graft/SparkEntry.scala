@@ -99,6 +99,7 @@ object SparkEntry {
     "doc_stats" -> ChunkOps.docStats _,
     "pipeline_incremental" -> ChunkOps.pipelineIncremental _,
     "embed_stub" -> ChunkOps.embedStub _,
+    "embed_batches" -> ChunkOps.embedBatches _,
     "mm_binary_meta" -> MultimodalOps.mmBinaryMeta _,
     "mm_frame_sample" -> MultimodalOps.mmFrameSample _,
     "mm_frame_energy" -> MultimodalOps.mmFrameEnergy _,
@@ -837,6 +838,22 @@ object SparkEntry {
       }.mkString(",\n  ")
       s"SELECT doc_id,\n  $dims\nFROM documents"
     },
+    "embed_batches" ->
+      s"""WITH tok AS (SELECT doc_id, source, len($duckTok) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM tok),
+         |b AS (SELECT *, (cum_before // 512) AS tokb FROM c),
+         |s AS (SELECT *, (row_number() OVER (
+         |    PARTITION BY source, tokb ORDER BY doc_id) - 1) // 8 AS sub
+         |  FROM b)
+         |SELECT doc_id, source, n_tokens,
+         |  dense_rank() OVER (PARTITION BY source ORDER BY tokb, sub) AS batch_id,
+         |  row_number() OVER (PARTITION BY source, tokb, sub
+         |    ORDER BY doc_id) AS idx_in_batch
+         |FROM s""".stripMargin,
     "pipeline_incremental" ->
       s"""WITH neu AS (SELECT doc_id,
          |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text

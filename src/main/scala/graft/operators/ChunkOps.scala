@@ -218,6 +218,53 @@ object ChunkOps {
       .select(col("doc_id") +: dims: _*)
   }
 
+  /** Embedding-provider batch caps (internal/embed/batched.go: the
+    * reference groups texts into capped request batches, preserving
+    * order). */
+  private[graft] val EmbedBatchDocs = 8
+  private[graft] val EmbedBatchTokens = 512
+
+  /** The embedding-provider BATCHING CONTROL shape
+    * (internal/embed/batched.go): group documents into capped request
+    * batches — at most [[EmbedBatchDocs]] texts AND a
+    * [[EmbedBatchTokens]] token budget per batch (cumsum packing: one
+    * overflow doc may close a batch) — preserving (source, doc_id) order
+    * within each provider key. Retries and rate caps are client control
+    * flow around the dispatch call; what the DATA pipeline owns is this
+    * deterministic batch-assignment relation, which the dispatch stage
+    * ([[embedStub]] / mmDecodeStub's mapPartitions shape) consumes
+    * batch-by-batch and whose order-preservation is what lets vectors be
+    * zipped back to their texts.
+    *
+    * Plan shape: ONE exchange on `source`; the token cumsum, the
+    * within-token-batch index, and the sequential batch numbering are
+    * three window passes over that same partitioning (plan-tested, like
+    * curate_length_batches). */
+  def embedBatches(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val byTokB = Window.partitionBy(col("source"), col("tokb"))
+      .orderBy(col("doc_id"))
+    val byBatchKey = Window.partitionBy(col("source"))
+      .orderBy(col("tokb"), col("sub"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_before", coalesce(
+        sum(col("n_tokens")).over(
+          bySrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tokb",
+        floor(col("cum_before") / EmbedBatchTokens).cast("int"))
+      .withColumn("sub",
+        ((row_number().over(byTokB) - 1) / EmbedBatchDocs).cast("int"))
+      .withColumn("batch_id", dense_rank().over(byBatchKey))
+      .withColumn("idx_in_batch",
+        row_number().over(Window.partitionBy(col("source"), col("tokb"),
+          col("sub")).orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("batch_id"), col("idx_in_batch"))
+  }
+
   /** Per-source corpus stats with a grand-total rollup slot. */
   def docStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

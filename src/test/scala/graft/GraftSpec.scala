@@ -768,6 +768,39 @@ class ChunkStructuredSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => r._5 <= r._6 && r._4 <= r._6 - r._5 + 1))
   }
 
+  test("embed_batches respects both caps and preserves provider order") {
+    import operators.ChunkOps
+    val rows = ChunkOps.embedBatches(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    rows.groupBy(r => (r._2, r._4)).foreach { case ((src, b), batch) =>
+      assert(batch.length <= ChunkOps.EmbedBatchDocs, s"($src,$b) count cap")
+      // cumsum packing: the batch's tokens before its last member fit
+      // the budget (one overflow doc may close a batch)
+      val sorted = batch.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to batch.length),
+        s"($src,$b) idx_in_batch must be dense from 1")
+      assert(sorted.dropRight(1).map(_._3.toLong).sum <
+        ChunkOps.EmbedBatchTokens, s"($src,$b) token cap")
+      // order preservation: batch members are contiguous in doc_id order
+      assert(sorted.map(_._1).toSeq == sorted.map(_._1).sorted.toSeq)
+    }
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val ids = g.map(_._4).distinct.sorted.toSeq
+      assert(ids == (1 to ids.length), s"$src batch ids dense from 1")
+      // batches in doc order: a later doc never lands in an earlier batch
+      val byDoc = g.sortBy(_._1).map(_._4).toSeq
+      assert(byDoc == byDoc.sorted, s"$src batch monotone in doc order")
+    }
+  }
+
+  test("embed_batches shares one exchange across its window passes") {
+    val plan = operators.ChunkOps.embedBatches(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"all windows must reuse the source exchange:\n$plan")
+  }
+
   test("branch_sync partitions docs into reuse/rechunk/evict by churn") {
     val out = operators.ChunkOps.branchSync(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
