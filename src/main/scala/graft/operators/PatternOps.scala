@@ -243,7 +243,19 @@ object PatternOps {
     * transform + filter + narrow explode) — a single parquet scan, no
     * shuffle (plan-tested); at 100 TB this is an embarrassingly parallel
     * projection whose output is ~occurrences, not corpus bytes. */
-  def symbolsExtract(spark: SparkSession, dir: String): DataFrame = {
+  def symbolsExtract(spark: SparkSession, dir: String): DataFrame =
+    symbolsProjection(Tables.documents(spark, dir))
+
+  /** Streaming twin of [[symbolsExtract]] — the projection is stateless
+    * (per-row array expressions + a narrow Generate, no aggregation), so
+    * the same plan runs over a stream in append mode with no state
+    * store: the watch-mode incremental symbol-table maintenance path
+    * (changed files stream in, their fresh symbol rows stream out).
+    * MemoryStream-tested in the suite. */
+  def streamingSymbolsExtract(docs: DataFrame): DataFrame =
+    symbolsProjection(docs)
+
+  private def symbolsProjection(docs: DataFrame): DataFrame = {
     val ts = col("ts")
     // per keyword: positions i (0-based) with a following token → struct
     // (symbol = ts[i+1], kind, pos = i+1 to match 1-based oracle indexing)
@@ -257,7 +269,7 @@ object PatternOps {
               (i + lit(1)).cast("long").as("pos")))
             .otherwise(lit(null))),
         _.isNotNull)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         graft.functions.Tokenize.tokens(col("text")).as("ts"))
       .select(col("doc_id"),

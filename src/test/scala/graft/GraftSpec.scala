@@ -1684,6 +1684,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("symbol extraction runs unchanged on a stream (stateless, append)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.PatternOps.streamingSymbolsExtract(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("symbols_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "table users holds query findall rows"),
+        (2L, "nothing declared here"))
+      q.processAllAvailable()
+      mem.addData((3L, "stream clicks"))
+      q.processAllAvailable()
+      val got = spark.table("symbols_stream")
+        .select("doc_id", "symbol", "kind", "pos")
+        .as[(Long, String, String, Long)].collect().toSeq.sorted
+      // pos is the 1-based token index of the declaring keyword
+      assert(got == Seq((1L, "findall", "function", 4L),
+        (1L, "users", "type", 1L), (3L, "clicks", "stream", 1L)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits one row per content hash across batches") {
     val sparkS = spark
     import sparkS.implicits._
