@@ -37,21 +37,37 @@ object SearchOps {
     case class Prefix(p: String) extends FtsQuery
     /** edit-distance fuzzy token match (FTS5 fuzzy analogue) */
     case class Fuzzy(t: String, maxDist: Int) extends FtsQuery
-    /** FTS5 `NEAR(t1 t2 ... tn, k)` (exact_sqlite.go:40-44 passes the
-      * full FTS5 query syntax through, NEAR included): every term
-      * matches, and some choice of one position per term spans at most
-      * `k` intervening tokens — max(pos) - min(pos) - 1 <= k. */
+    /** FTS5 `NEAR(p1 p2 ... pn, k)` (exact_sqlite.go:40-44 passes the
+      * full FTS5 query syntax through, NEAR included): every operand —
+      * a single token or a multi-token phrase, FTS5-style — matches,
+      * and some choice of one occurrence per operand leaves at most `k`
+      * tokens between the END of the earliest-starting occurrence and
+      * the START of the latest: max(start) - min(start) - len(first)
+      * <= k. On tied starts the earlier operand in query order counts
+      * as "first" (FTS5 leaves the tie unspecified; the plain-Scala
+      * reference in the suite pins the same rule). */
     case class Near(ts: Seq[String], k: Int) extends FtsQuery
     case class And(qs: Seq[FtsQuery]) extends FtsQuery
     case class Or(qs: Seq[FtsQuery]) extends FtsQuery
     case class Not(q: FtsQuery) extends FtsQuery
 
-    /** 0-based positions of token `t` in the token array — index-aware
-      * transform + filter, evaluated inside the same codegen'd scan. */
-    private[operators] def positionsOf(toks: Column, t: String): Column =
+    /** 0-based START positions of `phrase` (one or more
+      * whitespace-separated tokens, matched consecutively) in the token
+      * array — index-aware transform + filter, evaluated inside the same
+      * codegen'd scan. try_element_at past the array end is null (ANSI
+      * element_at would throw), which the `when` treats as no-match, so
+      * trailing partial phrases never count. */
+    private[operators] def positionsOf(toks: Column, phrase: String): Column = {
+      val ws = phrase.trim.split("\\s+").toSeq
       filter(
-        transform(toks, (x, i) => when(x === lit(t), i).otherwise(lit(-1))),
+        transform(toks, (x, i) =>
+          when(ws.zipWithIndex.map {
+            case (w, 0) => x === lit(w)
+            case (w, j) =>
+              try_element_at(toks, (i + lit(j + 1)).cast("int")) === lit(w)
+          }.reduce(_ && _), i).otherwise(lit(-1))),
         _ >= 0)
+    }
 
     /** Compile the query tree against (lowercased text, token array). */
     def compile(q: FtsQuery, lowText: Column, toks: Column): Column = q match {
@@ -67,18 +83,31 @@ object SearchOps {
         .reduceOption(_ || _).getOrElse(lit(false))
       case Not(s)       => !compile(s, lowText, toks)
       case Near(ts2, k) =>
-        // nested exists over each term's position list, the span check at
-        // the bottom referencing every bound position lexically — still
-        // pure expression composition, so the whole thing stays inside
-        // one whole-stage-codegen'd scan. Term count is query-sized
-        // (2-3 in practice), not data-sized.
-        def within(rem: List[String], acc: List[Column]): Column = rem match {
-          case Nil => greatest(acc: _*) - least(acc: _*) - 1 <= k
-          case t :: rest => exists(positionsOf(toks, t), p => within(rest, p :: acc))
+        // nested exists over each operand's position list, the span
+        // check at the bottom referencing every bound position lexically
+        // — still pure expression composition, so the whole thing stays
+        // inside one whole-stage-codegen'd scan. Operand count is
+        // query-sized (2-3 in practice), not data-sized.
+        val ops = ts2.toList.map(p => (p, p.trim.split("\\s+").length))
+        def span(acc: List[(Column, Int)]): Column = {
+          val mn = least(acc.map(_._1): _*)
+          val mx = greatest(acc.map(_._1): _*)
+          // token length of the earliest-starting operand (first in
+          // query order wins ties) — phrase lengths are query constants
+          val firstLen = acc.reverse.map { case (p, l) =>
+            (p === mn, lit(l))
+          }.foldRight(lit(1)) { case ((c, l), e) => when(c, l).otherwise(e) }
+          mx - mn - firstLen <= k
         }
-        ts2.toList match {
+        def within(rem: List[(String, Int)],
+            acc: List[(Column, Int)]): Column = rem match {
+          case Nil => span(acc)
+          case (t, l) :: rest =>
+            exists(positionsOf(toks, t), p => within(rest, (p, l) :: acc))
+        }
+        ops match {
           case Nil => lit(true)
-          case t :: Nil => array_contains(toks, t)
+          case (t, _) :: Nil => size(positionsOf(toks, t)) > 0
           case all => within(all, Nil)
         }
     }

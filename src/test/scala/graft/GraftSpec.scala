@@ -862,30 +862,40 @@ class FtsBooleanSpec extends AnyFunSuite with SparkFixture {
     assert(scoped.nonEmpty)
   }
 
-  test("NEAR matches a plain-Scala FTS5 span check, n-ary included") {
+  test("NEAR matches a plain-Scala FTS5 span check, n-ary and phrases") {
     val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
-    def refNear(terms: Seq[String], k: Int): Set[Long] = docs.collect {
+    def refNear(phrases: Seq[String], k: Int): Set[Long] = docs.collect {
       case (id, ts) =>
-        val pos = terms.map(t => ts.zipWithIndex.collect {
-          case (x, i) if x == t => i })
+        val ops = phrases.map(_.trim.split("\\s+").toVector)
+        val pos = ops.map(ws => ts.indices.filter(i =>
+          i + ws.length <= ts.length && ts.slice(i, i + ws.length) == ws))
         def choices(ps: Seq[Seq[Int]]): Seq[Seq[Int]] = ps match {
           case Seq() => Seq(Seq())
           case h +: rest => for (p <- h; c <- choices(rest)) yield p +: c
         }
-        val hit = pos.forall(_.nonEmpty) &&
-          choices(pos).exists(c => c.max - c.min - 1 <= k)
+        // FTS5 span: tokens between the END of the earliest-starting
+        // occurrence and the START of the latest; first operand in
+        // query order wins start ties (indexOf), matching the compiler
+        val hit = pos.forall(_.nonEmpty) && choices(pos).exists { c =>
+          c.max - c.min - ops(c.indexOf(c.min)).length <= k
+        }
         (id, hit)
     }.collect { case (id, true) => id }.toSet
     for ((terms, k) <- Seq(
         (Seq("data", "query"), 6), (Seq("data", "query"), 0),
-        (Seq("data", "query", "table"), 8))) {
+        (Seq("data", "query", "table"), 8),
+        (Seq("data query", "table"), 5), (Seq("hash join", "data"), 4),
+        (Seq("data query", "join order"), 6))) {
       assert(ids(Near(terms, k)) == refNear(terms, k), s"NEAR($terms, $k)")
     }
     // NEAR is strictly tighter than the bare conjunction
     assert(ids(Near(Seq("data", "query"), 2))
       .subsetOf(ids(And(Seq(Term("data"), Term("query"))))))
+    // every phrase-NEAR hit at least contains every phrase token
+    assert(ids(Near(Seq("data query", "join order"), 6))
+      .subsetOf(ids(And(Seq("data", "query", "join", "order").map(Term(_))))))
   }
 
   test("fts_near is one scan: no exchange before the TakeOrdered") {
