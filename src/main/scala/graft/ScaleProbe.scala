@@ -287,6 +287,60 @@ object ScaleProbe {
     }
   }
 
+  /** Sync cost vs churn rate: the stored chunk index is built (persisted)
+    * ONCE over a synthesized corpus; each sweep point rewrites every k-th
+    * doc and measures the full branch_sync query (reuse + rechunk + evict,
+    * all rows counted) against the re-chunk-everything baseline. The
+    * claim under measurement: sync cost approaches the cached-scan floor
+    * as churn shrinks, while the full re-chunk stays corpus-sized. */
+  private def branchProbe(spark: SparkSession, base: String,
+      copies: Int): Unit = {
+    PlanCache.invalidate()
+    val dir = s"/tmp/graft_scale/bs_x$copies"
+    synth(spark, base, dir, copies)
+    val noDrops = 1000000007 // > every synthetic doc_id → zero deletions
+    val (tIdx, nIdx) = time(
+      PlanCache.getOrBuild(spark, dir, "chunk_index_old") {
+        operators.ChunkOps.chunkFps(Tables.documents(spark, dir))
+      }.count())
+    println(f"BRANCH copies=$copies%2d docs=${copies * 5000}%6d " +
+      f"index_build=$tIdx%6.2fs chunks=$nIdx%8d")
+    // per-chunk downstream cost proxy: an R-round md5 chain standing in
+    // for the re-embedding work the reference's branch optimizer exists
+    // to avoid (a model call dwarfs any chunk hashing; R dials the gap).
+    // count() would PRUNE the computed columns (the Bench noop lesson),
+    // so every measurement forces them through a length-sum aggregate.
+    def embed(c: org.apache.spark.sql.Column, rounds: Int) =
+      (1 to rounds).foldLeft(c)((x, _) => md5(x))
+    def force(df: DataFrame, c: String): Long =
+      df.agg(sum(length(col(c)))).head.getLong(0)
+    for (k <- Seq(2, 10, 50, 250)) {
+      val (tSync, _) = time(force(
+        operators.ChunkOps.branchSyncWith(spark, dir, k, noDrops), "chunk_fp"))
+      val (tFull, _) = time(force(operators.ChunkOps.chunkFps(
+        operators.ChunkOps.newSnapshot(
+          Tables.documents(spark, dir), k, noDrops)), "chunk_fp"))
+      println(f"BRANCH k=$k%4d churn=${100.0 / k}%5.1f%% sync=$tSync%6.2fs " +
+        f"full=$tFull%6.2fs ratio=${tFull / tSync}%5.2fx")
+    }
+    // fixed 2% churn, sweeping the per-chunk cost: sync re-embeds only
+    // the rechunk rows (reuse rows keep their carried vector), full
+    // re-embeds the entire corpus
+    // 256+ rounds overruns whole-stage codegen's method-size limit —
+    // 64 already demonstrates the crossover decisively
+    for (rounds <- Seq(8, 64)) {
+      val (tSync, _) = time(force(
+        operators.ChunkOps.branchSyncWith(spark, dir, 50, noDrops)
+          .withColumn("vec", when(col("action") === "rechunk",
+            embed(col("chunk_fp"), rounds)).otherwise(col("chunk_fp"))), "vec"))
+      val (tFull, _) = time(force(operators.ChunkOps.chunkFps(
+        operators.ChunkOps.newSnapshot(Tables.documents(spark, dir), 50, noDrops))
+        .withColumn("vec", embed(col("chunk_fp"), rounds)), "vec"))
+      println(f"BRANCH embed_rounds=$rounds%4d churn=2.0%% sync=$tSync%6.2fs " +
+        f"full=$tFull%6.2fs ratio=${tFull / tSync}%5.2fx")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -321,6 +375,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("zorder")) {
       zorderProbe(spark, base)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("branchsync")) {
+      args.drop(1).map(_.toInt).foreach(c => branchProbe(spark, base, c))
       spark.stop()
       return
     }

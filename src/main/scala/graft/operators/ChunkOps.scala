@@ -141,9 +141,19 @@ object ChunkOps {
     chunkFps(changed)
   }
 
+  /** The simulated new snapshot: every `dropMod`-th doc deleted, every
+    * `rewriteMod`-th rewritten with an appended revision marker. */
+  private[graft] def newSnapshot(docs: DataFrame, rewriteMod: Int,
+      dropMod: Int): DataFrame =
+    docs.filter(col("doc_id") % dropMod =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % rewriteMod === 0,
+          concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+
   /** The chunk fingerprint projection shared by [[pipelineIncremental]]
     * and [[branchSync]]: sliding token-budget chunks with md5 per chunk. */
-  private def chunkFps(docsWithText: DataFrame): DataFrame =
+  private[graft] def chunkFps(docsWithText: DataFrame): DataFrame =
     docsWithText
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"),
@@ -171,15 +181,20 @@ object ChunkOps {
     * 100 TB: a branch diff touches hundreds of files, not the corpus.
     * Snapshot pair = the [[changeDetect]] simulation (drop every 7th,
     * rewrite every 5th). */
-  def branchSync(spark: SparkSession, dir: String): DataFrame = {
+  def branchSync(spark: SparkSession, dir: String): DataFrame =
+    branchSyncWith(spark, dir, rewriteMod = 5, dropMod = 7)
+
+  /** [[branchSync]] with the churn knobs exposed (every `rewriteMod`-th
+    * doc rewritten, every `dropMod`-th deleted) — the ScaleProbe
+    * `branchsync` mode sweeps rewriteMod to measure that sync cost
+    * tracks churn while the full-re-chunk baseline stays corpus-sized. */
+  private[graft] def branchSyncWith(spark: SparkSession, dir: String,
+      rewriteMod: Int, dropMod: Int): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val oldChunks = graft.PlanCache.getOrBuild(spark, dir, "chunk_index_old") {
       chunkFps(docs)
     }
-    val neu = docs.filter(col("doc_id") % 7 =!= 0)
-      .select(col("doc_id"),
-        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
-          .otherwise(col("text")).as("text"))
+    val neu = newSnapshot(docs, rewriteMod, dropMod)
     val status = docs
       .select(col("doc_id").as("o_id"), md5(col("text")).as("o_hash"))
       .join(neu.select(col("doc_id").as("n_id"), md5(col("text")).as("n_hash")),
