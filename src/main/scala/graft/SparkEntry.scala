@@ -55,6 +55,7 @@ object SparkEntry {
     "fts_boolean" -> SearchOps.ftsBoolean _,
     "fts_fuzzy" -> SearchOps.ftsFuzzy _,
     "fts_near" -> SearchOps.ftsNear _,
+    "fts_near_phrase" -> SearchOps.ftsNearPhrase _,
     "fts_search_page" -> SearchOps.ftsSearchPage _,
     "fts_snippet" -> SearchOps.ftsSnippet _,
     "fts_wildcard" -> SearchOps.ftsWildcard _,
@@ -528,6 +529,23 @@ object SparkEntry {
          |gap AS (SELECT doc_id,
          |    list_min(flatten(list_transform(pa,
          |      p1 -> list_transform(pb, p2 -> abs(p1 - p2) - 1)))) AS min_gap
+         |  FROM pos WHERE len(pa) > 0 AND len(pb) > 0)
+         |SELECT doc_id, min_gap FROM gap WHERE min_gap <= 6
+         |ORDER BY min_gap, doc_id LIMIT 20""".stripMargin,
+    // phrase operand: consecutive-token start positions; span runs from
+    // the END of the earlier occurrence (its token length enters the
+    // arithmetic) to the START of the later one
+    "fts_near_phrase" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |pos AS (SELECT doc_id,
+         |    list_filter(range(1, len(ts)),
+         |      i -> ts[i] = 'data' AND ts[i+1] = 'query') AS pa,
+         |    list_filter(range(1, len(ts) + 1), i -> ts[i] = 'table') AS pb
+         |  FROM tok),
+         |gap AS (SELECT doc_id,
+         |    list_min(flatten(list_transform(pa, p1 -> list_transform(pb,
+         |      p2 -> CASE WHEN p1 <= p2 THEN p2 - p1 - 2
+         |                 ELSE p1 - p2 - 1 END)))) AS min_gap
          |  FROM pos WHERE len(pa) > 0 AND len(pb) > 0)
          |SELECT doc_id, min_gap FROM gap WHERE min_gap <= 6
          |ORDER BY min_gap, doc_id LIMIT 20""".stripMargin,

@@ -182,6 +182,30 @@ object SearchOps {
       .limit(20)
   }
 
+  /** The phrase-operand NEAR surface: `NEAR("data query" table, 6)` —
+    * FTS5 operands are phrases, and the span runs from the END of the
+    * earliest-starting occurrence to the START of the latest, so the
+    * phrase's token length enters the gap arithmetic. Same one-scan +
+    * TakeOrdered shape as [[ftsNear]]; the min_gap ranking mirrors the
+    * [[FtsQuery.Near]] span rule occurrence-for-occurrence (first
+    * operand in query order wins start ties). */
+  def ftsNearPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, pb, k) = ("data query", "table", 6)
+    val laLen = 2 // tokens in pa; pb is a single token
+    val q = FtsQuery.Near(Seq(pa, pb), k)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("lt"),
+        tokens(col("text")).as("ts"))
+      .filter(FtsQuery.compile(q, col("lt"), col("ts")))
+      .select(col("doc_id"),
+        array_min(flatten(transform(FtsQuery.positionsOf(col("ts"), pa),
+          p1 => transform(FtsQuery.positionsOf(col("ts"), pb),
+            p2 => when(p1 <= p2, p2 - p1 - laLen)
+              .otherwise(p1 - p2 - 1))))).as("min_gap"))
+      .orderBy(col("min_gap"), col("doc_id"))
+      .limit(20)
+  }
+
   /** The deterministic probe vector: embedding of vec_id 0 (label 2). */
   private val QueryVecId = 0
   private val QueryLabel = 2
