@@ -125,6 +125,8 @@ object SparkEntry {
     "curate_length_batches" -> CurateOps.curateLengthBatches _,
     "curate_pipeline" -> CurateOps.curatePipeline _,
     "curate_boilerplate" -> CurateOps.curateBoilerplate _,
+    "curate_ppl_buckets" -> CurateOps.curatePplBuckets _,
+    "curate_quality_classifier" -> CurateOps.curateQualityClassifier _,
     "layout_zorder" -> LayoutOps.layoutZorder _,
     "ingest_jsonl" -> graft.sources.CorpusIO.ingestJsonl _
   )
@@ -162,6 +164,30 @@ object SparkEntry {
        |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs FROM g),
        |winn AS (SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 1)),
        |    i -> list_min(list_slice(hs, i, i + 4))) AS mins FROM h)""".stripMargin
+
+  /** Self-trained add-one bigram-LM CTE chain ending in
+    * ppl(doc_id, n_bigrams, ppl) — shared by the text_perplexity and
+    * curate_ppl_buckets oracles; ln/exp/round mirror the Spark
+    * expression shapes so the 4-decimal ppl agrees cross-engine. */
+  private val duckPpl =
+    s"""tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+       |bi AS (SELECT doc_id, ts[u.i] || ' ' || ts[u.i+1] AS bg,
+       |    ts[u.i] AS w1
+       |  FROM tok CROSS JOIN
+       |    unnest(range(1, greatest(len(ts), 1))) AS u(i)),
+       |c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+       |v AS (SELECT count(DISTINCT u.t) AS v
+       |      FROM (SELECT unnest(ts) AS t FROM tok) u),
+       |s AS (SELECT bi.doc_id,
+       |    ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) AS lp
+       |  FROM bi JOIN c2 USING (bg) JOIN c1 USING (w1), v),
+       |p AS (SELECT doc_id, count(*) AS n,
+       |    round(exp(-sum(lp) / count(*)), 4) AS ppl
+       |  FROM s GROUP BY doc_id),
+       |ppl AS (SELECT tok.doc_id, coalesce(p.n, 0)::BIGINT AS n_bigrams,
+       |          p.ppl
+       |        FROM tok LEFT JOIN p USING (doc_id))""".stripMargin
 
   /** text_langid / text_quality oracle bodies — shared verbatim with the
     * corpus_curate oracle, which composes them as CTEs. */
@@ -1218,23 +1244,52 @@ object SparkEntry {
     // self-trained add-one bigram LM; ln/exp/round mirror the Spark
     // expression shapes so the 4-decimal ppl agrees cross-engine
     "text_perplexity" ->
-      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
-         |bi AS (SELECT doc_id, ts[u.i] || ' ' || ts[u.i+1] AS bg,
-         |    ts[u.i] AS w1
-         |  FROM tok CROSS JOIN
-         |    unnest(range(1, greatest(len(ts), 1))) AS u(i)),
-         |c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
-         |v AS (SELECT count(DISTINCT u.t) AS v
-         |      FROM (SELECT unnest(ts) AS t FROM tok) u),
-         |s AS (SELECT bi.doc_id,
-         |    ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) AS lp
-         |  FROM bi JOIN c2 USING (bg) JOIN c1 USING (w1), v),
-         |p AS (SELECT doc_id, count(*) AS n,
-         |    round(exp(-sum(lp) / count(*)), 4) AS ppl
-         |  FROM s GROUP BY doc_id)
-         |SELECT tok.doc_id, coalesce(p.n, 0)::BIGINT AS n_bigrams, p.ppl
-         |FROM tok LEFT JOIN p USING (doc_id)""".stripMargin,
+      s"""WITH $duckPpl
+         |SELECT doc_id, n_bigrams, ppl FROM ppl""".stripMargin,
+    // add-one multinomial naive Bayes trained on the doc_id-mod seed
+    // partitions; ln shapes mirror the Spark side so the 4-decimal
+    // score (and the > 0 verdict on it) agree cross-engine
+    "curate_quality_classifier" -> {
+      val m = CurateOps.QcSeedMod
+      s"""WITH tok AS (SELECT doc_id, unnest($duckTok) AS t FROM documents),
+         |pos AS (SELECT * FROM tok WHERE doc_id % $m = 0),
+         |neg AS (SELECT * FROM tok WHERE doc_id % $m = 1),
+         |k AS (SELECT (SELECT count(*) FROM pos) AS np,
+         |  (SELECT count(DISTINCT doc_id) FROM pos) AS pd,
+         |  (SELECT count(*) FROM neg) AS nn,
+         |  (SELECT count(DISTINCT doc_id) FROM neg) AS nd,
+         |  (SELECT count(DISTINCT t) FROM
+         |    (SELECT t FROM pos UNION ALL SELECT t FROM neg)) AS v),
+         |cp AS (SELECT t, count(*) AS cp FROM pos GROUP BY t),
+         |cn AS (SELECT t, count(*) AS cn FROM neg GROUP BY t),
+         |lo AS (SELECT t,
+         |    ln((coalesce(cp, 0) + 1)::DOUBLE / (np + v)) -
+         |    ln((coalesce(cn, 0) + 1)::DOUBLE / (nn + v)) AS lo
+         |  FROM cp FULL JOIN cn USING (t), k),
+         |s AS (SELECT tok.doc_id, count(*) AS n_tok,
+         |    sum(coalesce(lo.lo, ln((nn + v)::DOUBLE / (np + v)))) AS slo
+         |  FROM tok LEFT JOIN lo USING (t), k GROUP BY tok.doc_id)
+         |SELECT d.doc_id, coalesce(s.n_tok, 0)::BIGINT AS n_tok,
+         |  round(ln(pd::DOUBLE / nd) + coalesce(s.slo, 0.0), 4) + 0.0 AS score,
+         |  (round(ln(pd::DOUBLE / nd) + coalesce(s.slo, 0.0), 4) > 0) AS keep
+         |FROM documents d LEFT JOIN s USING (doc_id), k""".stripMargin
+    },
+    // per-language exact terciles over the same ppl relation; thresholds
+    // round to 4 decimals like the Spark side so <= boundaries agree
+    "curate_ppl_buckets" ->
+      s"""WITH $duckPpl,
+         |lp AS (SELECT p.doc_id, d.lang, p.ppl
+         |       FROM ppl p JOIN documents d USING (doc_id)),
+         |thr AS (SELECT lang,
+         |    round(quantile_cont(ppl, 1.0/3), 4) AS t_head,
+         |    round(quantile_cont(ppl, 2.0/3), 4) AS t_mid
+         |  FROM lp WHERE ppl IS NOT NULL GROUP BY lang)
+         |SELECT lp.doc_id, lp.lang, lp.ppl,
+         |  CASE WHEN lp.ppl IS NULL THEN 'undef'
+         |       WHEN lp.ppl <= t.t_head THEN 'head'
+         |       WHEN lp.ppl <= t.t_mid THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM lp LEFT JOIN thr t USING (lang)""".stripMargin,
     // span length from the SAME constant the operator reads; coverage =
     // gap-capped sum over sorted duplicated starts, mirrored via lead()
     "dedup_substring" -> {

@@ -467,6 +467,116 @@ object CurateOps {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Quality-classifier seed partition: doc_id % [[QcSeedMod]] == 0 is
+    * the curated "reference" seed (the GPT-3 recipe's WebText role),
+    * == 1 the raw-crawl negative seed. Shared with the oracle SQL. */
+  val QcSeedMod = 5
+
+  /** GPT-3-style quality classifier (Brown et al. 2020 appendix A): train
+    * a linear classifier that separates a curated reference corpus from
+    * raw crawl, then score EVERY document and keep the reference-like
+    * ones. The classifier here is add-one-smoothed multinomial naive
+    * Bayes over tokens — closed-form (two count passes), so the training
+    * is expressible as aggregations and the whole train+score pipeline
+    * stays one declarative plan (a fastText-style logistic fit would add
+    * iterative gradient rounds; NB is the same model family GPT-3's
+    * hashed-feature classifier approximates and is exactly computable by
+    * the oracle). Seeds are deterministic doc_id partitions at test SFs;
+    * at 100 TB the positive seed is a separate curated corpus (MBs–GBs
+    * against the crawl, same asymmetry as decontamination's holdout).
+    *
+    * score(d) = ln(P_docs+/P_docs-) + Σ_t [ln p(t|+) − ln p(t|−)],
+    * summed over token OCCURRENCES; tokens unseen in both seeds get the
+    * smoothing-only odds ln((N−+V)/(N++V)). keep = score > 0 on the
+    * 4-decimal-rounded score, so the verdict is cross-engine stable.
+    *
+    * Shape: seed token counts are vocabulary-bounded aggregates whose
+    * full-outer merge BROADCASTS onto the scoring scan (corpus-sized,
+    * one token explode), followed by one per-doc aggregate — the same
+    * broadcast-statistics-then-scan shape as text_perplexity, with the
+    * Zipfian-key join avoided the same way. Docs with zero tokens
+    * surface with the prior alone (a filter must see every document). */
+  def curateQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val pos = tok.filter(col("doc_id") % QcSeedMod === 0)
+    val neg = tok.filter(col("doc_id") % QcSeedMod === 1)
+    val consts = pos.agg(count(lit(1)).as("np"),
+        count_distinct(col("doc_id")).as("pd"))
+      .crossJoin(neg.agg(count(lit(1)).as("nn"),
+        count_distinct(col("doc_id")).as("nd")))
+      .crossJoin(pos.select(col("t")).union(neg.select(col("t")))
+        .agg(count_distinct(col("t")).as("v")))
+    val lo = pos.groupBy(col("t")).agg(count(lit(1)).as("cp"))
+      .join(neg.groupBy(col("t")).agg(count(lit(1)).as("cn")), Seq("t"), "full")
+      .crossJoin(broadcast(consts))
+      .select(col("t"),
+        (log((coalesce(col("cp"), lit(0L)) + 1).cast("double") /
+            (col("np") + col("v"))) -
+          log((coalesce(col("cn"), lit(0L)) + 1).cast("double") /
+            (col("nn") + col("v")))).as("lo"))
+    val scored = tok.join(broadcast(lo), Seq("t"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        coalesce(col("lo"),
+          log((col("nn") + col("v")).cast("double") / (col("np") + col("v"))))
+          .as("lo"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lo")).as("slo"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        // + 0.0 collapses IEEE -0.0 (a sum rounding to zero from below)
+        // to +0.0 — the two stringify differently in the driver's hash
+        (round(log(col("pd").cast("double") / col("nd")) +
+          coalesce(col("slo"), lit(0.0)), 4) + lit(0.0)).as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): rank every
+    * document by its LM perplexity WITHIN its language and split each
+    * language into head / middle / tail terciles — the quality tiers
+    * CCNet publishes its corpus in (head ≈ most Wikipedia-like; tail ≈
+    * noise; training recipes pick per-tier mixing rates). The LM is the
+    * self-trained bigram model of [[TextOps.textPerplexity]].
+    *
+    * Shape: the threshold pass is a per-language EXACT percentile
+    * aggregate over the doc-level (doc_id, lang, ppl) relation — rows ∝
+    * documents, one key shuffle — and the resulting languages×2
+    * thresholds table BROADCASTS onto a second pass that assigns buckets
+    * as a pure filter expression. No per-language global sort, no
+    * low-cardinality window partition (5 languages would mean 5 straggler
+    * partitions at 100 TB). At cluster scale swap the exact percentile
+    * for percentile_approx exactly as q13 → q13b does — exact percentile
+    * buffers each group's values, the sketch shuffles thin and merges
+    * (accuracy contract pinned by q13b's test).
+    *
+    * Docs with no defined perplexity (< 2 tokens ⇒ no bigrams) land in an
+    * explicit `undef` bucket and are EXCLUDED from the threshold
+    * estimate — a filter stage must see every document, and the
+    * degenerate ones must not drag the terciles.
+    *
+    * Thresholds and ppl both round to 4 decimals (identical doubles
+    * cross-engine), so the `<=` boundary comparisons agree digit-for-
+    * digit with the DuckDB oracle. */
+  def curatePplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(TextOps.textPerplexity(spark, dir), "doc_id")
+    val thr = scored.filter(col("ppl").isNotNull)
+      .groupBy(col("lang"))
+      .agg(round(expr("percentile(ppl, 1.0D/3)"), 4).as("t_head"),
+        round(expr("percentile(ppl, 2.0D/3)"), 4).as("t_mid"))
+    scored.join(broadcast(thr), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("ppl").isNull, "undef")
+          .when(col("ppl") <= col("t_head"), "head")
+          .when(col("ppl") <= col("t_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** The sink side of the shard shuffle: write the corpus as parquet
     * partitioned by shard, each shard's rows sorted by the shuffle hash —
     * the physical layout [[curateShuffleShards]] computes positions for.
