@@ -80,6 +80,7 @@ object SparkEntry {
     "dedup_clusters" -> DedupOps.dedupClusters _,
     "dedup_embedding" -> DedupOps.dedupEmbedding _,
     "dedup_winnow" -> DedupOps.dedupWinnow _,
+    "dedup_semantic" -> DedupOps.dedupSemantic _,
     "dedup_substring" -> DedupOps.dedupSubstring _,
     "text_langid" -> TextOps.textLangid _,
     "text_quality" -> TextOps.textQuality _,
@@ -458,6 +459,18 @@ object SparkEntry {
     "vec_kmeans" ->
       s"""WITH $duckKmeans
          |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
+    // SemDeDup: within-cluster exact cosine pairs over the SAME trained
+    // k-means assignments (a2), min-id keep policy
+    "dedup_semantic" ->
+      s"""WITH $duckKmeans,
+         |pr AS (SELECT DISTINCT b.vec_id AS b_id
+         |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE round(${duckCos("ea.v", "eb.v")}, 4) >= ${operators.DedupOps.SemTau})
+         |SELECT a2.vec_id, a2.cluster,
+         |  (a2.vec_id NOT IN (SELECT b_id FROM pr)) AS keep
+         |FROM a2""".stripMargin,
     "vec_knn_kmeans" ->
       s"""WITH $duckKmeans,
          |q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),

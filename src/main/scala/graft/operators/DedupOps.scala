@@ -549,6 +549,60 @@ object DedupOps {
           .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** SemDeDup cosine threshold — shared with the oracle SQL. Matches the
+    * hyperplane-LSH op's threshold so the two near-dup definitions are
+    * comparable on the same corpus. */
+  val SemTau = 0.42
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication through a LEARNED clustering — k-means cells play the
+    * blocking role LSH bands play in [[dedupEmbedding]], and within each
+    * cell every pair is compared exactly, keeping the minimum-id member
+    * of each near-dup neighborhood (the paper keeps one exemplar per
+    * group; min-id is the deterministic choice). Emits the keep/drop
+    * verdict for EVERY vector — the relation the curation join consumes.
+    *
+    * vs [[dedupEmbedding]]: LSH bands bound recall by random projection
+    * geometry and never see a pair that collides in no band; SemDeDup's
+    * cells follow the DATA's own density (trained centroids), which is
+    * why it catches paraphrase-level semantic dups LSH misses at the
+    * same compare budget. Cost: per-cell pairwise compute — the k choice
+    * caps cell size (the paper runs k=50 000 on LAION so cells hold
+    * ~2 500 embeddings). Reuses the [[SearchOps.kmeansAssigned]] trained
+    * model (PlanCache-memoized, so vec_kmeans and this op train once).
+    *
+    * Scale shape: the self-join key is the cluster id — cardinality k,
+    * which SCALES WITH THE CORPUS (k ∝ n / target-cell-size), so the
+    * exchange fans out; the same [[SearchOps.ExactCellCap]] assert that
+    * guards the exact KNN join aborts on a detonating cell and points at
+    * the banded-LSH path. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticCapped(spark, dir, SearchOps.ExactCellCap)
+
+  private[graft] def dedupSemanticCapped(spark: SparkSession, dir: String,
+      cellCap: Long): DataFrame = {
+    val asg = SearchOps.kmeansAssigned(spark, dir)
+    val cellSizes = asg.groupBy(col("cluster")).agg(count(lit(1)).as("cell_n"))
+    val a = asg.select(col("cluster"), col("vec_id").as("a_id"),
+        col("v").as("a_v"))
+      .join(broadcast(cellSizes), "cluster")
+      .filter(assert_true(col("cell_n") <= cellCap,
+        concat(lit("dedup_semantic: cluster size "), col("cell_n"),
+          lit(s" exceeds ExactCellCap=$cellCap — raise k "),
+          lit("or route this corpus to dedup_embedding's banded path")))
+        .isNull)
+      .select(col("cluster"), col("a_id"), col("a_v"))
+    val b = asg.select(col("cluster").as("b_cluster"),
+      col("vec_id").as("b_id"), col("v").as("b_v"))
+    val drops = a
+      .join(b, col("cluster") === col("b_cluster") && col("a_id") < col("b_id"))
+      .filter(round(cosineSim(col("a_v"), col("b_v")), 4) >= SemTau)
+      .select(col("b_id").as("vec_id")).distinct()
+    asg.select(col("vec_id"), col("cluster"))
+      .join(drops.withColumn("_d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("_d").isNull.as("keep"))
+  }
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val bands = embBands(spark, dir)

@@ -417,7 +417,7 @@ object SearchOps {
     }
 
   /** Final assignments against the trained centroids, cached. */
-  private def kmeansAssigned(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def kmeansAssigned(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.getOrBuild(spark, dir, "kmeansAssign") {
       kmeansAssignStep(embAsDouble(spark, dir), kmeansCents(spark, dir))
     }

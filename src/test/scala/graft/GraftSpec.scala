@@ -601,6 +601,57 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("hyperplanebandsigs") || plan.contains("band"),
       "expected hyperplane band signatures in the candidate join")
   }
+
+  test("semantic dedup verdicts match the plain-Scala within-cluster recount") {
+    import operators.SearchOps
+    val clusters = SearchOps.vecKmeans(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = clusters.keys.toSeq.sorted
+    val expectedDrops = (for {
+      b <- ids
+      a <- ids if a < b && clusters(a) == clusters(b) &&
+        cos(vecs(a), vecs(b)) >= DedupOps.SemTau
+    } yield b).toSet
+    val got = DedupOps.dedupSemantic(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(got.length == ids.length, "every vector must get a verdict")
+    got.foreach { case (id, cl, keep) =>
+      assert(cl == clusters(id), s"vec $id cluster must match the trained model")
+      assert(keep == !expectedDrops(id), s"vec $id keep verdict")
+    }
+    assert(expectedDrops.nonEmpty, "the corpus must exercise the drop path")
+  }
+
+  test("semantic dedup aborts loudly when a cluster exceeds the cap") {
+    // sf0.001 trained clusters hold ~60 vectors: a cap of 10 must trip
+    // the plan-embedded assert with the routing message, and the default
+    // cap must leave verdicts identical to an uncapped run
+    // collect(), not count(): a bare count lets the optimizer elide the
+    // whole (distinct-keyed, unreferenced) drops side of the left join —
+    // and the guard rightly rides with the pair compute it protects
+    val e = intercept[Exception] {
+      DedupOps.dedupSemanticCapped(spark, SfDir, 10L).collect()
+    }
+    assert(e.getMessage.contains("dedup_embedding"),
+      s"guard must point at the banded path, got: ${e.getMessage}")
+    val capped = DedupOps.dedupSemantic(spark, SfDir)
+      .orderBy("vec_id").collect().toSeq
+    val uncapped = DedupOps.dedupSemanticCapped(spark, SfDir, Long.MaxValue)
+      .orderBy("vec_id").collect().toSeq
+    assert(capped == uncapped)
+  }
 }
 
 /** HyperplaneBandSigs: codegen and interpreted paths agree with a plain
