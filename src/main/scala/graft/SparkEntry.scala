@@ -128,6 +128,7 @@ object SparkEntry {
     "curate_boilerplate" -> CurateOps.curateBoilerplate _,
     "curate_ppl_buckets" -> CurateOps.curatePplBuckets _,
     "curate_quality_classifier" -> CurateOps.curateQualityClassifier _,
+    "curate_dsir" -> CurateOps.curateDsir _,
     "layout_zorder" -> LayoutOps.layoutZorder _,
     "ingest_jsonl" -> graft.sources.CorpusIO.ingestJsonl _
   )
@@ -1259,6 +1260,33 @@ object SparkEntry {
     "text_perplexity" ->
       s"""WITH $duckPpl
          |SELECT doc_id, n_bigrams, ppl FROM ppl""".stripMargin,
+    // DSIR hashed-bigram importance weights; md5-bucket, ln ratios and
+    // the quantile gate all mirror the Spark expression shapes
+    "curate_dsir" -> {
+      val (m, b, q) =
+        (CurateOps.DsirMod, CurateOps.DsirBuckets, CurateOps.DsirKeepQuantile)
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |ft AS (SELECT doc_id,
+         |    ('0x' || substr(md5(ts[u.i] || ' ' || ts[u.i+1]), 1, 15))::BIGINT
+         |      % $b AS f
+         |  FROM tok CROSS JOIN
+         |    unnest(range(1, greatest(len(ts), 1))) AS u(i)),
+         |k AS (SELECT (SELECT count(*) FROM ft WHERE doc_id % $m = 0) AS nt,
+         |             (SELECT count(*) FROM ft) AS nr),
+         |r AS (SELECT fr.f,
+         |    ln((coalesce(t.ct, 0) + 1)::DOUBLE / (nt + $b)) -
+         |    ln((fr.cr + 1)::DOUBLE / (nr + $b)) AS r
+         |  FROM (SELECT f, count(*) AS cr FROM ft GROUP BY f) fr
+         |  LEFT JOIN (SELECT f, count(*) AS ct FROM ft
+         |             WHERE doc_id % $m = 0 GROUP BY f) t USING (f), k),
+         |s AS (SELECT ft.doc_id, count(*) AS n_feat,
+         |    round(sum(r.r), 4) + 0.0 AS lw
+         |  FROM ft JOIN r USING (f) GROUP BY ft.doc_id),
+         |thr AS (SELECT round(quantile_cont(lw, $q), 4) AS t FROM s)
+         |SELECT d.doc_id, coalesce(s.n_feat, 0)::BIGINT AS n_feat, s.lw,
+         |  (s.lw IS NOT NULL AND s.lw >= thr.t) AS keep
+         |FROM documents d LEFT JOIN s USING (doc_id), thr""".stripMargin
+    },
     // add-one multinomial naive Bayes trained on the doc_id-mod seed
     // partitions; ln shapes mirror the Spark side so the 4-decimal
     // score (and the > 0 verdict on it) agree cross-engine

@@ -467,6 +467,66 @@ object CurateOps {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** DSIR target-seed partition (doc_id % [[DsirMod]] == 0 plays the
+    * target-domain corpus), hashed-feature bucket count, and the keep
+    * quantile — all shared with the oracle SQL. */
+  val DsirMod = 7
+  val DsirBuckets = 1024
+  val DsirKeepQuantile = 0.75
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): select raw-corpus documents whose HASHED n-gram
+    * feature distribution looks like a target domain. Per document,
+    * log importance weight lw = Σ_features [ln p̂_target(f) − ln p̂_raw(f)]
+    * over hashed-bigram occurrences ([[DsirBuckets]] buckets, add-one
+    * smoothed — the paper's bag-of-hashed-ngrams model), then keep the
+    * top (1 − [[DsirKeepQuantile]]) weight quantile. Rank-free gate: the
+    * exact-percentile threshold BROADCASTS like curate_ppl_buckets'
+    * terciles (percentile_approx at 100 TB, q13b contract), so selection
+    * is a filter expression, not a global sort (the paper's Gumbel
+    * resampling randomizes the same ordering; the quantile gate is the
+    * deterministic variant).
+    *
+    * Shape: both distribution estimates are aggregates over the SAME
+    * feature-explode scan, bounded by [[DsirBuckets]] — the per-bucket
+    * log-ratio table is ~1024 rows and BROADCASTS onto the scoring scan
+    * (hash-bucketing exists precisely to make the statistics side tiny
+    * at any corpus size); one per-doc aggregate ends the plan. Docs with
+    * no bigram features carry a null weight and are never kept — a
+    * selection stage must surface every input document. */
+  def curateDsir(spark: SparkSession, dir: String): DataFrame = {
+    val feat = withGrams(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")), 2, "g")
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          % DsirBuckets).as("f"))
+    val target = feat.filter(col("doc_id") % DsirMod === 0)
+    val consts = target.agg(count(lit(1)).as("nt"))
+      .crossJoin(feat.agg(count(lit(1)).as("nr")))
+    val ratios = feat.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+      .join(target.groupBy(col("f")).agg(count(lit(1)).as("ct")),
+        Seq("f"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("f"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("nt") + DsirBuckets)) -
+          log((col("cr") + 1).cast("double") / (col("nr") + DsirBuckets)))
+          .as("r"))
+    val scored = feat.join(broadcast(ratios), "f")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        (round(sum(col("r")), 4) + lit(0.0)).as("lw"))
+    val thr = scored.agg(
+      round(expr(s"percentile(lw, ${DsirKeepQuantile}D)"), 4).as("t"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(thr))
+      .select(col("doc_id"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"), col("lw"),
+        (col("lw").isNotNull && col("lw") >= col("t")).as("keep"))
+  }
+
   /** Quality-classifier seed partition: doc_id % [[QcSeedMod]] == 0 is
     * the curated "reference" seed (the GPT-3 recipe's WebText role),
     * == 1 the raw-crawl negative seed. Shared with the oracle SQL. */
