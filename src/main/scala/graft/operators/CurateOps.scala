@@ -556,7 +556,11 @@ object CurateOps {
     * broadcast-statistics-then-scan shape as text_perplexity, with the
     * Zipfian-key join avoided the same way. Docs with zero tokens
     * surface with the prior alone (a filter must see every document). */
-  def curateQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  /** The trained NB model as relations: per-token log-odds table and the
+    * constants row (np, pd, nn, nd, v) — shared by the batch classifier
+    * and the streaming gate's one-row model build. */
+  private[graft] def qualityModel(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val pos = tok.filter(col("doc_id") % QcSeedMod === 0)
@@ -575,6 +579,29 @@ object CurateOps {
             (col("np") + col("v"))) -
           log((coalesce(col("cn"), lit(0L)) + 1).cast("double") /
             (col("nn") + col("v")))).as("lo"))
+    (lo, consts)
+  }
+
+  /** The model collapsed to ONE broadcastable row for the streaming
+    * ingest gate: token→log-odds map, the unseen-token default, and the
+    * document prior. The map is vocabulary-bounded; a production gate
+    * over an open vocabulary hashes tokens into a fixed bucket space
+    * first (curate_dsir's trick), keeping the row O(buckets). */
+  private[graft] def qualityModelRow(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (lo, consts) = qualityModel(spark, dir)
+    lo.agg(map_from_entries(collect_list(struct(col("t"), col("lo"))))
+        .as("lo_map"))
+      .crossJoin(consts.select(
+        log(col("pd").cast("double") / col("nd")).as("prior"),
+        log((col("nn") + col("v")).cast("double") / (col("np") + col("v")))
+          .as("def_lo")))
+  }
+
+  def curateQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val (lo, consts) = qualityModel(spark, dir)
     val scored = tok.join(broadcast(lo), Seq("t"), "left")
       .crossJoin(broadcast(consts))
       .select(col("doc_id"),

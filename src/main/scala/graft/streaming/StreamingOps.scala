@@ -391,6 +391,26 @@ object StreamingOps {
     * alert per document with watermark-bounded dedup state. The batch twin
     * is curate_decontaminate; set equality over the same corpus is pinned
     * in the test suite. */
+  /** Streaming quality gate — the trained naive-Bayes model of
+    * curate_quality_classifier applied at ingest: the whole model rides
+    * as ONE broadcast row (token→log-odds map + prior + unseen default,
+    * [[graft.operators.CurateOps.qualityModelRow]]), and each arriving
+    * document scores with a per-row aggregate() fold over its own token
+    * array — STATELESS, no explode, no per-doc aggregation state, the
+    * shape an admission gate needs at ingest rates. Scores can differ
+    * from the batch op only by float reassociation (the batch side sums
+    * in partial-aggregate order, this side in token order) — the suite
+    * pins agreement to 4 decimals away from the verdict boundary. */
+  def streamingQualityGate(docs: DataFrame, model: DataFrame): DataFrame = {
+    val toks = graft.functions.Tokenize.tokens(col("text"))
+    docs.crossJoin(broadcast(model))
+      .select(col("doc_id"),
+        (round(col("prior") + aggregate(toks, lit(0.0), (acc, t) =>
+          acc + coalesce(element_at(col("lo_map"), t), col("def_lo"))), 4)
+          + lit(0.0)).as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
   def streamingDecontaminateAlerts(docs: DataFrame,
       holdoutGrams: DataFrame): DataFrame =
     graft.operators.CurateOps.gramRows(

@@ -1868,6 +1868,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got == batch, "stream admissions must equal the batch mix")
   }
 
+  test("streaming quality gate scores match the batch classifier") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.documents(spark, SfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    // two micro-batches: the gate is stateless, the split must not matter
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    mem.addData(b1.toIndexedSeq: _*)
+    val q = StreamingOps.streamingQualityGate(
+        mem.toDF().toDF("doc_id", "text"),
+        operators.CurateOps.qualityModelRow(spark, SfDir))
+      .writeStream.format("memory").queryName("quality_gate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("quality_gate")
+      .select("doc_id", "score", "keep")
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val batch = operators.CurateOps.curateQualityClassifier(spark, SfDir)
+      .select("doc_id", "score", "keep")
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == batch.keySet, "every document must be scored once")
+    got.foreach { case (id, (score, keep)) =>
+      val (bScore, bKeep) = batch(id)
+      // the two sides sum log-odds in different orders; 4-decimal scores
+      // agree up to one rounding step
+      assert(math.abs(score - bScore) <= 1e-4, s"doc $id: $score vs $bScore")
+      if (math.abs(bScore) > 1e-3)
+        assert(keep == bKeep, s"doc $id verdict")
+    }
+  }
+
   test("streaming decontamination alerts once per contaminated doc") {
     val sparkS = spark
     import sparkS.implicits._
