@@ -1218,43 +1218,36 @@ object SparkEntry {
          |FROM r""".stripMargin,
     // the end-to-end composition of already-verified stage oracles:
     // corpus_curate admission -> holdout/decontamination drop -> packing
-    "curate_pipeline" -> {
-      val qsel = oracleSqlTextQuality
-      val lsel = oracleSqlTextLangid
-      s"""WITH qsel AS ($qsel),
-         |lsel AS ($lsel),
-         |cl AS ($duckClustersSel),
-         |passed AS (SELECT q.doc_id, q.quality, l.pred_lang
-         |  FROM qsel q JOIN lsel l ON q.doc_id = l.doc_id
-         |  WHERE l.pred_lang = 'en' AND q.quality >= 0.5),
-         |pc AS (SELECT p.doc_id, cl.cluster_id
-         |       FROM passed p JOIN cl ON p.doc_id = cl.doc_id),
-         |keepers AS (SELECT min(doc_id) AS doc_id FROM pc GROUP BY cluster_id),
-         |curated AS (SELECT p.doc_id FROM passed p
-         |  WHERE p.doc_id NOT IN (SELECT doc_id FROM pc)
-         |     OR p.doc_id IN (SELECT doc_id FROM keepers)),
-         |dtok AS (SELECT doc_id, $duckTok AS ts FROM documents),
-         |dg AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(1, len(ts) - ${CurateOps.DecontamN - 2}),
-         |    i -> array_to_string(ts[i:i+${CurateOps.DecontamN - 1}], ' ')))) AS gram
-         |  FROM dtok WHERE len(ts) >= ${CurateOps.DecontamN}),
-         |dhold AS (SELECT DISTINCT gram FROM dg
-         |          WHERE doc_id % ${CurateOps.HoldoutMod} = 0),
-         |contam AS (SELECT DISTINCT dg.doc_id FROM dg JOIN dhold USING (gram)
-         |           WHERE dg.doc_id % ${CurateOps.HoldoutMod} <> 0),
-         |clean AS (SELECT doc_id FROM curated
-         |  WHERE doc_id % ${CurateOps.HoldoutMod} <> 0
-         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
-         |t AS (SELECT k.doc_id, d.source, len(k.ts)::BIGINT AS n_tok
-         |  FROM dtok k JOIN documents d USING (doc_id) JOIN clean USING (doc_id)),
-         |c AS (SELECT doc_id, source, n_tok,
-         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+    "curate_pipeline" ->
+      s"""WITH $duckCuratePipe
          |SELECT doc_id, source, n_tok,
          |  ((cum - n_tok) // ${CurateOps.PackBudget})::BIGINT AS seq_id,
          |  ((cum - n_tok) % ${CurateOps.PackBudget})::BIGINT AS seq_offset
-         |FROM c""".stripMargin
-    },
+         |FROM c""".stripMargin,
+    // the funnel report counts the SAME stage CTEs the pipeline packs
+    "curate_report" ->
+      s"""WITH $duckCuratePipe,
+         |seqs AS (SELECT source,
+         |    ((cum - n_tok) // ${CurateOps.PackBudget})::BIGINT AS seq_id,
+         |    n_tok FROM c)
+         |SELECT '00_raw' AS stage, count(*)::BIGINT AS n_docs,
+         |  coalesce(sum(len(ts)), 0)::BIGINT AS n_tok FROM dtok
+         |UNION ALL
+         |SELECT '10_admitted', count(*)::BIGINT,
+         |  coalesce(sum(len(d.ts)), 0)::BIGINT
+         |FROM curated JOIN dtok d USING (doc_id)
+         |UNION ALL
+         |SELECT '20_holdout_removed', count(*)::BIGINT,
+         |  coalesce(sum(len(d.ts)), 0)::BIGINT
+         |FROM curated JOIN dtok d USING (doc_id)
+         |WHERE doc_id % ${CurateOps.HoldoutMod} <> 0
+         |UNION ALL
+         |SELECT '30_decontaminated', count(*)::BIGINT,
+         |  coalesce(sum(len(d.ts)), 0)::BIGINT
+         |FROM clean JOIN dtok d USING (doc_id)
+         |UNION ALL
+         |SELECT '40_sequences', count(DISTINCT (source, seq_id))::BIGINT,
+         |  coalesce(sum(n_tok), 0)::BIGINT FROM seqs""".stripMargin,
     // self-trained add-one bigram LM; ln/exp/round mirror the Spark
     // expression shapes so the 4-decimal ppl agrees cross-engine
     "text_perplexity" ->

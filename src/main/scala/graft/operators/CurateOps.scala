@@ -686,6 +686,49 @@ object CurateOps {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Curation-funnel report: document and token counts at every
+    * admission point of [[curatePipeline]] — raw corpus, language/
+    * quality/near-dup admission, holdout removal, decontamination, and
+    * the final packed-sequence count. The observability relation every
+    * production pipeline ships next to its output (what fraction
+    * survived each stage, and how many training sequences the run
+    * yields); stage keys are ordinal-prefixed so the funnel reads in
+    * order under any sort.
+    *
+    * Shape: ONE token-count scan of the corpus joined against each
+    * stage's (tiny, broadcastable) id set, five single-row aggregates
+    * unioned — the stage sets are the same PlanCache-backed relations
+    * the pipeline itself composes, so the report never recomputes a
+    * stage, only counts it. */
+  def curateReport(spark: SparkSession, dir: String): DataFrame = {
+    val docsTok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val admitted = TextOps.corpusCurate(spark, dir).select(col("doc_id"))
+    val held = admitted.filter(col("doc_id") % HoldoutMod =!= 0)
+    val clean = held.join(
+      curateDecontaminate(spark, dir).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    def stage(name: String, ids: DataFrame): DataFrame =
+      docsTok.join(ids, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("n_tok"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tok"))
+    val raw = docsTok
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tok"))
+      .select(lit("00_raw").as("stage"), col("n_docs"), col("n_tok"))
+    val seqs = curatePipeline(spark, dir)
+      .agg(count_distinct(struct(col("source"), col("seq_id"))).as("n_docs"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tok"))
+      .select(lit("40_sequences").as("stage"), col("n_docs"), col("n_tok"))
+    raw
+      .unionAll(stage("10_admitted", admitted))
+      .unionAll(stage("20_holdout_removed", held))
+      .unionAll(stage("30_decontaminated", clean))
+      .unionAll(seqs)
+  }
+
   /** The sink side of the shard shuffle: write the corpus as parquet
     * partitioned by shard, each shard's rows sorted by the shuffle hash —
     * the physical layout [[curateShuffleShards]] computes positions for.
