@@ -36,6 +36,9 @@ object SparkEntry {
     "dsl_agg" -> QueryDsl.dslAgg _,
     "dsl_join_filter" -> QueryDsl.dslJoinFilter _,
     "dsl_modules" -> QueryDsl.dslModules _,
+    "dsl_functions" -> QueryDsl.dslFunctions _,
+    "dsl_types" -> QueryDsl.dslTypes _,
+    "dsl_chunks" -> QueryDsl.dslChunks _,
     "q9b_approx_distinct" -> Relational.q9bApproxDistinct _,
     // approximate by design (mergeable quantile sketch) => rows-only check
     "q13b_approx_percentiles" -> Relational.q13bApproxPercentiles _,
@@ -112,6 +115,7 @@ object SparkEntry {
     "graph_dependents" -> GraphOps.graphDependents _,
     "graph_implementations" -> GraphOps.graphImplementations _,
     "graph_impact" -> GraphOps.graphImpact _,
+    "graph_type_usages" -> GraphOps.graphTypeUsages _,
     "graph_degree" -> GraphOps.graphDegree _,
     "stream_window_agg" -> graft.streaming.StreamingOps.streamWindowAgg _,
     "stream_sessionize" -> graft.streaming.StreamingOps.streamSessionize _,
@@ -125,11 +129,13 @@ object SparkEntry {
     "curate_mix_epochs" -> CurateOps.curateMixEpochs _,
     "curate_length_batches" -> CurateOps.curateLengthBatches _,
     "curate_pipeline" -> CurateOps.curatePipeline _,
+    "curate_report" -> CurateOps.curateReport _,
     "curate_boilerplate" -> CurateOps.curateBoilerplate _,
     "curate_ppl_buckets" -> CurateOps.curatePplBuckets _,
     "curate_quality_classifier" -> CurateOps.curateQualityClassifier _,
     "curate_dsir" -> CurateOps.curateDsir _,
     "layout_zorder" -> LayoutOps.layoutZorder _,
+    "discover_glob" -> DiscoveryOps.discoverGlob _,
     "ingest_jsonl" -> graft.sources.CorpusIO.ingestJsonl _
   )
 
@@ -259,6 +265,41 @@ object SparkEntry {
        |$duckCcRounds
        |SELECT id AS doc_id, lbl AS cluster_id, (id = lbl)::INT AS is_rep
        |FROM l${DedupOps.CcRounds}""".stripMargin
+
+  /** Shared curate-pipeline CTE chain (admission -> near-dup keepers ->
+    * holdout/decontamination -> per-source packing cumsum), ending at the
+    * `c` CTE. Composed by both the curate_pipeline and curate_report
+    * oracles; the report additionally reads the dtok/curated/clean CTEs. */
+  private lazy val duckCuratePipe: String =
+    s"""qsel AS ($oracleSqlTextQuality),
+       |lsel AS ($oracleSqlTextLangid),
+       |cl AS MATERIALIZED ($duckClustersSel),
+       |passed AS MATERIALIZED (SELECT q.doc_id, q.quality, l.pred_lang
+       |  FROM qsel q JOIN lsel l ON q.doc_id = l.doc_id
+       |  WHERE l.pred_lang = 'en' AND q.quality >= 0.5),
+       |pc AS (SELECT p.doc_id, cl.cluster_id
+       |       FROM passed p JOIN cl ON p.doc_id = cl.doc_id),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM pc GROUP BY cluster_id),
+       |curated AS MATERIALIZED (SELECT p.doc_id FROM passed p
+       |  WHERE p.doc_id NOT IN (SELECT doc_id FROM pc)
+       |     OR p.doc_id IN (SELECT doc_id FROM keepers)),
+       |dtok AS MATERIALIZED (SELECT doc_id, $duckTok AS ts FROM documents),
+       |dg AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(ts) - ${CurateOps.DecontamN - 2}),
+       |    i -> array_to_string(ts[i:i+${CurateOps.DecontamN - 1}], ' ')))) AS gram
+       |  FROM dtok WHERE len(ts) >= ${CurateOps.DecontamN}),
+       |dhold AS (SELECT DISTINCT gram FROM dg
+       |          WHERE doc_id % ${CurateOps.HoldoutMod} = 0),
+       |contam AS (SELECT DISTINCT dg.doc_id FROM dg JOIN dhold USING (gram)
+       |           WHERE dg.doc_id % ${CurateOps.HoldoutMod} <> 0),
+       |clean AS MATERIALIZED (SELECT doc_id FROM curated
+       |  WHERE doc_id % ${CurateOps.HoldoutMod} <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |t AS (SELECT k.doc_id, d.source, len(k.ts)::BIGINT AS n_tok
+       |  FROM dtok k JOIN documents d USING (doc_id) JOIN clean USING (doc_id)),
+       |c AS MATERIALIZED (SELECT doc_id, source, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)""".stripMargin
 
   /** Deterministic k-means CTE chain (md5-seeded init, one rounded
     * re-estimation) shared by the vec_kmeans and vec_knn_kmeans oracles —
@@ -398,6 +439,56 @@ object SparkEntry {
         |  round(avg(n_chars), 4) AS avg_chars
         |FROM files GROUP BY module_path
         |ORDER BY file_count DESC, module_path""".stripMargin,
+    // the virtual functions/files tables — MUST stay in lockstep with
+    // Tables.symbolTable / Tables.files and QueryDsl.dslFunctions' wire query
+    "dsl_functions" ->
+      s"""WITH tok AS (SELECT doc_id, source, $duckTok AS ts FROM documents),
+         |fn AS (SELECT doc_id, source, ts, unnest(list_filter(range(1, len(ts)),
+         |    i -> ts[i] = 'query')) AS i FROM tok),
+         |fns AS (SELECT source || '/' || doc_id::VARCHAR AS file_path,
+         |    ts[i+1] AS name, i AS start_pos,
+         |    source || '/' || doc_id::VARCHAR || '::' || ts[i+1]
+         |      || '::' || i::VARCHAR AS function_id
+         |  FROM fn),
+         |files AS (SELECT source || '/' || doc_id::VARCHAR AS file_path, lang,
+         |    (n_chars + 79) // 80 AS line_count FROM documents)
+         |SELECT function_id, file_path, name, start_pos, line_count
+         |FROM fns JOIN files USING (file_path)
+         |WHERE lang = 'en' AND line_count >= 3 AND name LIKE 's%'
+         |ORDER BY function_id, start_pos LIMIT 100""".stripMargin,
+    // virtual types ⋈ imports rollup — lockstep with Tables.symbolTable
+    // ('table' → type), Tables.imports ('batch' → import), dslTypes
+    "dsl_types" ->
+      s"""WITH tok AS (SELECT doc_id, source, $duckTok AS ts FROM documents),
+         |ty AS (SELECT doc_id, source, ts, unnest(list_filter(range(1, len(ts)),
+         |    i -> ts[i] = 'table')) AS i FROM tok),
+         |tys AS (SELECT source || '/' || doc_id::VARCHAR AS file_path,
+         |    source AS module_path, i AS start_pos FROM ty),
+         |im AS (SELECT doc_id, source, ts, unnest(list_filter(range(1, len(ts)),
+         |    i -> ts[i] = 'batch')) AS i FROM tok),
+         |ims AS (SELECT source || '/' || doc_id::VARCHAR AS file_path,
+         |    ts[i+1] AS import_path, i AS import_line FROM im)
+         |SELECT module_path, count(*) AS n_type_import_pairs,
+         |  round(avg(import_line), 4) AS avg_import_line,
+         |  min(start_pos) AS first_decl
+         |FROM tys JOIN ims USING (file_path)
+         |WHERE import_path IN ('row', 'scan', 'filter')
+         |GROUP BY module_path HAVING count(*) > 2
+         |ORDER BY n_type_import_pairs DESC, module_path LIMIT 50""".stripMargin,
+    // virtual chunks rollup — lockstep with Tables.chunks (the
+    // chunk_documents chunker keyed by file_path) and dslChunks
+    "dsl_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, source, $duckTok AS ts FROM documents),
+         |ch AS (SELECT source || '/' || doc_id::VARCHAR AS file_path,
+         |    (u.s - 1) // 15 AS chunk_idx,
+         |    len(list_slice(ts, u.s, u.s + 19)) AS n_chunk_tokens
+         |  FROM tok CROSS JOIN
+         |    unnest(range(1, greatest(len(ts), 1) + 1, 15)) AS u(s))
+         |SELECT file_path, count(*) AS n_chunks,
+         |  sum(n_chunk_tokens)::BIGINT AS n_tokens,
+         |  max(chunk_idx) AS last_chunk
+         |FROM ch GROUP BY file_path HAVING count(*) >= 6
+         |ORDER BY n_tokens DESC, file_path LIMIT 40""".stripMargin,
     "q13_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -1073,6 +1164,19 @@ object SparkEntry {
         |SELECT a.src AS root, count(DISTINCT b.src) AS n_impacted
         |FROM e a JOIN e b ON a.dst = b.dst AND b.src <> a.src
         |WHERE a.src < 10 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // lockstep with GraphOps.graphTypeUsages (pattern + limit constants)
+    "graph_type_usages" ->
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+         |ty AS (SELECT p_partkey FROM part
+         |       WHERE p_name LIKE '${GraphOps.TypeUsagePattern}'),
+         |sites AS (SELECT src, count(DISTINCT dst) AS n_type_sites
+         |          FROM e JOIN ty ON e.dst = ty.p_partkey
+         |          GROUP BY src ORDER BY src LIMIT 100)
+         |SELECT src AS function_id, s_name AS name, n_name AS module_path,
+         |  n_type_sites, 1 AS depth
+         |FROM sites JOIN supplier ON src = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |ORDER BY function_id""".stripMargin,
     "graph_degree" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem)
         |SELECT 'supplier' AS node_type, src AS node_id, count(*) AS degree
@@ -1368,6 +1472,26 @@ object SparkEntry {
          |    chr(10))) AS clean_md5
          |FROM d LEFT JOIN b USING (source)""".stripMargin,
     // the oracle reads the PARQUET table; Spark reads its own JSONL
+    // lockstep with DiscoveryOps: the regexes are compiled from the SAME
+    // pattern constants by the same globToRegex, at oracle-build time
+    "discover_glob" -> {
+      def any(pats: Seq[String], c: String): String =
+        pats.map(p =>
+          s"regexp_matches($c, '${DiscoveryOps.globToRegex(p)}')")
+          .mkString("(", " OR ", ")")
+      val ign = s"""${any(DiscoveryOps.IgnorePatterns, "file_path")}
+                   |  OR ${any(DiscoveryOps.IgnorePatterns, "file_path || '/**'")}""".stripMargin
+      val code = any(DiscoveryOps.CodePatterns, "file_path")
+      val docs = any(DiscoveryOps.DocsPatterns, "file_path")
+      s"""WITH f AS (SELECT source || '/' || doc_id::VARCHAR AS file_path,
+         |            n_chars FROM documents),
+         |adm AS (SELECT * FROM f WHERE NOT ($ign))
+         |SELECT file_path,
+         |  CASE WHEN $code THEN 'code'
+         |       WHEN $docs THEN 'docs' END AS cls,
+         |  n_chars
+         |FROM adm WHERE $code OR $docs""".stripMargin
+    },
     // round-trip of it — the hash comparison IS the fidelity check
     "ingest_jsonl" ->
       """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,

@@ -15,8 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
-      // virtual views the DSL can query like stored tables
-      case "files" => files(spark, dir)
+      // virtual views the DSL can query like stored tables — the six
+      // tables the reference's files tool exposes ("files, types,
+      // functions, imports, modules, chunks", internal/mcp/files_tool.go:50;
+      // `modules` is the DSL-side rollup over `files`, QueryDsl.dslModules)
+      case "files"     => files(spark, dir)
+      case "types"     => symbolTable(spark, dir, "type", "type_id")
+      case "functions" => symbolTable(spark, dir, "function", "function_id")
+      case "imports"   => imports(spark, dir)
+      case "chunks"    => chunks(spark, dir)
       case _ => spark.read.parquet(s"$dir/$name.parquet")
     }
 
@@ -33,6 +40,62 @@ object Tables {
       col("source").as("module_path"),
       col("lang"), col("n_chars"),
       expr("(n_chars + 79) div 80").as("line_count"))
+  }
+
+  /** The reference's `types`/`functions` table shapes
+    * (internal/storage/schema.go:183/:216): one row per keyword
+    * declaration from the symbol-extraction projection, with the id /
+    * path / module columns the reference denormalizes. `source` rides
+    * the SAME single scan (PatternOps.keywordDecls keep-columns), so
+    * file_path/module_path need no join back to documents. `start_pos`
+    * is the declaring keyword's 1-based token index (the byte-offset
+    * analogue); ids embed it because a file can declare a name twice. */
+  private def symbolTable(s: SparkSession, d: String,
+      kind: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.PatternOps
+      .keywordDecls(documents(s, d), graft.operators.PatternOps.SymbolKinds,
+        Seq("source"))
+      .filter(col("kind") === kind)
+      .select(
+        concat_ws("::", concat_ws("/", col("source"), col("doc_id")),
+          col("symbol"), col("pos")).as(idCol),
+        concat_ws("/", col("source"), col("doc_id")).as("file_path"),
+        col("source").as("module_path"),
+        col("symbol").as("name"),
+        col("pos").as("start_pos"))
+  }
+
+  /** The reference's `imports` table shape (internal/storage/schema.go:282:
+    * file_path, import_path, import_line): `batch X` declarations from the
+    * same one-scan extraction. */
+  private def imports(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.PatternOps
+      .keywordDecls(documents(s, d),
+        Seq(graft.operators.PatternOps.ImportKeyword -> "import"),
+        Seq("source"))
+      // no module_path here: the reference's imports table carries only
+      // (file_path, import_path, import_line) (schema.go:282), and
+      // duplicating it would make joins through types/functions ambiguous
+      .select(
+        concat_ws("/", col("source"), col("doc_id")).as("file_path"),
+        col("symbol").as("import_path"),
+        col("pos").as("import_line"))
+  }
+
+  /** The reference's `chunks` table shape (internal/storage/schema.go:296:
+    * chunk_id, file_path, text, start/end): the token-budget chunker's
+    * output keyed by file, `source` carried through the single scan. */
+  private def chunks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.ChunkOps.chunked(documents(s, d), Seq("source"))
+      .select(
+        concat_ws("#", concat_ws("/", col("source"), col("doc_id")),
+          col("chunk_idx")).as("chunk_id"),
+        concat_ws("/", col("source"), col("doc_id")).as("file_path"),
+        col("source").as("module_path"),
+        col("chunk_idx"), col("n_chunk_tokens"), col("chunk_text"))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

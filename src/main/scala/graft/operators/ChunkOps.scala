@@ -29,13 +29,21 @@ object ChunkOps {
     * sliding window per file).
     */
   def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .select(col("doc_id"), col("ts"),
-        posexplode(sequence(lit(1), greatest(size(col("ts")), lit(1)), lit(Stride))))
-      .select(col("doc_id"), col("pos").as("chunk_idx"),
-        size(slice(col("ts"), col("col"), lit(ChunkTokens))).as("n_chunk_tokens"),
-        concat_ws(" ", slice(col("ts"), col("col"), lit(ChunkTokens))).as("chunk_text"))
+    chunked(Tables.documents(spark, dir), Nil)
+
+  /** [[chunkDocuments]] with pass-through columns — the virtual `chunks`
+    * table (Tables.load) carries `source` through the same single-scan
+    * Generate so file_path derives without a join back to documents. */
+  private[graft] def chunked(docs: DataFrame, keep: Seq[String]): DataFrame = {
+    val keepCols = keep.map(col)
+    docs
+      .select(col("doc_id") +: keepCols :+ tokens(col("text")).as("ts"): _*)
+      .select(col("doc_id") +: keepCols :+ col("ts") :+
+        posexplode(sequence(lit(1), greatest(size(col("ts")), lit(1)), lit(Stride))): _*)
+      .select(col("doc_id") +: keepCols :+ col("pos").as("chunk_idx") :+
+        size(slice(col("ts"), col("col"), lit(ChunkTokens))).as("n_chunk_tokens") :+
+        concat_ws(" ", slice(col("ts"), col("col"), lit(ChunkTokens))).as("chunk_text"): _*)
+  }
 
   /** Structure-aware chunking (the reference chunker's semantics,
     * internal/indexer/chunker.go:24-31: split by `##` headers, then by

@@ -441,6 +441,58 @@ object GraphOps {
         lit("customer"), col("id")))
    }
 
+  /** Type pattern for the `type-usages` contract row — the reference's
+    * pattern form (searcher_sql.go:540-543: exact / `%User%` / generics
+    * all via LIKE). */
+  private[graft] val TypeUsagePattern = "red %"
+  private val TypeUsageMax = 100
+
+  /** `type-usages` query kind (cortex OperationTypeUsages,
+    * searcher_sql.go:65/:536 buildTypeUsagesSQL): a text type pattern
+    * (LIKE) selects the type set; usage sites are the DISTINCT functions
+    * referencing any of them, returned with denormalized name/module
+    * metadata at depth 1, ordered by id and bounded by MaxResults. Over
+    * this graph: types = parts (p_name carries the pattern), usage sites
+    * = suppliers shipping them, module metadata = the supplier's nation.
+    *
+    * Scale posture: the LIKE filter reaches the part scan and the matched
+    * type-key set (thin, pattern-selective) BROADCASTS into the edge
+    * join, so the big edge relation never shuffles for the semi-join;
+    * the per-site aggregate is TakeOrdered-limited to MaxResults BEFORE
+    * the metadata joins, so supplier/nation join against a ≤100-row
+    * broadcast side rather than the full site set.
+    */
+  def graphTypeUsages(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(spark, dir, "graph:typeUsages") {
+      typeUsagesBuild(spark, dir)
+    }
+
+  /** Un-memoized [[graphTypeUsages]] plan (exposed for the plan-shape
+    * spec — the PlanCache wrapper would hide the scan/join shape behind
+    * an InMemoryTableScan). */
+  private[graft] def typeUsagesBuild(spark: SparkSession, dir: String): DataFrame = {
+    val types = Tables.part(spark, dir)
+      .filter(col("p_name").like(TypeUsagePattern))
+      .select(col("p_partkey"))
+    val sites = edges(spark, dir)
+      .join(broadcast(types), col("dst") === col("p_partkey"))
+      .groupBy(col("src"))
+      .agg(countDistinct(col("dst")).as("n_type_sites"))
+      .orderBy(col("src"))
+      .limit(TypeUsageMax)
+    broadcast(sites)
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+        col("src") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("function_id"), col("s_name").as("name"),
+        col("n_name").as("module_path"), col("n_type_sites"),
+        lit(1).as("depth"))
+      .orderBy(col("function_id"))
+  }
+
   /** In/out degree for every node of the bipartite graph (cortex
     * callers/callees counts): suppliers count distinct parts shipped,
     * parts count distinct shipping suppliers.

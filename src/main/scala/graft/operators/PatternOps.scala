@@ -229,6 +229,12 @@ object PatternOps {
   private[graft] val SymbolKinds =
     Seq("table" -> "type", "query" -> "function", "stream" -> "stream")
 
+  /** The import-declaration keyword for the virtual `imports` table
+    * (Tables.load): `batch X` reads as "this file imports X" — the
+    * `import path` shape of the reference's imports table
+    * (internal/storage/schema.go:282), phrased over this corpus. */
+  private[graft] val ImportKeyword = "batch"
+
   /** Symbol extraction relation — the data-level stand-in for the
     * reference's tree-sitter extraction feeding its functions/types
     * tables (internal/indexer/extraction/, internal/storage/schema.go):
@@ -255,7 +261,17 @@ object PatternOps {
   def streamingSymbolsExtract(docs: DataFrame): DataFrame =
     symbolsProjection(docs)
 
-  private def symbolsProjection(docs: DataFrame): DataFrame = {
+  private def symbolsProjection(docs: DataFrame): DataFrame =
+    keywordDecls(docs, SymbolKinds, Nil)
+
+  /** Shared keyword-declaration extraction: for each (keyword -> kind)
+    * pair, emit (doc_id, symbol = the token AFTER the keyword, kind,
+    * pos = 1-based keyword index), passing the caller's `keep` columns
+    * through unchanged (the virtual `functions`/`types`/`imports` tables
+    * need `source` for file_path/module_path without a second scan +
+    * join back to documents). Single narrow Generate, no shuffle. */
+  private[graft] def keywordDecls(docs: DataFrame,
+      kinds: Seq[(String, String)], keep: Seq[String]): DataFrame = {
     val ts = col("ts")
     // per keyword: positions i (0-based) with a following token → struct
     // (symbol = ts[i+1], kind, pos = i+1 to match 1-based oracle indexing)
@@ -269,13 +285,14 @@ object PatternOps {
               (i + lit(1)).cast("long").as("pos")))
             .otherwise(lit(null))),
         _.isNotNull)
+    val keepCols = keep.map(col)
     docs
-      .select(col("doc_id"),
-        graft.functions.Tokenize.tokens(col("text")).as("ts"))
-      .select(col("doc_id"),
-        explode(concat(SymbolKinds.map { case (k, v) => decls(k, v) }: _*))
-          .as("d"))
-      .select(col("doc_id"), col("d.symbol").as("symbol"),
-        col("d.kind").as("kind"), col("d.pos").as("pos"))
+      .select(col("doc_id") +: keepCols :+
+        graft.functions.Tokenize.tokens(col("text")).as("ts"): _*)
+      .select(col("doc_id") +: keepCols :+
+        explode(concat(kinds.map { case (k, v) => decls(k, v) }: _*))
+          .as("d"): _*)
+      .select(col("doc_id") +: keepCols :+ col("d.symbol").as("symbol") :+
+        col("d.kind").as("kind") :+ col("d.pos").as("pos"): _*)
   }
 }

@@ -86,9 +86,13 @@ object QueryDsl {
     q.joins.foreach { j =>
       // reference the key through each side's own DataFrame: an
       // unqualified col() is ambiguous whenever both sides share the
-      // join-key column name (id=id joins, self-joins)
+      // join-key column name (id=id joins, self-joins). Same-named keys
+      // get USING semantics (one output key column) so downstream
+      // fields/predicates on the key stay unambiguous.
       val right = Tables.load(spark, dir, j.table)
-      df = df.join(right, df(j.leftField) === right(j.rightField))
+      df =
+        if (j.leftField == j.rightField) df.join(right, Seq(j.leftField))
+        else df.join(right, df(j.leftField) === right(j.rightField))
     }
     q.where.foreach(p => df = df.filter(compilePred(p)))
     if (q.groupBy.nonEmpty || q.aggregations.nonEmpty) {
@@ -244,6 +248,69 @@ object QueryDsl {
         {"function": "AVG", "field": "n_chars", "alias": "avg_chars", "round": 4}],
       "orderBy": [{"field": "file_count", "direction": "DESC"},
                   {"field": "module_path", "direction": "ASC"}]
+    }"""))
+
+  /** Virtual `functions` table through the wire format (files_tool.go:50
+    * "Available tables: files, types, functions, imports, modules,
+    * chunks"): function inventory joined USING file_path back to `files`
+    * for language/size metadata — the "find functions in large English
+    * files" shape. Both views project the same documents scan, so the
+    * plan is two scans joined on the derived key with every predicate
+    * pushed below the join (plan-tested). */
+  def dslFunctions(spark: SparkSession, dir: String): DataFrame =
+    compile(spark, dir, parse("""{
+      "from": "functions",
+      "joins": [{"table": "files", "leftField": "file_path",
+                 "rightField": "file_path"}],
+      "where": {"and": [
+        {"field": "lang", "operator": "=", "value": "en"},
+        {"field": "line_count", "operator": ">=", "value": 3},
+        {"field": "name", "operator": "LIKE", "value": "s%"}]},
+      "fields": ["function_id", "file_path", "name", "start_pos",
+                 "line_count"],
+      "orderBy": [{"field": "function_id", "direction": "ASC"},
+                  {"field": "start_pos", "direction": "ASC"}],
+      "limit": 100
+    }"""))
+
+  /** Virtual `types` + `imports` tables: per-module rollup of type
+    * declarations against modules that import a target name — the
+    * "which modules define types AND pull in stream I/O" shape. The
+    * semi-join direction keeps the aggregate on the thin types side. */
+  def dslTypes(spark: SparkSession, dir: String): DataFrame =
+    compile(spark, dir, parse("""{
+      "from": "types",
+      "joins": [{"table": "imports", "leftField": "file_path",
+                 "rightField": "file_path"}],
+      "where": {"field": "import_path", "operator": "IN",
+                "value": ["row", "scan", "filter"]},
+      "groupBy": ["module_path"],
+      "aggregations": [
+        {"function": "COUNT", "alias": "n_type_import_pairs"},
+        {"function": "AVG", "field": "import_line", "alias": "avg_import_line",
+         "round": 4},
+        {"function": "MIN", "field": "start_pos", "alias": "first_decl"}],
+      "having": {"field": "n_type_import_pairs", "operator": ">", "value": 2},
+      "orderBy": [{"field": "n_type_import_pairs", "direction": "DESC"},
+                  {"field": "module_path", "direction": "ASC"}],
+      "limit": 50
+    }"""))
+
+  /** Virtual `chunks` table: per-file chunk inventory with a HAVING
+    * floor — the "files whose chunk count says they're big" shape
+    * (chunks table, schema.go:296; one scan + one partial aggregate). */
+  def dslChunks(spark: SparkSession, dir: String): DataFrame =
+    compile(spark, dir, parse("""{
+      "from": "chunks",
+      "groupBy": ["file_path"],
+      "aggregations": [
+        {"function": "COUNT", "alias": "n_chunks"},
+        {"function": "SUM", "field": "n_chunk_tokens", "alias": "n_tokens"},
+        {"function": "MAX", "field": "chunk_idx", "alias": "last_chunk"}],
+      "having": {"field": "n_chunks", "operator": ">=", "value": 6},
+      "orderBy": [{"field": "n_tokens", "direction": "DESC"},
+                  {"field": "file_path", "direction": "ASC"}],
+      "limit": 40
     }"""))
 
   /** Contract row 2 (via the JSON front-end): join + WHERE with

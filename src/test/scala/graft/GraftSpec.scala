@@ -791,6 +791,62 @@ class QueryDslSpec extends AnyFunSuite with SparkFixture {
       joins = Seq(Join("nation", "n_regionkey", "n_regionkey"))))
     assert(viaDsl.count() > 0)
   }
+
+  test("virtual tables expose the reference's six-table surface") {
+    // files_tool.go:50 "files, types, functions, imports, modules, chunks"
+    // (modules is the DSL rollup); column shapes follow schema.go
+    for ((t, idCol) <- Seq("types" -> "type_id", "functions" -> "function_id"))
+      assert(Tables.load(spark, SfDir, t).columns.toSeq ==
+        Seq(idCol, "file_path", "module_path", "name", "start_pos"), t)
+    assert(Tables.load(spark, SfDir, "imports").columns.toSeq ==
+      Seq("file_path", "import_path", "import_line"))
+    assert(Tables.load(spark, SfDir, "chunks").columns.toSeq ==
+      Seq("chunk_id", "file_path", "module_path", "chunk_idx",
+        "n_chunk_tokens", "chunk_text"))
+  }
+
+  test("functions/types views agree with symbols_extract per kind") {
+    val syms = operators.PatternOps.symbolsExtract(spark, SfDir)
+      .groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Tables.load(spark, SfDir, "functions").count() == syms("function"))
+    assert(Tables.load(spark, SfDir, "types").count() == syms("type"))
+    assert(syms("function") > 0 && syms("type") > 0)
+  }
+
+  test("same-name join keys compile to USING semantics: one key column") {
+    val df = QueryDsl.compile(spark, SfDir, QuerySpec(
+      from = "functions",
+      joins = Seq(Join("files", "file_path", "file_path"))))
+    assert(df.columns.count(_ == "file_path") == 1)
+    assert(df.count() > 0)
+  }
+
+  test("dsl_functions pushes the stored-column predicate into the scan") {
+    val plan = QueryDsl.dslFunctions(spark, SfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // `lang = en` filters a stored documents column through the files
+    // view — it must reach the parquet scan, not sit above the join
+    assert(plan.contains("PushedFilters") && plan.contains("lang"),
+      "lang predicate must push down through the virtual view")
+  }
+
+  test("dsl_chunks matches a direct recount over chunk_documents") {
+    import org.apache.spark.sql.functions.{count => cnt, col}
+    val got = QueryDsl.dslChunks(spark, SfDir).collect()
+    val eligible = operators.ChunkOps.chunkDocuments(spark, SfDir)
+      .groupBy("doc_id").agg(cnt("*").as("n"))
+      .filter(col("n") >= 6).count()
+    assert(got.length == math.min(40L, eligible).toInt)
+    assert(got.forall(_.getLong(1) >= 6L), "HAVING floor")
+  }
+
+  test("dsl_types rolls types against imports deterministically") {
+    val rows = QueryDsl.dslTypes(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys == keys.sorted, "ordered by pair count DESC, module_path")
+  }
 }
 
 /** Structure-aware chunker invariants at sf0.001. */
@@ -996,6 +1052,33 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     val types = GraphOps.graphDependents(spark, SfDir)
       .select("node_type").distinct().collect().map(_.getString(0)).toSet
     assert(types.contains("customer"), s"expected customer nodes, got $types")
+  }
+
+  test("type-usages sites all ship a pattern-matched part, ordered + bounded") {
+    val rows = GraphOps.graphTypeUsages(spark, SfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted && ids.distinct.sizeIs == ids.size,
+      "DISTINCT sites ordered by function_id (searcher_sql.go:557)")
+    assert(rows.forall(_.getInt(4) == 1), "type usages report depth 1")
+    val matched = Tables.part(spark, SfDir)
+      .filter(col("p_name").like(GraphOps.TypeUsagePattern))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val shipping = Tables.lineitem(spark, SfDir)
+      .filter(col("l_partkey").isin(matched.toSeq: _*))
+      .select("l_suppkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids.forall(shipping.contains),
+      "every site must actually use a matched type")
+  }
+
+  test("type-usages plan: pattern at the part scan, type set broadcast") {
+    val plan = GraphOps.typeUsagesBuild(spark, SfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("p_name"),
+      "LIKE 'red %' must reach the part scan as a pushed StartsWith")
+    assert(plan.contains("BroadcastHashJoin"),
+      "matched type keys and site metadata join via broadcast, " +
+        "the edge relation must not shuffle for the semi-join")
   }
 
   test("found path is a real alternating supplier-part-supplier walk") {
@@ -1206,6 +1289,54 @@ class PatternSpec extends AnyFunSuite with SparkFixture {
 }
 
 /** Frame-sliced multimodal energy: bounded memory, no shuffle. */
+/** Glob-pattern discovery: compiler semantics, admission precedence,
+  * plan shape (discovery.go:26-125 analogue). */
+class DiscoverySpec extends AnyFunSuite with SparkFixture {
+  import operators.DiscoveryOps
+
+  test("globToRegex: separator-aware * / ** / ? / {a,b} semantics") {
+    def m(g: String, s: String) = s.matches(DiscoveryOps.globToRegex(g))
+    assert(m("src1*/**", "src1/5") && m("src1*/**", "src19/123"))
+    assert(!m("src1*/**", "src2/5"))
+    assert(!m("*", "a/b") && m("**", "a/b"), "* must stop at the separator")
+    assert(m("src?/**", "src4/7") && !m("src?/**", "src14/7"))
+    assert(m("**/*7", "src0/17") && !m("**/*7", "src0/71"))
+    assert(m("{src1,src2}/**", "src2/9") && !m("{src1,src2}/**", "src3/9"))
+    assert(m("a.b", "a.b") && !m("a.b", "axb"), "literal dots are escaped")
+    // the reference's directory-suffix probe shape (discovery.go:119-123):
+    // pattern dir/** must also cover the bare dir node via path + "/**"
+    assert(m("src13/**", "src13" + "/**"))
+  }
+
+  test("discovery admits code before docs and drops ignored subtrees") {
+    val rows = DiscoveryOps.discoverGlob(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    val paths = rows.map(_.getString(0))
+    assert(paths.forall(!_.startsWith("src13/")), "ignored subtree")
+    assert(paths.forall(!_.endsWith("7")), "ignored filename shape")
+    rows.foreach { r =>
+      val expected =
+        if (r.getString(0).matches("^src1[^/]*/.*$")) "code" else "docs"
+      assert(r.getString(1) == expected,
+        s"${r.getString(0)} classified ${r.getString(1)}")
+    }
+    assert(rows.exists(_.getString(1) == "code"))
+    assert(rows.exists(_.getString(1) == "docs"))
+  }
+
+  test("discovery plan: one pruned scan, no shuffle, no generate") {
+    val plan = DiscoveryOps.discoverGlob(spark, SfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // count numbered detail-section nodes: the formatted tree section
+    // names each scan a second time
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1,
+      "exactly one scan")
+    assert(!plan.contains("Exchange"), "pure filter+project: no shuffle")
+    assert(!plan.contains("Generate"), "no explode in admission")
+    assert(!plan.contains("text:"), "text column must be pruned from the read")
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
   import operators.MultimodalOps
 
