@@ -23,16 +23,20 @@ object Checkpoints {
     * under this directory instead of executor-local blocks. */
   val DirConf = "spark.graft.checkpointDir"
 
-  /** The checkpoint dir already installed on the SparkContext — set once
-    * per distinct conf value; setCheckpointDir on every cut would re-mkdir
-    * a fresh UUID subdir per call. */
-  @volatile private var installedFor: Option[String] = None
-
+  /** Install the dir at most once per (SparkContext, conf value) —
+    * setCheckpointDir on every cut would re-mkdir a fresh UUID subdir per
+    * call, but a JVM-global memo would skip the install after a context
+    * restart (or for a second concurrent context) and the next
+    * `checkpoint()` would throw "Checkpoint directory has not been set".
+    * The context's own getCheckpointDir is the authoritative state: it
+    * dies with the context, so no stale-memo hazard and no weak-map
+    * bookkeeping. The installed value is a fs-QUALIFIED UUID SUBDIR of
+    * the conf dir (file:/… for a local path), so match on containment of
+    * the "dir/" segment, not equality or raw prefix. */
   private def ensureDir(df: DataFrame, dir: String): Unit = synchronized {
-    if (!installedFor.contains(dir)) {
-      df.sparkSession.sparkContext.setCheckpointDir(dir)
-      installedFor = Some(dir)
-    }
+    val sc = df.sparkSession.sparkContext
+    if (!sc.getCheckpointDir.exists(_.contains(dir.stripSuffix("/") + "/")))
+      sc.setCheckpointDir(dir)
   }
 
   /** Cut `df`'s lineage, eagerly: reliable `checkpoint()` when

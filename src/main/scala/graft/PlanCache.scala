@@ -92,6 +92,22 @@ object PlanCache {
     }
   }
 
+  /** Side-caches keyed by data dir (e.g. CorpusIO's JSONL copies) register
+    * here so every invalidation sweep reaches them too — the hook receives
+    * the dir being invalidated, or None for a global sweep. Registration
+    * is idempotent per call site only because each caches-owning object
+    * registers once from its static init. */
+  private val invalidationHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[Option[String] => Unit]()
+
+  def onInvalidate(hook: Option[String] => Unit): Unit =
+    invalidationHooks.add(hook)
+
+  private def fireHooks(dir: Option[String]): Unit =
+    invalidationHooks.forEach { h =>
+      try h(dir) catch { case _: Throwable => () }
+    }
+
   /** Remove and unpersist ONE entry (e.g. per-query BFS layers released
     * after their output is materialized). No-op if absent. */
   def drop(spark: SparkSession, dir: String, tag: String): Unit = {
@@ -110,6 +126,7 @@ object PlanCache {
       try e.df.unpersist() catch { case _: Throwable => () }
     }
     cache.clear()
+    fireHooks(None)
   }
 
   /** Unpersist and drop only the entries built over `dir` — the hook a
@@ -127,5 +144,6 @@ object PlanCache {
         it.remove()
       }
     }
+    fireHooks(Some(dir))
   }
 }

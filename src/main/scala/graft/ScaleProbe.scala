@@ -298,7 +298,8 @@ object ScaleProbe {
     PlanCache.invalidate()
     val dir = s"/tmp/graft_scale/bs_x$copies"
     synth(spark, base, dir, copies)
-    val noDrops = 1000000007 // > every synthetic doc_id → zero deletions
+    val noDrops = 0 // dropMod <= 0 = structurally no deletions (doc_id 0
+                    // survives too — a huge modulus would still drop it)
     val (tIdx, nIdx) = time(
       PlanCache.getOrBuild(spark, dir, "chunk_index_old") {
         operators.ChunkOps.chunkFps(Tables.documents(spark, dir))

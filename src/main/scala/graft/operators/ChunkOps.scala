@@ -149,11 +149,14 @@ object ChunkOps {
     chunkFps(changed)
   }
 
-  /** The simulated new snapshot: every `dropMod`-th doc deleted, every
-    * `rewriteMod`-th rewritten with an appended revision marker. */
+  /** The simulated new snapshot: every `dropMod`-th doc deleted (none
+    * when `dropMod` <= 0), every `rewriteMod`-th rewritten with an
+    * appended revision marker. */
   private[graft] def newSnapshot(docs: DataFrame, rewriteMod: Int,
       dropMod: Int): DataFrame =
-    docs.filter(col("doc_id") % dropMod =!= 0)
+    // dropMod <= 0 means "no deletions" STRUCTURALLY — a huge-modulus
+    // sentinel would still drop doc_id 0 (0 % anything == 0)
+    docs.filter(if (dropMod <= 0) lit(true) else col("doc_id") % dropMod =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % rewriteMod === 0,
           concat(col("text"), lit(" rev2")))

@@ -573,29 +573,52 @@ object DedupOps {
     *
     * Scale shape: the self-join key is the cluster id — cardinality k,
     * which SCALES WITH THE CORPUS (k ∝ n / target-cell-size), so the
-    * exchange fans out; the same [[SearchOps.ExactCellCap]] assert that
-    * guards the exact KNN join aborts on a detonating cell and points at
-    * the banded-LSH path. */
+    * exchange fans out; a cell that outgrows [[SearchOps.ExactCellCap]]
+    * (a detonating Σcell² term) is ROUTED through the same
+    * random-hyperplane band blocking [[dedupEmbedding]] uses — exact
+    * all-pairs inside cap-bounded cells, band-collision candidates (still
+    * keyed within the cell) inside oversize ones, both verified by the
+    * identical exact-cosine ≥ τ predicate. Verdicts stay exact wherever
+    * the cap holds; oversize cells degrade to high-recall candidate
+    * generation instead of detonating (recall pinned in the spec). */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     dedupSemanticCapped(spark, dir, SearchOps.ExactCellCap)
 
   private[graft] def dedupSemanticCapped(spark: SparkSession, dir: String,
       cellCap: Long): DataFrame = {
+    import graft.functions.VectorFunctions.bandSigs
     val asg = SearchOps.kmeansAssigned(spark, dir)
     val cellSizes = asg.groupBy(col("cluster")).agg(count(lit(1)).as("cell_n"))
-    val a = asg.select(col("cluster"), col("vec_id").as("a_id"),
-        col("v").as("a_v"))
-      .join(broadcast(cellSizes), "cluster")
-      .filter(assert_true(col("cell_n") <= cellCap,
-        concat(lit("dedup_semantic: cluster size "), col("cell_n"),
-          lit(s" exceeds ExactCellCap=$cellCap — raise k "),
-          lit("or route this corpus to dedup_embedding's banded path")))
-        .isNull)
-      .select(col("cluster"), col("a_id"), col("a_v"))
-    val b = asg.select(col("cluster").as("b_cluster"),
-      col("vec_id").as("b_id"), col("v").as("b_v"))
-    val drops = a
-      .join(b, col("cluster") === col("b_cluster") && col("a_id") < col("b_id"))
+    val tagged = asg.join(broadcast(cellSizes), "cluster")
+    val small = tagged.filter(col("cell_n") <= cellCap)
+    val big = tagged.filter(col("cell_n") > cellCap)
+    // cap-bounded cells: exact all-pairs (work ∝ Σ cell² ≤ n·cap)
+    val exactPairs = small
+      .select(col("cluster"), col("vec_id").as("a_id"), col("v").as("a_v"))
+      .join(small.select(col("cluster").as("b_cluster"),
+          col("vec_id").as("b_id"), col("v").as("b_v")),
+        col("cluster") === col("b_cluster") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("a_v"), col("b_id"), col("b_v"))
+    // oversize cells: candidates only where a full hyperplane band agrees
+    // WITHIN the cell (cluster folds into the join key) — the
+    // dedupEmbedding blocking geometry applied to the cell's own members
+    val bands = big.select(col("cluster"), col("vec_id"), col("v"),
+        posexplode(bandSigs(col("v"), EmbSeed, EmbBands, EmbBits, EmbDim)))
+      .select(col("cluster"), col("vec_id"), col("v"),
+        col("pos").as("band"), col("col").as("sig"))
+    val bandPairs = bands
+      .select(col("cluster"), col("band"), col("sig"),
+        col("vec_id").as("a_id"), col("v").as("a_v"))
+      .join(bands.select(col("cluster").as("b_cluster"),
+          col("band").as("b_band"), col("sig").as("b_sig"),
+          col("vec_id").as("b_id"), col("v").as("b_v")),
+        col("cluster") === col("b_cluster") && col("band") === col("b_band") &&
+          col("sig") === col("b_sig") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("a_v"), col("b_id"), col("b_v"))
+      // a pair can collide in several bands; dedup on the id pair keeps
+      // the verify-side cosine work per-candidate, not per-collision
+      .dropDuplicates("a_id", "b_id")
+    val drops = exactPairs.unionAll(bandPairs)
       .filter(round(cosineSim(col("a_v"), col("b_v")), 4) >= SemTau)
       .select(col("b_id").as("vec_id")).distinct()
     asg.select(col("vec_id"), col("cluster"))

@@ -45,24 +45,40 @@ object CorpusIO {
     * dir accumulated corpus-sized copies under /tmp indefinitely. The
     * memo reuses the session's copy (concurrent sessions still get their
     * own entries, preserving the no-overwrite property), and a JVM
-    * shutdown hook removes everything written. No stopped-session
-    * eviction: the hook needs the paths, and the map is bounded by
-    * (sessions × dirs). */
+    * shutdown hook removes everything written. Entries follow the SAME
+    * invalidation protocol as persisted plans: a
+    * PlanCache.invalidate(dir) sweep (the watch loop's and ScaleProbe's
+    * data-changed hook) deletes the copy, so a rewritten documents table
+    * is re-serialized instead of read stale. No stopped-session
+    * eviction: the shutdown hook needs the paths, and the map is bounded
+    * by (sessions × dirs). */
   private val jsonlCopies =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Test hook: the memoized copy location, if one exists. */
+  private[graft] def jsonlCopyFor(spark: SparkSession, dir: String): Option[String] =
+    Option(jsonlCopies.get((spark, dir)))
+
+  private def deleteTree(p: String): Unit =
+    try {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+    } catch { case _: Throwable => () }
+
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      jsonlCopies.values.forEach { p =>
-        try {
-          val root = java.nio.file.Paths.get(p)
-          if (java.nio.file.Files.exists(root))
-            java.nio.file.Files.walk(root)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(q => java.nio.file.Files.deleteIfExists(q))
-        } catch { case _: Throwable => () }
-      }
+      jsonlCopies.values.forEach(deleteTree(_))
     }, "graft-jsonl-cleanup"))
+    graft.PlanCache.onInvalidate { dir =>
+      val it = jsonlCopies.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (dir.forall(_ == e.getKey._2)) { deleteTree(e.getValue); it.remove() }
+      }
+    }
   }
 
   /** Ingestion fidelity check as an oracle-checked operator: round-trip

@@ -27,6 +27,22 @@ class CorpusIOSpec extends AnyFunSuite with SparkFixture {
     assert(back.contains(nasty))
   }
 
+  test("a PlanCache invalidation sweep evicts and deletes the jsonl copy") {
+    // the memo must follow the same data-changed protocol as persisted
+    // plans: a rewritten documents table may not be read from a stale copy
+    CorpusIO.ingestJsonl(spark, SfDir).collect()
+    val copy = CorpusIO.jsonlCopyFor(spark, SfDir)
+    assert(copy.isDefined, "ingest must memoize its copy")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(copy.get)))
+    PlanCache.invalidate(SfDir)
+    assert(CorpusIO.jsonlCopyFor(spark, SfDir).isEmpty, "memo evicted")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(copy.get)),
+      "the stale copy is deleted, not leaked")
+    // and the next ingest re-serializes from the (possibly new) table
+    assert(CorpusIO.ingestJsonl(spark, SfDir).count() > 0)
+    assert(CorpusIO.jsonlCopyFor(spark, SfDir).exists(_ != copy.get))
+  }
+
   test("the explicit schema skips inference and FAILFAST rejects corrupt lines") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad")
     java.nio.file.Files.write(dir.resolve("part-0.json"),

@@ -634,18 +634,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(expectedDrops.nonEmpty, "the corpus must exercise the drop path")
   }
 
-  test("semantic dedup aborts loudly when a cluster exceeds the cap") {
-    // sf0.001 trained clusters hold ~60 vectors: a cap of 10 must trip
-    // the plan-embedded assert with the routing message, and the default
-    // cap must leave verdicts identical to an uncapped run
-    // collect(), not count(): a bare count lets the optimizer elide the
-    // whole (distinct-keyed, unreferenced) drops side of the left join —
-    // and the guard rightly rides with the pair compute it protects
-    val e = intercept[Exception] {
-      DedupOps.dedupSemanticCapped(spark, SfDir, 10L).collect()
-    }
-    assert(e.getMessage.contains("dedup_embedding"),
-      s"guard must point at the banded path, got: ${e.getMessage}")
+  test("semantic dedup routes oversize cells through the banded-LSH path") {
+    // sf0.001 trained clusters hold ~60 vectors: a cap of 10 forces EVERY
+    // cell through the band-collision candidate path. Soundness is exact
+    // (candidates verify by the same cosine ≥ τ) so routed drops ⊆ exact
+    // drops; recall must hold the ≥0.9 floor the ANN ops pin, and the
+    // default cap must leave verdicts identical to an uncapped run.
+    def verdicts(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val routed = verdicts(DedupOps.dedupSemanticCapped(spark, SfDir, 10L))
+    val exact = verdicts(DedupOps.dedupSemanticCapped(spark, SfDir, Long.MaxValue))
+    assert(routed.keySet == exact.keySet, "every vector must get a verdict")
+    val exactDrops = exact.collect { case (id, false) => id }.toSet
+    val routedDrops = routed.collect { case (id, false) => id }.toSet
+    assert(routedDrops.subsetOf(exactDrops),
+      "banded routing must never drop a pair exact compare would keep")
+    assert(exactDrops.nonEmpty &&
+      routedDrops.size >= math.ceil(0.9 * exactDrops.size).toInt,
+      s"recall floor: ${routedDrops.size}/${exactDrops.size}")
     val capped = DedupOps.dedupSemantic(spark, SfDir)
       .orderBy("vec_id").collect().toSeq
     val uncapped = DedupOps.dedupSemanticCapped(spark, SfDir, Long.MaxValue)
