@@ -474,6 +474,21 @@ object CurateOps {
   val DsirBuckets = 1024
   val DsirKeepQuantile = 0.75
 
+  /** The 100 TB percentile switch (the q13→q13b convention as one
+    * runtime conf): exact `percentile` materializes a per-group sorted
+    * value list — fine at test SFs, detonating on a 100 TB doc relation —
+    * while `percentile_approx` is a mergeable quantile sketch with
+    * map-side partial aggregation. [[curateDsir]] and
+    * [[curatePplBuckets]] read the flag at plan-build time; drift vs the
+    * exact path is pinned ≤2% at sf0.1 in CurateSpec. */
+  val ApproxPercentileConf = "spark.graft.approxPercentile"
+
+  private def pct(spark: SparkSession, valueSql: String,
+      quantileSql: String): Column =
+    if (spark.conf.getOption(ApproxPercentileConf).exists(_.toBoolean))
+      expr(s"percentile_approx($valueSql, $quantileSql, 10000)")
+    else expr(s"percentile($valueSql, $quantileSql)")
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): select raw-corpus documents whose HASHED n-gram
     * feature distribution looks like a target domain. Per document,
@@ -524,7 +539,7 @@ object CurateOps {
       .agg(count(lit(1)).as("n_feat"),
         (round(sum(col("r")), 4) + lit(0.0)).as("lw"))
     val thr = scored.agg(
-      round(expr(s"percentile(lw, ${DsirKeepQuantile}D)"), 4).as("t"))
+      round(pct(spark, "lw", s"${DsirKeepQuantile}D"), 4).as("t"))
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .crossJoin(broadcast(thr))
@@ -676,8 +691,8 @@ object CurateOps {
     }
     val thr = scored.filter(col("ppl").isNotNull)
       .groupBy(col("lang"))
-      .agg(round(expr("percentile(ppl, 1.0D/3)"), 4).as("t_head"),
-        round(expr("percentile(ppl, 2.0D/3)"), 4).as("t_mid"))
+      .agg(round(pct(spark, "ppl", "1.0D/3"), 4).as("t_head"),
+        round(pct(spark, "ppl", "2.0D/3"), 4).as("t_mid"))
     scored.join(broadcast(thr), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("ppl"),
         when(col("ppl").isNull, "undef")
