@@ -105,6 +105,7 @@ object SparkEntry {
     "pipeline_incremental" -> ChunkOps.pipelineIncremental _,
     "embed_stub" -> ChunkOps.embedStub _,
     "embed_batches" -> ChunkOps.embedBatches _,
+    "embed_schedule" -> ChunkOps.embedSchedule _,
     "mm_binary_meta" -> MultimodalOps.mmBinaryMeta _,
     "mm_frame_sample" -> MultimodalOps.mmFrameSample _,
     "mm_frame_energy" -> MultimodalOps.mmFrameEnergy _,
@@ -265,6 +266,23 @@ object SparkEntry {
        |$duckCcRounds
        |SELECT id AS doc_id, lbl AS cluster_id, (id = lbl)::INT AS is_rep
        |FROM l${DedupOps.CcRounds}""".stripMargin
+
+  /** Shared embed-batch CTE chain (token counts -> exclusive cumsum ->
+    * token-budget bucket -> within-bucket doc-count split), ending at the
+    * `s` CTE — MUST stay in lockstep with ChunkOps.embedBatches
+    * (EmbedBatchTokens = 512, EmbedBatchDocs = 8). Composed by the
+    * embed_batches and embed_schedule oracles. */
+  private lazy val duckEmbedBatchCtes: String =
+    s"""tok AS (SELECT doc_id, source, len($duckTok) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM tok),
+       |b AS (SELECT *, (cum_before // 512) AS tokb FROM c),
+       |s AS (SELECT *, (row_number() OVER (
+       |    PARTITION BY source, tokb ORDER BY doc_id) - 1) // 8 AS sub
+       |  FROM b)""".stripMargin
 
   /** Shared curate-pipeline CTE chain (admission -> near-dup keepers ->
     * holdout/decontamination -> per-source packing cumsum), ending at the
@@ -988,21 +1006,30 @@ object SparkEntry {
       s"SELECT doc_id,\n  $dims\nFROM documents"
     },
     "embed_batches" ->
-      s"""WITH tok AS (SELECT doc_id, source, len($duckTok) AS n_tokens
-         |  FROM documents),
-         |c AS (SELECT doc_id, source, n_tokens,
-         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         |  FROM tok),
-         |b AS (SELECT *, (cum_before // 512) AS tokb FROM c),
-         |s AS (SELECT *, (row_number() OVER (
-         |    PARTITION BY source, tokb ORDER BY doc_id) - 1) // 8 AS sub
-         |  FROM b)
+      s"""WITH $duckEmbedBatchCtes
          |SELECT doc_id, source, n_tokens,
          |  dense_rank() OVER (PARTITION BY source ORDER BY tokb, sub) AS batch_id,
          |  row_number() OVER (PARTITION BY source, tokb, sub
          |    ORDER BY doc_id) AS idx_in_batch
          |FROM s""".stripMargin,
+    // lockstep with ChunkOps.embedSchedule (EmbedCooldownMs = 150,
+    // batched.go:106); composes the shared embed-batch CTE chain
+    "embed_schedule" ->
+      s"""WITH $duckEmbedBatchCtes,
+         |eb AS (SELECT source, n_tokens,
+         |    dense_rank() OVER (PARTITION BY source ORDER BY tokb, sub)
+         |      AS batch_id FROM s),
+         |g AS (SELECT source, batch_id, count(*) AS n_docs,
+         |    sum(n_tokens)::BIGINT AS n_batch_tokens
+         |  FROM eb GROUP BY 1, 2)
+         |SELECT source, batch_id, n_docs, n_batch_tokens,
+         |  sum(n_docs) OVER (PARTITION BY source ORDER BY batch_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS processed_docs,
+         |  count(*) OVER (PARTITION BY source) AS total_batches,
+         |  sum(n_docs) OVER (PARTITION BY source)::BIGINT AS total_docs,
+         |  (batch_id - 1) * ${ChunkOps.EmbedCooldownMs} AS dispatch_ms
+         |FROM g""".stripMargin,
     "pipeline_incremental" ->
       s"""WITH neu AS (SELECT doc_id,
          |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text

@@ -291,6 +291,45 @@ object ChunkOps {
         col("batch_id"), col("idx_in_batch"))
   }
 
+  /** Inter-batch cooldown the reference inserts between provider calls
+    * (internal/embed/batched.go:106 — a flat 150 ms sleep). */
+  val EmbedCooldownMs = 150
+
+  /** Declarative dispatch schedule + progress relation for the batched
+    * embedding stage — the data-side analogue of the reference's
+    * sequential dispatch loop: batches go out in order with a fixed
+    * inter-batch cooldown, and each completed batch emits a
+    * BatchProgress{batch, totalBatches, processedChunks, totalChunks}
+    * report (internal/embed/batched.go:60-110). Batch b of a provider
+    * stream therefore dispatches no earlier than (b-1)·cooldown, and
+    * each row carries the processed/total counters the progress channel
+    * would emit. Retries on FAILURE stay client control flow (they have
+    * no deterministic data analogue); the schedule and the progress
+    * ledger are data, and at 100 TB this relation is what a dispatch
+    * fleet consumes to pace provider calls without a coordinator.
+    *
+    * Plan shape: rides [[embedBatches]]'s single source exchange — the
+    * (source, batch_id) aggregate and all three window passes are
+    * satisfied by hashpartitioning(source) (plan-tested: one exchange
+    * total). */
+  def embedSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("batch_id"))
+    val perSrc = Window.partitionBy(col("source"))
+    embedBatches(spark, dir)
+      .groupBy(col("source"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_batch_tokens"))
+      .withColumn("processed_docs", sum(col("n_docs")).over(bySrc))
+      .withColumn("total_batches", count(lit(1)).over(perSrc))
+      .withColumn("total_docs", sum(col("n_docs")).over(perSrc))
+      .withColumn("dispatch_ms",
+        ((col("batch_id") - 1) * EmbedCooldownMs).cast("long"))
+      .select(col("source"), col("batch_id"), col("n_docs"),
+        col("n_batch_tokens"), col("processed_docs"), col("total_batches"),
+        col("total_docs"), col("dispatch_ms"))
+  }
+
   /** Per-source corpus stats with a grand-total rollup slot. */
   def docStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

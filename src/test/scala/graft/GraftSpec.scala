@@ -914,6 +914,41 @@ class ChunkStructuredSpec extends AnyFunSuite with SparkFixture {
       s"all windows must reuse the source exchange:\n$plan")
   }
 
+  test("embed_schedule paces batches by the cooldown and ledgers progress") {
+    import operators.ChunkOps
+    val rows = ChunkOps.embedSchedule(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val inOrder = g.sortBy(_._2)
+      // dispatch times are the reference's sequential loop with its flat
+      // inter-batch sleep (batched.go:106)
+      inOrder.foreach { r =>
+        assert(r._8 == (r._2 - 1).toLong * ChunkOps.EmbedCooldownMs, s"$src")
+      }
+      // the progress ledger is an exact running sum ending at the totals
+      assert(inOrder.map(_._3).sum == inOrder.head._7, s"$src total_docs")
+      assert(inOrder.last._5 == inOrder.head._7, s"$src processed ends at total")
+      assert(inOrder.map(_._5).toSeq == inOrder.map(_._3).scanLeft(0L)(_ + _)
+        .tail.toSeq, s"$src processed_docs cumsum")
+      assert(inOrder.head._6 == inOrder.length, s"$src total_batches")
+    }
+    // consistency with the batch-assignment relation it aggregates
+    val perBatch = ChunkOps.embedBatches(spark, SfDir).collect()
+      .groupBy(r => (r.getString(1), r.getInt(3))).view.mapValues(_.length)
+    rows.foreach { r =>
+      assert(perBatch((r._1, r._2)) == r._3.toInt, s"batch ${(r._1, r._2)}")
+    }
+  }
+
+  test("embed_schedule rides embed_batches' single source exchange") {
+    val plan = operators.ChunkOps.embedSchedule(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"the (source, batch_id) agg and all windows must reuse it:\n$plan")
+  }
+
   test("branch_sync partitions docs into reuse/rechunk/evict by churn") {
     val out = operators.ChunkOps.branchSync(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
