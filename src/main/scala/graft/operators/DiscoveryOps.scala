@@ -72,10 +72,22 @@ object DiscoveryOps {
     * directory-suffix probe) are dropped, the rest are admitted as
     * `code` before `docs` (discovery.go:88-99 precedence), files
     * matching neither set are not discovered. */
-  def discoverGlob(spark: SparkSession, dir: String): DataFrame = {
-    val files = Tables.documents(spark, dir)
+  def discoverGlob(spark: SparkSession, dir: String): DataFrame =
+    classify(Tables.documents(spark, dir)
       .select(concat_ws("/", col("source"), col("doc_id")).as("file_path"),
-        col("n_chars"))
+        col("n_chars")))
+      .select(col("file_path"), col("cls"), col("n_chars"))
+
+  /** Streaming twin for the watch loop: admission is stateless narrow
+    * predicates, so the SAME compiled plan fragment classifies files as
+    * they arrive — newly discovered paths gate into code/docs (or drop)
+    * per micro-batch with no state store. */
+  def streamingDiscoverGlob(files: DataFrame): DataFrame = classify(files)
+
+  /** The admission classifier over any relation carrying `file_path`
+    * (payload columns pass through) — shared by the batch operator and
+    * the streaming twin. */
+  private def classify(files: DataFrame): DataFrame = {
     val ignored = matchesAny(IgnorePatterns, col("file_path")) ||
       matchesAny(IgnorePatterns, concat(col("file_path"), lit("/**")))
     files
@@ -84,6 +96,5 @@ object DiscoveryOps {
         when(matchesAny(CodePatterns, col("file_path")), "code")
           .when(matchesAny(DocsPatterns, col("file_path")), "docs"))
       .filter(col("cls").isNotNull)
-      .select(col("file_path"), col("cls"), col("n_chars"))
   }
 }

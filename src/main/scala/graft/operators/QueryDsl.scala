@@ -57,6 +57,12 @@ object QueryDsl {
     case Cmp(f, "<", v)    => col(f) < lit(v)
     case Cmp(f, "<=", v)   => col(f) <= lit(v)
     case Cmp(f, "LIKE", v) => col(f).like(v.toString)
+    // glob admission in the query surface: the same separator-aware
+    // compiler the discovery operator uses (discovery.go patterns meet
+    // the files-tool WHERE clause), so "path GLOB src1*/**" composes
+    // with every other predicate and pushes like any rlike
+    case Cmp(f, "GLOB", v) =>
+      col(f).rlike(DiscoveryOps.globToRegex(v.toString))
     case Cmp(_, op, _)     =>
       throw new IllegalArgumentException(s"unsupported operator: $op")
     case In(f, vs)         => col(f).isin(vs: _*)

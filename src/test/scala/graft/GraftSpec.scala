@@ -828,6 +828,19 @@ class QueryDslSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() > 0)
   }
 
+  test("GLOB predicates compile through the discovery glob semantics") {
+    val rows = QueryDsl.compile(spark, SfDir, QueryDsl.parse("""{
+      "from": "files",
+      "where": {"and": [
+        {"field": "file_path", "operator": "GLOB", "value": "src1*/**"},
+        {"field": "file_path", "operator": "GLOB", "value": "**/*3"}]},
+      "fields": ["file_path"]
+    }""")).collect().map(_.getString(0))
+    assert(rows.nonEmpty)
+    assert(rows.forall(p => p.matches("^src1[^/]*/.*$") && p.endsWith("3")),
+      "GLOB must apply separator-aware glob semantics, AND-composed")
+  }
+
   test("dsl_functions pushes the stored-column predicate into the scan") {
     val plan = QueryDsl.dslFunctions(spark, SfDir)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
@@ -1914,6 +1927,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .as[(Long, Long, String)].collect().toSeq.sorted
       assert(got == Seq((1L, 0L, "outer"), (3L, 0L, "x"), (3L, 1L, "y")),
         s"got $got")
+    } finally q.stop()
+  }
+
+  test("glob discovery gates arriving files on a stream (stateless, append)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.operators.DiscoveryOps.streamingDiscoverGlob(
+        mem.toDF().toDF("file_path", "n_chars"))
+      .writeStream.format("memory").queryName("discover_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(("src1/5", 10L), ("src4/9", 20L), ("src13/2", 30L))
+      q.processAllAvailable()
+      mem.addData(("src2/17", 40L), ("nomatch/1", 50L), ("src15/8", 60L))
+      q.processAllAvailable()
+      val got = spark.table("discover_stream")
+        .select("file_path", "cls")
+        .as[(String, String)].collect().toSeq.sorted
+      // src13/2 ignored (subtree), src2/17 ignored (**/*7), nomatch/1
+      // matches neither include set
+      assert(got == Seq("src1/5" -> "code", "src15/8" -> "code",
+        "src4/9" -> "docs"), s"got $got")
     } finally q.stop()
   }
 
