@@ -86,6 +86,15 @@ object CurateOps {
       .select(col("gram")).distinct()
 
   def curateDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    // persisted per (session, dir): the contaminated id set is read by
+    // this query, curate_pipeline AND curate_report — one gram join, not
+    // three (the holdout side was already memo-shaped via broadcast)
+    graft.PlanCache.getOrBuild(spark, dir, "decontam") {
+      decontaminateBuild(spark, dir)
+    }
+
+  /** Un-memoized [[curateDecontaminate]] plan (for plan-shape specs). */
+  private[graft] def decontaminateBuild(spark: SparkSession, dir: String): DataFrame =
     gramRows(Tables.documents(spark, dir)
         .filter(col("doc_id") % HoldoutMod =!= 0)
         .select(col("doc_id"), col("text")))

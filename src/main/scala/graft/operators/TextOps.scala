@@ -143,7 +143,17 @@ object TextOps {
     * set — no new shuffle machinery, which is the point of building the
     * curation steps as composable operators.
     */
-  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame =
+    // persisted per (session, dir): curate_pipeline reads the admission
+    // set once, curate_report three more times (admitted/held/clean stage
+    // counts) — without the memo each read re-runs the scoring scan AND
+    // the clustering anti-join
+    graft.PlanCache.getOrBuild(spark, dir, "corpus_curate") {
+      corpusCurateBuild(spark, dir)
+    }
+
+  /** Un-memoized [[corpusCurate]] plan (for plan-shape specs). */
+  private[graft] def corpusCurateBuild(spark: SparkSession, dir: String): DataFrame = {
     // quality and language are both projections over the SAME scan —
     // computing them in one select replaces two document scans joined
     // (shuffled) on doc_id with a single scan and no exchange
