@@ -202,6 +202,38 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("globToRegex agrees with a recursive glob matcher on random inputs") {
+    // reference model: gobwas/glob semantics with '/' separator —
+    // '*'/'?' never cross a separator, '**' crosses anything
+    def matches(p: List[Char], s: List[Char]): Boolean = (p, s) match {
+      case (Nil, Nil) => true
+      case ('*' :: '*' :: pr, _) =>
+        s.tails.exists(t => matches(pr, t))
+      case ('*' :: pr, _) =>
+        // zero or more non-separator chars
+        (0 to s.takeWhile(_ != '/').length)
+          .exists(k => matches(pr, s.drop(k)))
+      case ('?' :: pr, c :: sr) => c != '/' && matches(pr, sr)
+      case (c :: pr, d :: sr)   => c == d && matches(pr, sr)
+      case _ => false
+    }
+    val genSeg: Gen[String] = Gen.oneOf("a", "b", "ab", "a1", "x")
+    val genGlobSeg: Gen[String] =
+      Gen.oneOf(genSeg, Gen.const("*"), Gen.const("**"), Gen.const("?"),
+        genSeg.map(_ + "*"), genSeg.map("*" + _))
+    val genGlob: Gen[String] =
+      Gen.choose(1, 3).flatMap(n =>
+        Gen.listOfN(n, genGlobSeg).map(_.mkString("/")))
+    val genPath: Gen[String] =
+      Gen.choose(1, 3).flatMap(n =>
+        Gen.listOfN(n, genSeg).map(_.mkString("/")))
+    for (((g, p), i) <- samples(Gen.zip(genGlob, genPath), 400).zipWithIndex) {
+      val got = p.matches(operators.DiscoveryOps.globToRegex(g))
+      val want = matches(g.toList, p.toList)
+      assert(got == want, s"[$i] glob '$g' vs path '$p': regex=$got model=$want")
+    }
+  }
+
   test("phash banding is pigeonhole-exact: hamming<=3 pairs share a band") {
     // the claim the whole candidate join rests on: 3 differing bits over
     // four 8-bit bands always leave one band untouched — so band-equality
