@@ -36,6 +36,22 @@ object RecallProbe {
       val frac = clusters.toSeq.map(c => counts.getOrElse(c, 0L)).sum / total
       println(f"RECALL nprobe=$nprobe recall@10=$recall%.2f scanned=${frac * 100}%5.1f%%")
     }
+    // routed dedup_semantic: drop-set recall of the banded path as the
+    // cell cap shrinks (cap=MaxValue is the all-exact reference; every
+    // cell whose size exceeds the cap goes through band blocking)
+    val exactDrops = operators.DedupOps
+      .dedupSemanticCapped(spark, dir, Long.MaxValue).collect()
+      .collect { case r if !r.getBoolean(2) => r.getLong(0) }.toSet
+    Seq(500L, 100L, 50L, 10L, 1L).foreach { cap =>
+      val drops = operators.DedupOps.dedupSemanticCapped(spark, dir, cap)
+        .collect().collect { case r if !r.getBoolean(2) => r.getLong(0) }.toSet
+      val sound = drops.subsetOf(exactDrops)
+      val recall =
+        if (exactDrops.isEmpty) 1.0
+        else (drops intersect exactDrops).size.toDouble / exactDrops.size
+      println(f"SEMROUTE cap=$cap%6d recall=$recall%.3f sound=$sound " +
+        f"drops=${drops.size}/${exactDrops.size}")
+    }
     spark.stop()
   }
 }
