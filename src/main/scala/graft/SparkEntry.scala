@@ -37,6 +37,7 @@ object SparkEntry {
     "dsl_join_filter" -> QueryDsl.dslJoinFilter _,
     "dsl_modules" -> QueryDsl.dslModules _,
     "dsl_functions" -> QueryDsl.dslFunctions _,
+    "dsl_orphans" -> QueryDsl.dslOrphans _,
     "dsl_types" -> QueryDsl.dslTypes _,
     "dsl_chunks" -> QueryDsl.dslChunks _,
     "q9b_approx_distinct" -> Relational.q9bApproxDistinct _,
@@ -474,6 +475,22 @@ object SparkEntry {
          |FROM fns JOIN files USING (file_path)
          |WHERE lang = 'en' AND line_count >= 3 AND name LIKE 's%'
          |ORDER BY function_id, start_pos LIMIT 100""".stripMargin,
+    // the anti-join contract row: LEFT JOIN + IS NULL + NOT IN +
+    // COUNT(DISTINCT)/AVG(DISTINCT) — lockstep with QueryDsl.dslOrphans
+    "dsl_orphans" ->
+      s"""WITH tok AS (SELECT doc_id, source, $duckTok AS ts FROM documents),
+         |fn AS (SELECT doc_id, source, ts, unnest(list_filter(range(1, len(ts)),
+         |    i -> ts[i] = 'query')) AS i FROM tok),
+         |fns AS (SELECT DISTINCT source || '/' || doc_id::VARCHAR AS file_path
+         |  FROM fn),
+         |files AS (SELECT source || '/' || doc_id::VARCHAR AS file_path, lang,
+         |    (n_chars + 79) // 80 AS line_count FROM documents)
+         |SELECT lang, count(DISTINCT f.file_path) AS n_orphan_files,
+         |  round(avg(DISTINCT line_count), 4) AS avg_distinct_lines
+         |FROM files f LEFT JOIN fns ON f.file_path = fns.file_path
+         |WHERE fns.file_path IS NULL AND lang NOT IN ('de')
+         |GROUP BY lang
+         |ORDER BY n_orphan_files DESC, lang ASC LIMIT 25""".stripMargin,
     // virtual types ⋈ imports rollup — lockstep with Tables.symbolTable
     // ('table' → type), Tables.imports ('batch' → import), dslTypes
     "dsl_types" ->

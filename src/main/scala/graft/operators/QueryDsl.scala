@@ -19,23 +19,31 @@ import graft.Tables
 object QueryDsl {
 
   sealed trait Pred
-  /** op ∈ =, !=, >, >=, <, <=, LIKE (SQL % wildcards) */
+  /** op ∈ =, !=, >, >=, <, <=, LIKE (SQL % wildcards), GLOB. The wire
+    * format's NOT LIKE / NOT IN / IS NOT NULL arrive as first-class
+    * operators (translator.go:157-205) and normalize to NotP wrappers
+    * at parse time. */
   final case class Cmp(field: String, op: String, value: Any) extends Pred
   final case class In(field: String, values: Seq[Any]) extends Pred
+  final case class IsNull(field: String) extends Pred
   final case class Between(field: String, lo: Any, hi: Any) extends Pred
   final case class AndP(ps: Seq[Pred]) extends Pred
   final case class OrP(ps: Seq[Pred]) extends Pred
   final case class NotP(p: Pred) extends Pred
 
-  /** function ∈ COUNT (field optional), SUM, AVG, MIN, MAX; `round`
-    * applies ROUND(x, n) so float aggregates verify across engines. */
+  /** function ∈ COUNT (field optional), SUM, AVG, MIN, MAX; `distinct`
+    * maps COUNT/SUM/AVG onto their DISTINCT forms (translator.go:265-288);
+    * `round` applies ROUND(x, n) so float aggregates verify across
+    * engines. */
   final case class Agg(function: String, field: Option[String],
-      alias: String, round: Option[Int] = None)
+      alias: String, round: Option[Int] = None, distinct: Boolean = false)
 
   final case class Order(field: String, desc: Boolean = false)
 
-  /** INNER equi-join to another table. */
-  final case class Join(table: String, leftField: String, rightField: String)
+  /** Equi-join to another table; joinType ∈ inner, left, right, full
+    * (the wire format's four join types, translator.go:225-236). */
+  final case class Join(table: String, leftField: String, rightField: String,
+      joinType: String = "inner")
 
   final case class QuerySpec(
       from: String,
@@ -66,6 +74,7 @@ object QueryDsl {
     case Cmp(_, op, _)     =>
       throw new IllegalArgumentException(s"unsupported operator: $op")
     case In(f, vs)         => col(f).isin(vs: _*)
+    case IsNull(f)         => col(f).isNull
     case Between(f, lo, hi) => col(f).between(lit(lo), lit(hi))
     case AndP(ps) => ps.map(compilePred).reduceOption(_ && _).getOrElse(lit(true))
     case OrP(ps)  => ps.map(compilePred).reduceOption(_ || _).getOrElse(lit(false))
@@ -73,15 +82,23 @@ object QueryDsl {
   }
 
   private def compileAgg(a: Agg): Column = {
-    val base = (a.function.toUpperCase, a.field) match {
-      case ("COUNT", None)    => count(lit(1))
-      case ("COUNT", Some(f)) => count(col(f))
-      case ("SUM", Some(f))   => sum(col(f))
-      case ("AVG", Some(f))   => avg(col(f))
-      case ("MIN", Some(f))   => min(col(f))
-      case ("MAX", Some(f))   => max(col(f))
-      case (fn, f) =>
-        throw new IllegalArgumentException(s"unsupported aggregation: $fn($f)")
+    val base = (a.function.toUpperCase, a.field, a.distinct) match {
+      case ("COUNT", None, false)    => count(lit(1))
+      case ("COUNT", Some(f), false) => count(col(f))
+      case ("COUNT", Some(f), true)  => countDistinct(col(f))
+      case ("SUM", Some(f), false)   => sum(col(f))
+      case ("SUM", Some(f), true)    => sum_distinct(col(f))
+      case ("AVG", Some(f), false)   => avg(col(f))
+      // no avg_distinct in the Column API: AVG(DISTINCT x) ≡
+      // SUM(DISTINCT x) / COUNT(DISTINCT x) (no expr() — field names are
+      // untrusted wire input and must never be spliced into SQL text)
+      case ("AVG", Some(f), true) =>
+        sum_distinct(col(f)).cast("double") / countDistinct(col(f))
+      case ("MIN", Some(f), _)       => min(col(f))
+      case ("MAX", Some(f), _)       => max(col(f))
+      case (fn, f, d) =>
+        throw new IllegalArgumentException(
+          s"unsupported aggregation: $fn($f, distinct=$d)")
     }
     a.round.map(n => round(base, n)).getOrElse(base).as(a.alias)
   }
@@ -97,8 +114,9 @@ object QueryDsl {
       // fields/predicates on the key stay unambiguous.
       val right = Tables.load(spark, dir, j.table)
       df =
-        if (j.leftField == j.rightField) df.join(right, Seq(j.leftField))
-        else df.join(right, df(j.leftField) === right(j.rightField))
+        if (j.leftField == j.rightField)
+          df.join(right, Seq(j.leftField), j.joinType)
+        else df.join(right, df(j.leftField) === right(j.rightField), j.joinType)
     }
     q.where.foreach(p => df = df.filter(compilePred(p)))
     if (q.groupBy.nonEmpty || q.aggregations.nonEmpty) {
@@ -123,9 +141,13 @@ object QueryDsl {
   /** JSON front-end, same wire shape as the cortex tool:
     * `{"from": "...", "fields": [...], "where": {"field","operator",
     * "value"} | {"and":[...]} | {"or":[...]} | {"not":...}, "joins":
-    * [{"table","leftField","rightField"}], "groupBy": [...],
-    * "aggregations": [{"function","field","alias","round"}], "having":
+    * [{"table","leftField","rightField","type"?}], "groupBy": [...],
+    * "aggregations": [{"function","field","alias","round"?,"distinct"?}],
+    * "having":
     * ..., "orderBy": [{"field","direction"}], "limit", "offset"}`.
+    * Operators cover the reference translator's full set
+    * (translator.go:157-205): the six comparisons, LIKE / NOT LIKE,
+    * IN / NOT IN, IS NULL / IS NOT NULL, BETWEEN, plus GLOB.
     * Parsed with Jackson (already on Spark's classpath) — no new
     * dependency.
     */
@@ -168,6 +190,13 @@ object QueryDsl {
         req(n, "operator", s"predicate on $f").asText().toUpperCase match {
           case "IN" =>
             In(f, req(n, "value", s"IN on $f").elements().asScala.map(value).toSeq)
+          case "NOT IN" =>
+            NotP(In(f,
+              req(n, "value", s"NOT IN on $f").elements().asScala.map(value).toSeq))
+          case "NOT LIKE" =>
+            NotP(Cmp(f, "LIKE", value(req(n, "value", s"NOT LIKE on $f"))))
+          case "IS NULL" => IsNull(f)
+          case "IS NOT NULL" => NotP(IsNull(f))
           case "BETWEEN" =>
             val vs = req(n, "value", s"BETWEEN on $f")
               .elements().asScala.map(value).toSeq
@@ -189,9 +218,15 @@ object QueryDsl {
       joins =
         if (root.has("joins"))
           root.get("joins").elements().asScala.map { j =>
+            val jt =
+              if (j.has("type")) j.get("type").asText().toLowerCase
+              else "inner"
+            if (!Set("inner", "left", "right", "full").contains(jt))
+              throw new IllegalArgumentException(
+                s"join type must be inner/left/right/full, got '$jt'")
             Join(req(j, "table", "join").asText(),
               req(j, "leftField", "join").asText(),
-              req(j, "rightField", "join").asText())
+              req(j, "rightField", "join").asText(), jt)
           }.toSeq
         else Nil,
       where = if (root.has("where")) Some(pred(root.get("where"))) else None,
@@ -202,7 +237,8 @@ object QueryDsl {
             Agg(req(a, "function", "aggregation").asText(),
               if (a.has("field")) Some(a.get("field").asText()) else None,
               req(a, "alias", "aggregation").asText(),
-              if (a.has("round")) Some(intOf(a.get("round"), "round")) else None)
+              if (a.has("round")) Some(intOf(a.get("round"), "round")) else None,
+              a.has("distinct") && a.get("distinct").asBoolean(false))
           }.toSeq
         else Nil,
       having = if (root.has("having")) Some(pred(root.get("having"))) else None,
@@ -317,6 +353,30 @@ object QueryDsl {
       "orderBy": [{"field": "n_tokens", "direction": "DESC"},
                   {"field": "file_path", "direction": "ASC"}],
       "limit": 40
+    }"""))
+
+  /** The anti-join shape through the wire format: LEFT JOIN + IS NULL
+    * ("files declaring no function"), NOT IN admission, and a
+    * COUNT(DISTINCT) rollup — the operators the reference translator
+    * carries beyond the basic comparison set (translator.go:181-205,
+    * :225-236, :265-270). */
+  def dslOrphans(spark: SparkSession, dir: String): DataFrame =
+    compile(spark, dir, parse("""{
+      "from": "files",
+      "joins": [{"table": "functions", "leftField": "file_path",
+                 "rightField": "file_path", "type": "left"}],
+      "where": {"and": [
+        {"field": "name", "operator": "IS NULL"},
+        {"field": "lang", "operator": "NOT IN", "value": ["de"]}]},
+      "groupBy": ["lang"],
+      "aggregations": [
+        {"function": "COUNT", "field": "file_path", "distinct": true,
+         "alias": "n_orphan_files"},
+        {"function": "AVG", "field": "line_count", "distinct": true,
+         "alias": "avg_distinct_lines", "round": 4}],
+      "orderBy": [{"field": "n_orphan_files", "direction": "DESC"},
+                  {"field": "lang", "direction": "ASC"}],
+      "limit": 25
     }"""))
 
   /** Contract row 2 (via the JSON front-end): join + WHERE with

@@ -828,6 +828,64 @@ class QueryDslSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() > 0)
   }
 
+  test("NOT LIKE / NOT IN / IS [NOT] NULL / typed joins / DISTINCT aggs") {
+    // the translator's remaining operator set (translator.go:181-205):
+    // orphan files = LEFT JOIN functions + IS NULL on the probe column
+    val orphans = QueryDsl.compile(spark, SfDir, QueryDsl.parse("""{
+      "from": "files",
+      "joins": [{"table": "functions", "leftField": "file_path",
+                 "rightField": "file_path", "type": "left"}],
+      "where": {"field": "name", "operator": "IS NULL"},
+      "fields": ["file_path"]
+    }""")).collect().map(_.getString(0)).toSet
+    val withFns = Tables.load(spark, SfDir, "functions")
+      .select("file_path").distinct().collect().map(_.getString(0)).toSet
+    val all = Tables.load(spark, SfDir, "files")
+      .select("file_path").collect().map(_.getString(0)).toSet
+    assert(orphans == all.diff(withFns), "LEFT JOIN + IS NULL = anti-join")
+    assert(orphans.nonEmpty && withFns.nonEmpty)
+    // IS NOT NULL is the complementary semi-join
+    val withNames = QueryDsl.compile(spark, SfDir, QueryDsl.parse("""{
+      "from": "files",
+      "joins": [{"table": "functions", "leftField": "file_path",
+                 "rightField": "file_path", "type": "left"}],
+      "where": {"field": "name", "operator": "IS NOT NULL"},
+      "fields": ["file_path"]
+    }""")).select("file_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(withNames == withFns)
+    // NOT LIKE / NOT IN compile to the negated predicates
+    val filtered = QueryDsl.compile(spark, SfDir, QueryDsl.parse("""{
+      "from": "files",
+      "where": {"and": [
+        {"field": "module_path", "operator": "NOT LIKE", "value": "src1%"},
+        {"field": "lang", "operator": "NOT IN", "value": ["de", "fr"]}]},
+      "fields": ["module_path", "lang"]
+    }""")).collect()
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(r => !r.getString(0).startsWith("src1") &&
+      r.getString(1) != "de" && r.getString(1) != "fr"))
+    // DISTINCT aggregations match their Column-API counterparts
+    import org.apache.spark.sql.functions.{countDistinct, col}
+    val viaDsl = QueryDsl.compile(spark, SfDir, QueryDsl.parse("""{
+      "from": "files",
+      "groupBy": ["lang"],
+      "aggregations": [{"function": "COUNT", "field": "module_path",
+        "distinct": true, "alias": "n_modules"}],
+      "orderBy": [{"field": "lang", "direction": "ASC"}]
+    }""")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.load(spark, SfDir, "files")
+      .groupBy("lang").agg(countDistinct(col("module_path")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaDsl == direct)
+    // unknown join types are rejected at the wire boundary
+    intercept[IllegalArgumentException] {
+      QueryDsl.parse("""{"from": "files", "joins": [{"table": "functions",
+        "leftField": "file_path", "rightField": "file_path",
+        "type": "cross"}]}""")
+    }
+  }
+
   test("GLOB predicates compile through the discovery glob semantics") {
     val rows = QueryDsl.compile(spark, SfDir, QueryDsl.parse("""{
       "from": "files",
