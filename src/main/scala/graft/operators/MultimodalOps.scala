@@ -67,9 +67,19 @@ object MultimodalOps {
       // explode-every-byte shape needed a (doc, frame) groupBy exchange.
       .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("nc"),
         posexplode(sequence(lit(1), col("n_chars").cast("int"), lit(50))))
+      // slice the frame string FIRST: substr on a UTF8String scans from
+      // the start to find the char offset, so per-byte substr(text, p, 1)
+      // makes each doc O(len²/frame) — decoding from the 50-char frame
+      // slice bounds every scan to the frame (measured 1.5 s → 0.6 s at
+      // sf0.1, identical values)
       .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
-        transform(sequence(col("col"), least(col("col") + 49, col("nc"))),
-          p => ascii(col("text").substr(p, lit(1)))).as("bs"))
+        col("text").substr(col("col"), lit(50)).as("frame"))
+      // split("") decodes the whole frame in ONE pass (per-char substr
+      // would re-scan the frame per byte); slice by length drops the
+      // trailing empty token split emits
+      .select(col("doc_id"), col("frame_idx"),
+        slice(transform(split(col("frame"), ""), c => ascii(c)),
+          lit(1), length(col("frame"))).as("bs"))
       .select(col("doc_id"), col("frame_idx"),
         size(col("bs")).cast("long").as("n_samples"),
         aggregate(col("bs"), lit(0L), (acc, b) => acc + b * b).as("energy_sum"))
@@ -100,11 +110,14 @@ object MultimodalOps {
     spark.table(graft.sources.IndexStore.derivedBucketed(spark, dir,
       "phash_bands", Seq("band", "bv")) {
       val nc = col("nc")
+      // whole-payload decode in ONE split pass (per-char substr from the
+      // document start is O(pos) each → O(len²) per payload), then each
+      // frame energy aggregates an O(frame) slice of the code array
       val es = transform(sequence(lit(0), lit(PhashFrames - 1)), f => {
         val s = floor(f * nc / PhashFrames).cast("int") + 1
         val e = floor((f + 1) * nc / PhashFrames).cast("int")
         aggregate(
-          transform(sequence(s, e), p => ascii(col("text").substr(p, lit(1)))),
+          slice(col("codes"), s, e - s + lit(1)),
           // square in LONG: a supplementary-plane code point (>= 46341)
           // would overflow Int.MaxValue in b*b and corrupt the signature
           lit(0L), (acc, b) => acc + b.cast("long") * b.cast("long"))
@@ -120,6 +133,9 @@ object MultimodalOps {
       Tables.documents(spark, dir)
         .filter(col("n_chars") >= PhashFrames)
         .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("nc"))
+        .withColumn("codes",
+          slice(transform(split(col("text"), ""), c => ascii(c)),
+            lit(1), col("nc")))
         .withColumn("es", es)
         .withColumn("tot", aggregate(col("es"), lit(0L), (a, x) => a + x))
         .withColumn("ph", sig)
