@@ -62,6 +62,25 @@ object DedupOps {
           trigrams(tokens(col("text"))).as("gs"))
     }
 
+  /** Exact-Jaccard verify of a candidate (a_id, b_id) relation against
+    * the distinct-shingle arrays. `gs` is a SET (trigrams ends in
+    * array_distinct), so |A∪B| = |A|+|B|−|A∩B| — computing the union as
+    * array_distinct(concat(a, b)) would hash every element a second
+    * time per pair, and the verify runs once per CANDIDATE, the hot
+    * count of every near-dup op. */
+  private def jaccardVerify(cand: DataFrame, ng: DataFrame,
+      tau: Double): DataFrame =
+    cand
+      .join(ng.select(col("doc_id").as("a_id"), col("gs").as("a_gs")), "a_id")
+      .join(ng.select(col("doc_id").as("b_id"), col("gs").as("b_gs")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_gs"), col("b_gs"))).as("inter"),
+        (size(col("a_gs")) + size(col("b_gs"))).as("tot"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") /
+          greatest(col("tot") - col("inter"), lit(1)), 4).as("jac"))
+      .filter(col("jac") >= tau)
+
   /** Stable 60-bit token hash from the md5 hex prefix — identical bytes on
     * any engine (the oracle recomputes it in DuckDB), unlike murmur/xxhash
     * whose seeds differ across systems. */
@@ -126,14 +145,7 @@ object DedupOps {
       .join(prefix.select(col("doc_id").as("b_id"), col("gkey").as("y_gkey")),
         col("gkey") === col("y_gkey") && col("doc_id") < col("b_id"))
       .select(col("doc_id").as("a_id"), col("b_id")).distinct()
-    cand
-      .join(ng.select(col("doc_id").as("a_id"), col("gs").as("a_gs")), "a_id")
-      .join(ng.select(col("doc_id").as("b_id"), col("gs").as("b_gs")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("a_gs"), col("b_gs"))).cast("double") /
-          greatest(size(array_distinct(concat(col("a_gs"), col("b_gs")))), lit(1)), 4)
-          .as("jac"))
-      .filter(col("jac") >= JaccardTau)
+    jaccardVerify(cand, ng, JaccardTau)
   }
 
   /** MinHash signatures (16 hashes = 8 bands x 2 rows) over 3-gram shingles,
@@ -186,14 +198,7 @@ object DedupOps {
         col("band") === col("b_band") && col("sig") === col("b_sig") &&
           col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    cand
-      .join(ng.select(col("doc_id").as("a_id"), col("gs").as("a_gs")), "a_id")
-      .join(ng.select(col("doc_id").as("b_id"), col("gs").as("b_gs")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("a_gs"), col("b_gs"))).cast("double") /
-          greatest(size(array_distinct(concat(col("a_gs"), col("b_gs")))), lit(1)), 4)
-          .as("jac"))
-      .filter(col("jac") >= 0.5)
+    jaccardVerify(cand, ng, 0.5)
   }
 
   /** The deterministic "new batch" for the incremental op: docs with
@@ -232,14 +237,7 @@ object DedupOps {
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val ng = shingled(spark, dir)
     val cand = incrementalCandidates(spark, dir).distinct()
-    cand
-      .join(ng.select(col("doc_id").as("a_id"), col("gs").as("a_gs")), "a_id")
-      .join(ng.select(col("doc_id").as("b_id"), col("gs").as("b_gs")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("a_gs"), col("b_gs"))).cast("double") /
-          greatest(size(array_distinct(concat(col("a_gs"), col("b_gs")))), lit(1)), 4)
-          .as("jac"))
-      .filter(col("jac") >= 0.5)
+    jaccardVerify(cand, ng, 0.5)
   }
 
   /** SimHash band layout: 32 signature bits sliced into 6 (offset, width)
