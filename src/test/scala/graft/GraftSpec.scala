@@ -884,6 +884,27 @@ class QueryDslSpec extends AnyFunSuite with SparkFixture {
         "leftField": "file_path", "rightField": "file_path",
         "type": "cross"}]}""")
     }
+    // right/full are the remaining reference join types
+    // (translator.go:225-236): functions RIGHT JOIN files keeps every
+    // file (≡ the left-join row count from the files side), FULL keeps
+    // the same (files ⊇ functions' file set by construction)
+    val nFiles = Tables.load(spark, SfDir, "files").count()
+    val left = QueryDsl.compile(spark, SfDir, QueryDsl.parse("""{
+      "from": "files",
+      "joins": [{"table": "functions", "leftField": "file_path",
+                 "rightField": "file_path", "type": "left"}]
+    }""")).count()
+    val right = QueryDsl.compile(spark, SfDir, QueryDsl.parse("""{
+      "from": "functions",
+      "joins": [{"table": "files", "leftField": "file_path",
+                 "rightField": "file_path", "type": "right"}]
+    }""")).count()
+    val full = QueryDsl.compile(spark, SfDir, QueryDsl.parse("""{
+      "from": "functions",
+      "joins": [{"table": "files", "leftField": "file_path",
+                 "rightField": "file_path", "type": "full"}]
+    }""")).count()
+    assert(right == left && full == left && left >= nFiles)
   }
 
   test("GLOB predicates compile through the discovery glob semantics") {
