@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.BinaryExpression
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graft.SqlBridge
+
+/** `size(array_intersect(a, b))` for two SORTED, DISTINCT, null-free
+  * string arrays, as a single merge scan.
+  *
+  * The built-in `array_intersect` builds a hash set of one side and
+  * materializes the intersection array PER ROW — and the near-dup
+  * verifies only ever read its SIZE, once per candidate pair (the hot
+  * count of every dedup operator). With both sides kept sorted at index
+  * build time, the count is an O(|A|+|B|) pointer walk with zero
+  * allocation and zero hashing, in both codegen and interpreted modes.
+  *
+  * Preconditions (owned by the callers, pinned by DedupSpec): elements
+  * ascending by UTF8String order and distinct (the shingle builder ends
+  * in array_sort ∘ array_distinct); null ELEMENTS are skipped — they
+  * cannot match, which differs from array_intersect's null≡null only
+  * for inputs the shingle relation never produces. A null ARRAY yields
+  * null, as for the built-in composition.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size needs two array<string> inputs, got $l / $r")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      s"""
+         |int $i = 0, $j = 0, $n = 0;
+         |final int $nx = $a.numElements();
+         |final int $ny = $b.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($c == 0) { $n++; $i++; $j++; }
+         |    else if ($c < 0) { $i++; } else { $j++; }
+         |  }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayFunctions {
+  /** Codegen'd merge-scan intersection size over sorted string arrays. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    SqlBridge.column(
+      SortedIntersectSize(SqlBridge.expression(a), SqlBridge.expression(b)))
+}

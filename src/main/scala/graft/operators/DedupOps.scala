@@ -59,22 +59,29 @@ object DedupOps {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"),
           (col("n_chars") / 100).cast("long").as("lb"),
-          trigrams(tokens(col("text"))).as("gs"))
+          // SORTED at build time: sortedness is an index property — it
+          // buys every verify a merge-scan intersection (no per-pair
+          // hash set); every other consumer is order-insensitive
+          // (explode for the prefix/minhash indexes, set compares in
+          // specs)
+          array_sort(trigrams(tokens(col("text")))).as("gs"))
     }
 
   /** Exact-Jaccard verify of a candidate (a_id, b_id) relation against
-    * the distinct-shingle arrays. `gs` is a SET (trigrams ends in
-    * array_distinct), so |A∪B| = |A|+|B|−|A∩B| — computing the union as
-    * array_distinct(concat(a, b)) would hash every element a second
-    * time per pair, and the verify runs once per CANDIDATE, the hot
-    * count of every near-dup op. */
+    * the distinct-shingle arrays. `gs` is a SORTED SET (the shingle
+    * build ends in array_sort ∘ array_distinct), so |A∩B| is one
+    * codegen'd merge scan ([[graft.functions.SortedIntersectSize]] — no
+    * per-pair hash set, no materialized intersection) and
+    * |A∪B| = |A|+|B|−|A∩B| needs no array at all. The verify runs once
+    * per CANDIDATE, the hot count of every near-dup op. */
   private def jaccardVerify(cand: DataFrame, ng: DataFrame,
       tau: Double): DataFrame =
     cand
       .join(ng.select(col("doc_id").as("a_id"), col("gs").as("a_gs")), "a_id")
       .join(ng.select(col("doc_id").as("b_id"), col("gs").as("b_gs")), "b_id")
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_gs"), col("b_gs"))).as("inter"),
+        graft.functions.ArrayFunctions
+          .sortedIntersectSize(col("a_gs"), col("b_gs")).as("inter"),
         (size(col("a_gs")) + size(col("b_gs"))).as("tot"))
       .select(col("a_id"), col("b_id"),
         round(col("inter").cast("double") /

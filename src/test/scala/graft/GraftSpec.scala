@@ -660,6 +660,44 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+/** SortedIntersectSize: codegen and interpreted paths agree with the
+  * built-in array_intersect composition on random sorted sets. */
+class SortedIntersectSpec extends AnyFunSuite with SparkFixture {
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  test("merge-scan intersect size matches set intersection (both modes)") {
+    val g = for {
+      a <- Gen.listOf(Gen.oneOf("a", "b", "cc", "d1", "e", "ff", "g"))
+      b <- Gen.listOf(Gen.oneOf("a", "b", "cc", "d1", "e", "ff", "g"))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    val cases = (1 to 60).map(i =>
+      g.pureApply(Gen.Parameters.default, Seed(i.toLong))) :+
+      ((Nil, Nil)) :+ ((List("x"), Nil))
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val sparkS = spark
+        import sparkS.implicits._
+        val got = cases.toDF("a", "b")
+          .select(functions.ArrayFunctions
+            .sortedIntersectSize(col("a"), col("b")))
+          .collect().map(_.getInt(0)).toSeq
+        val want = cases.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+        assert(got == want, s"mode=$cg")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("the jaccard verify relation uses the merge scan on sorted arrays") {
+    import operators.DedupOps
+    val plan = DedupOps.dedupNgramJaccard(spark, SfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("sortedintersectsize"),
+      s"verify must use the merge-scan expression:\n${plan.take(1500)}")
+  }
+}
+
 /** HyperplaneBandSigs: codegen and interpreted paths agree with a plain
   * Scala reference. */
 class HyperplaneSigSpec extends AnyFunSuite with SparkFixture {
