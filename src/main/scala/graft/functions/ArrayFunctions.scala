@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.graft.SqlBridge
 
 /** `size(array_intersect(a, b))` for two SORTED, DISTINCT, null-free
-  * string arrays, as a single merge scan.
+  * string or long arrays, as a single merge scan.
   *
   * The built-in `array_intersect` builds a hash set of one side and
   * materializes the intersection array PER ROW — and the near-dup
@@ -35,20 +35,29 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_size needs two array<string> inputs, got $l / $r")
+        "sorted_intersect_size needs two array<string> or two " +
+          s"array<long> inputs, got $l / $r")
     }
+
+  private def elemIsString: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == StringType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val str = elemIsString
     var i = 0; var j = 0; var n = 0
     val nx = x.numElements(); val ny = y.numElements()
     while (i < nx && j < ny) {
       if (x.isNullAt(i)) i += 1
       else if (y.isNullAt(j)) j += 1
       else {
-        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        val c =
+          if (str) x.getUTF8String(i).compareTo(y.getUTF8String(j))
+          else java.lang.Long.compare(x.getLong(i), y.getLong(j))
         if (c == 0) { n += 1; i += 1; j += 1 }
         else if (c < 0) i += 1
         else j += 1
@@ -62,6 +71,10 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n = ctx.freshName("n"); val c = ctx.freshName("c")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val cmp =
+        if (elemIsString)
+          s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+        else s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
       s"""
          |int $i = 0, $j = 0, $n = 0;
          |final int $nx = $a.numElements();
@@ -70,7 +83,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |  if ($a.isNullAt($i)) { $i++; }
          |  else if ($b.isNullAt($j)) { $j++; }
          |  else {
-         |    final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    final int $c = $cmp;
          |    if ($c == 0) { $n++; $i++; $j++; }
          |    else if ($c < 0) { $i++; } else { $j++; }
          |  }

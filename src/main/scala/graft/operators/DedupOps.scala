@@ -379,7 +379,11 @@ object DedupOps {
       .join(sel.select(col("doc_id").as("a_id"), col("sel").as("a_sel")), "a_id")
       .join(sel.select(col("doc_id").as("b_id"), col("sel").as("b_sel")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("a_sel"), col("b_sel"))).cast("double") /
+        // sel is array_sort∘array_distinct at build (TextOps.winnowed),
+        // so the intersection is the same codegen'd merge scan the
+        // Jaccard verify uses — no per-pair hash set
+        round(graft.functions.ArrayFunctions
+            .sortedIntersectSize(col("a_sel"), col("b_sel")).cast("double") /
           greatest(least(size(col("a_sel")), size(col("b_sel"))), lit(1)), 4)
           .as("containment"))
       .filter(col("containment") >= 0.5)

@@ -689,6 +689,28 @@ class SortedIntersectSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("merge-scan intersect handles sorted long arrays (both modes)") {
+    val g = for {
+      a <- Gen.listOf(Gen.choose(-5L, 5L))
+      b <- Gen.listOf(Gen.choose(-5L, 5L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    val cases = (1 to 60).map(i =>
+      g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val sparkS = spark
+        import sparkS.implicits._
+        val got = cases.toDF("a", "b")
+          .select(functions.ArrayFunctions
+            .sortedIntersectSize(col("a"), col("b")))
+          .collect().map(_.getInt(0)).toSeq
+        val want = cases.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+        assert(got == want, s"mode=$cg")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("the jaccard verify relation uses the merge scan on sorted arrays") {
     import operators.DedupOps
     val plan = DedupOps.dedupNgramJaccard(spark, SfDir)
