@@ -132,6 +132,7 @@ object SparkEntry {
     "curate_length_batches" -> CurateOps.curateLengthBatches _,
     "curate_pipeline" -> CurateOps.curatePipeline _,
     "curate_report" -> CurateOps.curateReport _,
+    "curate_d4" -> CurateOps.curateD4 _,
     "curate_boilerplate" -> CurateOps.curateBoilerplate _,
     "curate_ppl_buckets" -> CurateOps.curatePplBuckets _,
     "curate_quality_classifier" -> CurateOps.curateQualityClassifier _,
@@ -598,6 +599,28 @@ object SparkEntry {
          |SELECT a2.vec_id, a2.cluster,
          |  (a2.vec_id NOT IN (SELECT b_id FROM pr)) AS keep
          |FROM a2""".stripMargin,
+    // lockstep with CurateOps.curateD4 (D4DropFrac, SemTau, the shared
+    // k-means CTE chain and the dedup_semantic drop CTE)
+    "curate_d4" ->
+      s"""WITH $duckKmeans,
+         |pr AS (SELECT DISTINCT b.vec_id AS b_id
+         |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE round(${duckCos("ea.v", "eb.v")}, 4) >= ${operators.DedupOps.SemTau}),
+         |kept AS (SELECT a2.vec_id, a2.cluster FROM a2
+         |  WHERE a2.vec_id NOT IN (SELECT b_id FROM pr)),
+         |pc AS (SELECT k.vec_id, k.cluster,
+         |    round(${duckCos("e.v", "c1.c")}, 4) AS proto
+         |  FROM kept k JOIN e ON e.vec_id = k.vec_id
+         |  JOIN c1 ON c1.cluster = k.cluster),
+         |rk AS (SELECT *,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY proto DESC, vec_id) AS r,
+         |    count(*) OVER (PARTITION BY cluster) AS n FROM pc)
+         |SELECT vec_id, cluster, proto,
+         |  (r > ceil(${CurateOps.D4DropFrac} * n)) AS keep
+         |FROM rk""".stripMargin,
     "vec_knn_kmeans" ->
       s"""WITH $duckKmeans,
          |q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),

@@ -724,6 +724,47 @@ object CurateOps {
     * unioned — the stage sets are the same PlanCache-backed relations
     * the pipeline itself composes, so the report never recomputes a
     * stage, only counts it. */
+  /** Fraction of each cell's deduped members pruned as "too
+    * prototypical" — D4's diversification knob. Shared with the oracle. */
+  val D4DropFrac = 0.25
+
+  /** D4 (Tirumala et al. 2023, arXiv:2308.12284): document
+    * de-duplication AND diversification — SemDeDup first removes
+    * semantic near-dups, then the most PROTOTYPICAL survivors (highest
+    * cosine to their cluster centroid — the redundant "core" the
+    * embedding model sees thousands of times) are pruned per cluster at
+    * a fixed fraction, keeping the diverse tail the paper shows improves
+    * pretraining. Deterministic: prototypicality is rounded to 4
+    * decimals and ties break by vec_id, so the verdict is cross-engine
+    * stable.
+    *
+    * Shape: REUSES the memoized trained model end-to-end —
+    * [[DedupOps.dedupSemantic]]'s verdicts (which reuse
+    * [[SearchOps.kmeansAssigned]]) and the K-row centroid table
+    * (broadcast). The rank and the cell count share ONE exchange on the
+    * cluster key; cells are bounded by the same cap-and-route posture as
+    * the dedup pass, so the per-cell window never sees a detonating
+    * partition. */
+  def curateD4(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    val kept = DedupOps.dedupSemantic(spark, dir)
+      .filter(col("keep")).select(col("vec_id"), col("cluster"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val byCell = Window.partitionBy(col("cluster"))
+    val proto = kept
+      .join(emb, "vec_id")
+      .join(broadcast(SearchOps.kmeansCents(spark, dir)), "cluster")
+      .select(col("vec_id"), col("cluster"),
+        round(cosineSim(col("v"), col("c")), 4).as("proto"))
+    proto
+      .withColumn("r", row_number().over(
+        byCell.orderBy(col("proto").desc, col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(byCell))
+      .select(col("vec_id"), col("cluster"), col("proto"),
+        (col("r") > ceil(lit(D4DropFrac) * col("n"))).as("keep"))
+  }
+
   def curateReport(spark: SparkSession, dir: String): DataFrame = {
     val docsTok = Tables.documents(spark, dir)
       .select(col("doc_id"),

@@ -394,7 +394,7 @@ object SearchOps {
 
   /** The trained centroids (one Lloyd re-estimation from the md5-seeded
     * init), cached per (session, dir). */
-  private def kmeansCents(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def kmeansCents(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.getOrBuild(spark, dir, "kmeansCents") {
       val emb = embAsDouble(spark, dir)
       val c0 = emb
