@@ -591,7 +591,12 @@ object DedupOps {
     * the cap holds; oversize cells degrade to high-recall candidate
     * generation instead of detonating (recall pinned in the spec). */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    dedupSemanticCapped(spark, dir, SearchOps.ExactCellCap)
+    // persisted per (session, dir): curate_d4 consumes the verdicts on
+    // top of its own pruning pass — without the memo it re-runs the
+    // within-cell pair join. Capped variants (spec-only) stay unmemoized.
+    graft.PlanCache.getOrBuild(spark, dir, "dedup:semantic") {
+      dedupSemanticCapped(spark, dir, SearchOps.ExactCellCap)
+    }
 
   private[graft] def dedupSemanticCapped(spark: SparkSession, dir: String,
       cellCap: Long): DataFrame = {
