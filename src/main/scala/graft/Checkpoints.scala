@@ -31,12 +31,19 @@ object Checkpoints {
     * The context's own getCheckpointDir is the authoritative state: it
     * dies with the context, so no stale-memo hazard and no weak-map
     * bookkeeping. The installed value is a fs-QUALIFIED UUID SUBDIR of
-    * the conf dir (file:/… for a local path), so match on containment of
-    * the "dir/" segment, not equality or raw prefix. */
+    * the conf dir (file:/… for a local path), so the check qualifies the
+    * conf dir through the same FileSystem and compares it against the
+    * PARENT of the installed subdir — raw substring containment would
+    * false-positive when the conf path appears as an inner segment of
+    * another dir's qualified path (e.g. '/tmp/ck' inside
+    * '/data/tmp/ck/sub') and skip the install. */
   private def ensureDir(df: DataFrame, dir: String): Unit = synchronized {
     val sc = df.sparkSession.sparkContext
-    if (!sc.getCheckpointDir.exists(_.contains(dir.stripSuffix("/") + "/")))
-      sc.setCheckpointDir(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val want = p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+    val installedParent =
+      sc.getCheckpointDir.map(d => new org.apache.hadoop.fs.Path(d).getParent.toString)
+    if (!installedParent.contains(want)) sc.setCheckpointDir(dir)
   }
 
   /** Cut `df`'s lineage, eagerly: reliable `checkpoint()` when

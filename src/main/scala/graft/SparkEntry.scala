@@ -595,10 +595,12 @@ object SparkEntry {
          |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
          |  JOIN e ea ON ea.vec_id = a.vec_id
          |  JOIN e eb ON eb.vec_id = b.vec_id
-         |  WHERE round(${duckCos("ea.v", "eb.v")}, 4) >= ${operators.DedupOps.SemTau})
+         |  WHERE round(${duckCos("ea.v", "eb.v")}, 4) >= ${operators.DedupOps.SemTau}),
+         |cn AS (SELECT cluster, count(*) AS cell_n FROM a2 GROUP BY 1)
          |SELECT a2.vec_id, a2.cluster,
-         |  (a2.vec_id NOT IN (SELECT b_id FROM pr)) AS keep
-         |FROM a2""".stripMargin,
+         |  (a2.vec_id NOT IN (SELECT b_id FROM pr)) AS keep,
+         |  (cn.cell_n > ${operators.SearchOps.ExactCellCap}) AS routed
+         |FROM a2 JOIN cn USING (cluster)""".stripMargin,
     // lockstep with CurateOps.curateD4 (D4DropFrac, SemTau, the shared
     // k-means CTE chain and the dedup_semantic drop CTE)
     "curate_d4" ->
@@ -619,7 +621,7 @@ object SparkEntry {
          |      ORDER BY proto DESC, vec_id) AS r,
          |    count(*) OVER (PARTITION BY cluster) AS n FROM pc)
          |SELECT vec_id, cluster, proto,
-         |  (r > ceil(${CurateOps.D4DropFrac} * n)) AS keep
+         |  (r > floor(${CurateOps.D4DropFrac} * n)) AS keep
          |FROM rk""".stripMargin,
     "vec_knn_kmeans" ->
       s"""WITH $duckKmeans,

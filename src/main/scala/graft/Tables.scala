@@ -24,7 +24,19 @@ object Tables {
       case "functions" => symbolTable(spark, dir, "function", "function_id")
       case "imports"   => imports(spark, dir)
       case "chunks"    => chunks(spark, dir)
-      case _ => spark.read.parquet(s"$dir/$name.parquet")
+      case _ =>
+        // Parquet naive timestamps (isAdjustedToUTC=false, how the test
+        // corpus writes ts/o_orderdate/l_shipdate) read as TIMESTAMP_NTZ
+        // under Spark 4's default inference, which unix_micros & friends
+        // reject. Read them as LTZ instead: with the UTC session timezone
+        // every main/suite sets, the raw micros are identical to what
+        // DuckDB sees for the same naive column, so oracle hashes agree.
+        // Dynamic conf (same pattern as nanosAsLong in `events`) so the
+        // posture holds for caller-built sessions too.
+        if (spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
+            .forall(_ != "false"))
+          spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        spark.read.parquet(s"$dir/$name.parquet")
     }
 
   /** The reference's `files` table shape (internal/storage/schema.go;

@@ -725,7 +725,11 @@ object CurateOps {
     * the pipeline itself composes, so the report never recomputes a
     * stage, only counts it. */
   /** Fraction of each cell's deduped members pruned as "too
-    * prototypical" — D4's diversification knob. Shared with the oracle. */
+    * prototypical" — D4's diversification knob. Shared with the oracle.
+    * The drop count is floor(frac·n), so a small cell (n < 1/frac, e.g.
+    * a singleton holding unique, non-duplicated content) keeps ALL its
+    * members rather than losing its only one to a ceil round-up — D4
+    * prunes a fraction of the redundant core, it never empties a cell. */
   val D4DropFrac = 0.25
 
   /** D4 (Tirumala et al. 2023, arXiv:2308.12284): document
@@ -762,7 +766,7 @@ object CurateOps {
         byCell.orderBy(col("proto").desc, col("vec_id"))))
       .withColumn("n", count(lit(1)).over(byCell))
       .select(col("vec_id"), col("cluster"), col("proto"),
-        (col("r") > ceil(lit(D4DropFrac) * col("n"))).as("keep"))
+        (col("r") > floor(lit(D4DropFrac) * col("n"))).as("keep"))
   }
 
   def curateReport(spark: SparkSession, dir: String): DataFrame = {

@@ -635,9 +635,18 @@ object DedupOps {
     val drops = exactPairs.unionAll(bandPairs)
       .filter(round(cosineSim(col("a_v"), col("b_v")), 4) >= SemTau)
       .select(col("b_id").as("vec_id")).distinct()
-    asg.select(col("vec_id"), col("cluster"))
+    // `routed` makes the exact-vs-approximate split OBSERVABLE: true on
+    // members of cells that exceeded the cap and went through band
+    // blocking (high-recall candidates, not provably-exhaustive pairs).
+    // At every verified scale all cells fit the cap, so the oracle's
+    // (cell_n > cap) mirror stays all-false — but a cap trip at a bigger
+    // SF now shows up as routed=true rows in Verify output instead of a
+    // silent, opaque hash mismatch.
+    tagged.select(col("vec_id"), col("cluster"),
+        (col("cell_n") > cellCap).as("routed"))
       .join(drops.withColumn("_d", lit(1)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"), col("_d").isNull.as("keep"))
+      .select(col("vec_id"), col("cluster"), col("_d").isNull.as("keep"),
+        col("routed"))
   }
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {

@@ -72,6 +72,14 @@ object CorpusIO {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       jsonlCopies.values.forEach(deleteTree(_))
     }, "graft-jsonl-cleanup"))
+    // Deliberately CROSS-SESSION: PlanCache.invalidate(dir) means "the
+    // data under dir changed on disk", which makes every session's JSONL
+    // copy of that dir stale — a session-scoped sweep would leave other
+    // sessions serving round-trips of the old corpus. The cost is that a
+    // sibling session mid-read over its (now deleted) copy fails and must
+    // re-run — the correct outcome for a query over invalidated data, and
+    // the same contract Spark applies to a table whose files are swapped
+    // mid-scan. computeIfAbsent rebuilds the copy on next use.
     graft.PlanCache.onInvalidate { dir =>
       val it = jsonlCopies.entrySet().iterator()
       while (it.hasNext) {

@@ -645,6 +645,12 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val routed = verdicts(DedupOps.dedupSemanticCapped(spark, SfDir, 10L))
     val exact = verdicts(DedupOps.dedupSemanticCapped(spark, SfDir, Long.MaxValue))
     assert(routed.keySet == exact.keySet, "every vector must get a verdict")
+    // the routing must be OBSERVABLE: cap=10 forces every cell over the
+    // cap, so all rows flag routed=true; the uncapped run flags none
+    assert(DedupOps.dedupSemanticCapped(spark, SfDir, 10L)
+      .collect().forall(_.getBoolean(3)), "cap-tripped cells must flag routed")
+    assert(DedupOps.dedupSemanticCapped(spark, SfDir, Long.MaxValue)
+      .collect().forall(!_.getBoolean(3)), "uncapped run must flag none")
     val exactDrops = exact.collect { case (id, false) => id }.toSet
     val routedDrops = routed.collect { case (id, false) => id }.toSet
     assert(routedDrops.subsetOf(exactDrops),
