@@ -77,6 +77,31 @@ object Bench {
     line(bySlowest.take(keep), bySlowest.size - keep, errKeep)
   }
 
+  /** Every query's time (3-decimal, no truncation) + any errors, keyed by
+    * the sf token in the dir name (docs/bench_full_sf0.1.json etc.). */
+  private def writeFullArtifact(
+      results: Seq[(String, Double, Option[String])], sfDir: String): Unit = {
+    val sfTok = "sf[0-9.]*[0-9]".r.findFirstIn(sfDir).getOrElse("sf")
+    val entries = results.sortBy(-_._2).map { case (k, v, e) =>
+      val err = e.fold("")(m => ""","err":""" + jstr(m.take(200)))
+      s"""    ${jstr(k)}: {"sec": ${"%.3f".format(v)}$err}"""
+    }
+    val body =
+      s"""{
+         |  "sf": ${jstr(sfTok)},
+         |  "total_sec": ${fmt(results.map(_._2).sum)},
+         |  "n_queries": ${results.size},
+         |  "queries": {
+         |${entries.mkString(",\n")}
+         |  }
+         |}
+         |""".stripMargin
+    val out = java.nio.file.Paths.get("docs", s"bench_full_$sfTok.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -111,6 +136,12 @@ object Bench {
     // tail parser from ever matching this line
     println("bench-full " + results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}"))
+    // ... and the SAME full map as a committed artifact: the stdout line
+    // drops the fastest queries to fit the collector window ("omitted"),
+    // so a regression in an omitted query would be invisible
+    // round-over-round without this file. One file per sf so an sf1
+    // stress run doesn't clobber the sf0.1 history.
+    writeFullArtifact(results, sfDir)
     println(renderLine(results, sfDir))
     spark.stop()
   }

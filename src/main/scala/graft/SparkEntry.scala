@@ -107,6 +107,8 @@ object SparkEntry {
     "embed_stub" -> ChunkOps.embedStub _,
     "embed_batches" -> ChunkOps.embedBatches _,
     "embed_schedule" -> ChunkOps.embedSchedule _,
+    "embed_retries" -> ChunkOps.embedRetries _,
+    "index_evict" -> ChunkOps.indexEvict _,
     "mm_binary_meta" -> MultimodalOps.mmBinaryMeta _,
     "mm_frame_sample" -> MultimodalOps.mmFrameSample _,
     "mm_frame_energy" -> MultimodalOps.mmFrameEnergy _,
@@ -1072,6 +1074,61 @@ object SparkEntry {
          |  sum(n_docs) OVER (PARTITION BY source)::BIGINT AS total_docs,
          |  (batch_id - 1) * ${ChunkOps.EmbedCooldownMs} AS dispatch_ms
          |FROM g""".stripMargin,
+    // lockstep with ChunkOps.embedRetries (RetryFailMod = 10,
+    // RetryBackoffMs = 250, local.go:113-121's retry-on-failure loop);
+    // composes the shared embed-batch CTE chain
+    "embed_retries" ->
+      s"""WITH $duckEmbedBatchCtes,
+         |eb AS (SELECT source,
+         |    dense_rank() OVER (PARTITION BY source ORDER BY tokb, sub)
+         |      AS batch_id FROM s),
+         |g AS (SELECT source, batch_id, count(*) AS n_docs FROM eb
+         |  GROUP BY 1, 2),
+         |f AS (SELECT source, batch_id,
+         |    (batch_id - 1) * ${ChunkOps.EmbedCooldownMs} AS dispatch_ms,
+         |    CASE ('0x' || substr(md5(source || '#' || batch_id::VARCHAR),
+         |        1, 15))::BIGINT % ${ChunkOps.RetryFailMod}
+         |      WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END
+         |      AS n_fails
+         |  FROM g)
+         |SELECT source, batch_id, u.attempt_n, n_fails + 1 AS n_attempts,
+         |  dispatch_ms + ((1 << (u.attempt_n - 1)) - 1)
+         |    * ${ChunkOps.RetryBackoffMs} AS dispatch_at_ms,
+         |  CASE WHEN u.attempt_n <= n_fails THEN 'failed' ELSE 'ok' END
+         |    AS outcome
+         |FROM f, unnest(range(1, n_fails + 2)) AS u(attempt_n)""".stripMargin,
+    // lockstep with ChunkOps.indexEvict (EvictMaxAgeDays = 45,
+    // EvictSizeFrac = 0.6, EvictProtected = src0/src1;
+    // cache/eviction.go:39-127's three-reason cascade in closed form)
+    "index_evict" ->
+      s"""WITH meta AS (SELECT source,
+         |    sum(n_chars)::BIGINT AS size_chars,
+         |    ('0x' || substr(md5(source || '#access'), 1, 15))::BIGINT % 60
+         |      AS age_days,
+         |    (('0x' || substr(md5(source || '#branch'), 1, 15))::BIGINT % 7
+         |      = 0) AS deleted,
+         |    source IN ('src0', 'src1') AS protected
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT sum(size_chars)::BIGINT AS total_chars FROM meta),
+         |cand AS (SELECT m.*, t.total_chars,
+         |    coalesce(sum(size_chars) OVER (
+         |      ORDER BY deleted DESC, age_days DESC, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before,
+         |    age_days > ${ChunkOps.EvictMaxAgeDays} AS stale
+         |  FROM meta m CROSS JOIN tot t WHERE NOT protected),
+         |v AS (SELECT source, size_chars, age_days, deleted, protected,
+         |    (deleted OR stale OR over_budget) AS evict,
+         |    CASE WHEN deleted THEN 'deleted' WHEN stale THEN 'stale'
+         |      WHEN over_budget THEN 'size_budget' END AS reason
+         |  FROM (SELECT *, (total_chars - cum_before)::DOUBLE >
+         |      ${ChunkOps.EvictSizeFrac} * total_chars AS over_budget
+         |    FROM cand))
+         |SELECT * FROM v
+         |UNION ALL
+         |SELECT source, size_chars, age_days, deleted, protected,
+         |  false AS evict, 'protected' AS reason
+         |FROM meta WHERE protected""".stripMargin,
     "pipeline_incremental" ->
       s"""WITH neu AS (SELECT doc_id,
          |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text

@@ -330,6 +330,123 @@ object ChunkOps {
         col("total_docs"), col("dispatch_ms"))
   }
 
+  /** Deterministic failure pattern for the retry ledger: a batch's md5
+    * bucket (mod [[RetryFailMod]]) decides how many dispatch attempts
+    * FAIL before one succeeds — bucket 0 fails twice, buckets 1-2 once,
+    * the rest dispatch clean. A stand-in for the nondeterministic
+    * connection failures the reference retries on; the LEDGER shape is
+    * the contract, the pattern just makes it test- and oracle-stable. */
+  private[graft] val RetryFailMod = 10
+
+  /** Base backoff before a retry dispatch; attempt k waits
+    * 2^(k-2)·[[RetryBackoffMs]] after attempt k-1, so attempt k's offset
+    * is (2^(k-1)-1)·base past the batch's scheduled dispatch. */
+  private[graft] val RetryBackoffMs = 250L
+
+  /** Retry/failure LEDGER for the batched embedding stage — the attempt
+    * relation the reference's retry control flow implies but never
+    * materializes: its provider loop resurrects the embedding daemon and
+    * redispatches on connection failure (internal/embed/local.go:113-121
+    * "Resurrect on connection failure … Retry once"), leaving no record
+    * of which batches burned attempts. Here every dispatch attempt is a
+    * ROW: (source, batch_id, attempt_n, n_attempts, dispatch_at_ms,
+    * outcome) — attempt 1 at the schedule's dispatch_ms, attempt k
+    * backoff-shifted by (2^(k-1)-1)·[[RetryBackoffMs]], failures before
+    * the final 'ok'. At 100 TB a dispatch fleet joins this ledger back
+    * to the batch relation to replay exactly the failed attempts, and
+    * failure-rate/backoff-cost rollups are one groupBy away.
+    *
+    * Plan shape: rides [[embedSchedule]]'s single source exchange; the
+    * attempt unroll is a narrow ≤3-element posexplode-free sequence
+    * explode, no new shuffle (plan-tested). */
+  def embedRetries(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(col("source"), lit("#"),
+        col("batch_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(RetryFailMod))
+    embedSchedule(spark, dir)
+      .withColumn("n_fails",
+        when(bucket === 0, 2).when(bucket <= 2, 1).otherwise(0))
+      .withColumn("attempt_n", explode(sequence(lit(1), col("n_fails") + 1)))
+      .select(col("source"), col("batch_id"), col("attempt_n"),
+        (col("n_fails") + 1).as("n_attempts"),
+        (col("dispatch_ms") +
+          (expr("shiftleft(1L, attempt_n - 1)") - 1) * RetryBackoffMs)
+          .as("dispatch_at_ms"),
+        when(col("attempt_n") <= col("n_fails"), "failed").otherwise("ok")
+          .as("outcome"))
+  }
+
+  /** Eviction policy (internal/cache/eviction.go:15-28
+    * DefaultEvictionPolicy, rescaled to this corpus): branches idle
+    * longer than [[EvictMaxAgeDays]] are stale; the index must fit
+    * [[EvictSizeFrac]] of its current footprint (the absolute MaxSizeMB
+    * knob, expressed as a fraction so the budget bites at every SF);
+    * [[EvictProtected]] branches are never evicted. */
+  private[graft] val EvictMaxAgeDays = 45
+  private[graft] val EvictSizeFrac = 0.4
+  private[graft] val EvictProtected = Seq("src0", "src1")
+
+  /** Policy-driven index eviction as a RELATION — the reference's
+    * runEviction (internal/indexer/eviction.go:64) applies
+    * cache.EvictStaleBranches's three-reason cascade
+    * (internal/cache/eviction.go:39-127): deleted-in-git branches first,
+    * then stale ones (idle > MaxAgeDays), then oldest-first while the
+    * cache exceeds its size budget, protected branches exempt. Here each
+    * branch (= corpus source, the namespace branch_sync's chunk index is
+    * keyed by) gets one verdict row: (source, size_chars, age_days,
+    * deleted, protected, evict, reason).
+    *
+    * The reference's sequential evict-until-under-budget loop is
+    * DECLARATIVE here: in candidate order (deleted first, then oldest
+    * first — eviction.go:81-88), a branch is size-evicted iff the cache
+    * still exceeds budget when every prior candidate is gone, i.e.
+    * `total - cumsum(prior sizes) > budget`. That closed form equals the
+    * loop exactly: forced (deleted/stale) candidates always free their
+    * bytes, and once the running remainder dips under budget it stays
+    * under for every later candidate, so kept-vs-evicted is
+    * prefix-monotone. age/deleted are md5-derived pseudo-metadata (no
+    * access log ships in this corpus); the cascade is the contract.
+    *
+    * Plan shape: one aggregate over the documents scan to K≈20 branch
+    * rows, then single-partition windows over those K rows — per-BRANCH
+    * metadata stays K-sized at 100 TB, so the unpartitioned window is a
+    * constant-cost driver-scale step, not a data-scale one. */
+  def indexEvict(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def md5Bucket(salt: String, mod: Int): Column = pmod(
+      conv(substring(md5(concat(col("source"), lit(salt))), 1, 15), 16, 10)
+        .cast("long"), lit(mod))
+    val meta = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).cast("long").as("size_chars"))
+      .withColumn("age_days", md5Bucket("#access", 60))
+      .withColumn("deleted", md5Bucket("#branch", 7) === 0)
+      .withColumn("protected", col("source").isin(EvictProtected: _*))
+    val total = meta.agg(sum(col("size_chars")).cast("long").as("total_chars"))
+    val candOrder = Window
+      .orderBy(col("deleted").desc, col("age_days").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val verdicts = meta.filter(!col("protected"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_before",
+        coalesce(sum(col("size_chars")).over(candOrder), lit(0L)))
+      .withColumn("stale", col("age_days") > EvictMaxAgeDays)
+      .withColumn("over_budget",
+        (col("total_chars") - col("cum_before")).cast("double") >
+          lit(EvictSizeFrac) * col("total_chars"))
+      .select(col("source"), col("size_chars"), col("age_days"),
+        col("deleted"), col("protected"),
+        (col("deleted") || col("stale") || col("over_budget")).as("evict"),
+        when(col("deleted"), "deleted").when(col("stale"), "stale")
+          .when(col("over_budget"), "size_budget").as("reason"))
+    verdicts.unionAll(
+      meta.filter(col("protected"))
+        .select(col("source"), col("size_chars"), col("age_days"),
+          col("deleted"), col("protected"),
+          lit(false).as("evict"), lit("protected").as("reason")))
+  }
+
   /** Per-source corpus stats with a grand-total rollup slot. */
   def docStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

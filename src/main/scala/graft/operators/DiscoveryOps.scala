@@ -64,8 +64,20 @@ object DiscoveryOps {
     sb.append('$').toString
   }
 
+  /** Fuse a whole pattern SET into one anchored alternation —
+    * `^(?:re1|re2|…)$` — so admission costs ONE regex evaluation per set
+    * per row instead of a linear scan of per-pattern rlikes. At a
+    * realistic ignore set (hundreds of patterns) the fused automaton is
+    * compiled once and shared; each alternative is the body of its
+    * per-pattern regex (anchors stripped), and brace-alternation `|`s are
+    * already inside `(?:…)` groups, so top-level `|` only ever separates
+    * patterns. */
+  private[graft] def fusedRegex(pats: Seq[String]): String =
+    pats.map(p => globToRegex(p).stripPrefix("^").stripSuffix("$"))
+      .mkString("^(?:", "|", ")$")
+
   private def matchesAny(pats: Seq[String], c: Column): Column =
-    pats.map(p => c.rlike(globToRegex(p))).reduce(_ || _)
+    c.rlike(fusedRegex(pats))
 
   /** Classify every corpus file through the three pattern sets:
     * ignored paths (direct match OR with the reference's

@@ -1107,6 +1107,77 @@ class ChunkStructuredSpec extends AnyFunSuite with SparkFixture {
       s"the (source, batch_id) agg and all windows must reuse it:\n$plan")
   }
 
+  test("embed_retries ledgers every attempt with backoff-shifted dispatch") {
+    import operators.ChunkOps
+    val rows = ChunkOps.embedRetries(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    val sched = ChunkOps.embedSchedule(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(7)).toMap
+    rows.groupBy(r => (r._1, r._2)).foreach { case (batch, g) =>
+      val byAttempt = g.sortBy(_._3)
+      // attempts are 1..n_attempts, failures strictly before the one 'ok'
+      assert(byAttempt.map(_._3).toSeq == (1 to g.head._4), s"$batch")
+      assert(byAttempt.map(_._6).toSeq ==
+        Seq.fill(g.head._4 - 1)("failed") :+ "ok", s"$batch")
+      // attempt 1 at the schedule's slot; attempt k at +(2^(k-1)-1)·base
+      byAttempt.foreach { r =>
+        assert(r._5 == sched(batch) +
+          ((1L << (r._3 - 1)) - 1) * ChunkOps.RetryBackoffMs, s"$batch")
+      }
+    }
+    // every scheduled batch appears, and the failure pattern actually
+    // exercises the retry path (some batch fails at this corpus size)
+    assert(rows.map(r => (r._1, r._2)).toSet == sched.keySet)
+    assert(rows.exists(_._6 == "failed"), "no batch ever failed")
+    assert(rows.exists(_._4 == 1), "no batch dispatched clean")
+  }
+
+  test("embed_retries adds no shuffle beyond the schedule's") {
+    val plan = operators.ChunkOps.embedRetries(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"attempt unroll must stay narrow:\n$plan")
+  }
+
+  test("index_evict applies the three-reason cascade with protection") {
+    import operators.ChunkOps
+    val rows = ChunkOps.indexEvict(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), Option(r.getString(6))))
+    val srcs = Tables.documents(spark, SfDir).select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(rows.map(_._1).toSet == srcs, "one verdict per branch")
+    // protected branches are never evicted, whatever their metadata says
+    rows.filter(_._5).foreach { r =>
+      assert(!r._6 && r._7.contains("protected"), r._1)
+      assert(ChunkOps.EvictProtected.contains(r._1))
+    }
+    // forced reasons match their predicates
+    rows.filter(!_._5).foreach { r =>
+      if (r._4) assert(r._6 && r._7.contains("deleted"), r._1)
+      else if (r._3 > ChunkOps.EvictMaxAgeDays)
+        assert(r._6 && r._7.contains("stale"), r._1)
+    }
+    // the size-budget phase equals the reference's sequential
+    // evict-until-under loop replayed over the same candidate order
+    val total = rows.map(_._2).sum
+    val budget = ChunkOps.EvictSizeFrac * total
+    var remaining = total.toDouble
+    val inOrder = rows.filter(!_._5)
+      .sortBy(r => (!r._4, -r._3, r._1)) // deleted first, oldest first
+    inOrder.foreach { r =>
+      val forced = r._4 || r._3 > ChunkOps.EvictMaxAgeDays
+      val evictNow = forced || remaining > budget
+      assert(r._6 == evictNow, s"${r._1}: loop=$evictNow relation=${r._6}")
+      if (evictNow) remaining -= r._2
+    }
+    // the budget phase actually fired and the survivors fit the budget
+    assert(rows.exists(_._7.contains("size_budget")), "budget never bit")
+    assert(rows.filter(!_._6).map(_._2).sum <= budget, "still over budget")
+  }
+
   test("branch_sync partitions docs into reuse/rechunk/evict by churn") {
     val out = operators.ChunkOps.branchSync(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
@@ -1533,6 +1604,15 @@ class DiscoverySpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Exchange"), "pure filter+project: no shuffle")
     assert(!plan.contains("Generate"), "no explode in admission")
     assert(!plan.contains("text:"), "text column must be pruned from the read")
+    // fused alternations: one RLIKE per pattern-SET evaluation, never one
+    // per pattern. The formatted plan mentions 6: the ignore set's two
+    // probes (path, path + "/**") in the admission filter, plus the
+    // code/docs pair inside the cls CASE — which the tree prints twice
+    // (the Project computing cls and the Filter's isnotnull(CASE …)).
+    // The invariant: this count is fixed by plan structure; growing a
+    // pattern set (a hundred ignore globs) must not change it.
+    assert("""RLIKE""".r.findAllIn(plan).size == 6,
+      "one fused RLIKE per pattern-set evaluation")
   }
 }
 

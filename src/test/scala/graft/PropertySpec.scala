@@ -232,6 +232,14 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       val want = matches(g.toList, p.toList)
       assert(got == want, s"[$i] glob '$g' vs path '$p': regex=$got model=$want")
     }
+    // the fused per-SET alternation must be exactly "any pattern matches"
+    // — the one-rlike-per-set plan shape rests on this equivalence
+    val genSet = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, genGlob))
+    for (((gs, p), i) <- samples(Gen.zip(genSet, genPath), 400).zipWithIndex) {
+      val got = p.matches(operators.DiscoveryOps.fusedRegex(gs))
+      val want = gs.exists(g => matches(g.toList, p.toList))
+      assert(got == want, s"[$i] globs $gs vs path '$p': fused=$got any=$want")
+    }
   }
 
   test("phash banding is pigeonhole-exact: hamming<=3 pairs share a band") {
