@@ -502,6 +502,10 @@ object DedupOps {
     * pure scan. */
   val SubstrL = 8
 
+  /** Salt fan-out for the gram-df census — distinct docs of one hot gram
+    * spread over this many stage-1 reducers. */
+  private[graft] val CensusSalts = 16
+
   private def shiftArr(a: Column, by: Int): Column =
     graft.functions.Tokenize.shift(a, by)
 
@@ -536,8 +540,19 @@ object DedupOps {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
     val g = substrGrams(spark, dir)
-    val hot = g.groupBy(col("gh"))
-      .agg(count_distinct(col("doc_id")).as("df"))
+    // SALTED two-stage df census: a boilerplate 8-gram shared by millions
+    // of docs at 100 TB would make raw groupBy(gh) send every distinct
+    // (gh, doc_id) pair to ONE reducer. The salt is a FUNCTION OF doc_id,
+    // so each distinct doc lands in exactly one (gh, salt) bucket —
+    // per-bucket distinct counts are disjoint and their sum is EXACTLY
+    // the per-gh distinct count (no approximation), while the hot gram
+    // fans out across CensusSalts reducers. Stage 2 sees ≤ CensusSalts
+    // rows per gram. Same defense as the winnow df cap.
+    val hot = g
+      .groupBy(col("gh"), pmod(xxhash64(col("doc_id")), lit(CensusSalts))
+        .as("salt"))
+      .agg(count_distinct(col("doc_id")).as("pdf"))
+      .groupBy(col("gh")).agg(sum(col("pdf")).as("df"))
       .filter(col("df") >= 2)
       .select(col("gh"))
     val starts = g.join(hot, "gh").select("doc_id", "pos").distinct()

@@ -363,6 +363,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(expected.exists(_._3 == 0), "corpus must exercise the clean path")
   }
 
+  test("substring census is salted: partial distinct on (gh, salt), then merge") {
+    val plan = DedupOps.dedupSubstring(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    // stage 1 shuffles on (gh, salt) — a corpus-wide boilerplate gram
+    // fans its distinct docs across CensusSalts reducers instead of one
+    // (Catalyst rewrites the pmod salt to a _groupingexpression alias)
+    assert("""hashpartitioning\(gh#\d+L?, (salt|_groupingexpression)#\d+""".r
+      .findAllIn(plan).nonEmpty, s"salted census exchange missing:\n$plan")
+    // and the merge stage still exists (sum of disjoint partial counts)
+    assert(plan.contains("sum(pdf"), s"merge stage missing:\n$plan")
+  }
+
   test("ngram jaccard pairs are canonical (a<b) and within threshold") {
     val rows = DedupOps.dedupNgramJaccard(spark, SfDir).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
