@@ -68,13 +68,19 @@ object ChunkOps {
   def chunkStructured(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 25
+    // Explode SCALARS, not arrays: the per-line token count is pure
+    // arithmetic over the doc's total (lines are fixed 10-token slices,
+    // so line j holds least(10, sz − 10j) tokens) — carrying the token
+    // array through the Generate would copy O(doc_tokens) bytes into
+    // EVERY line row, an O(tokens²/10) blowup per doc that dominated
+    // this operator's cost before the rewrite.
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-    val nLines = greatest(ceil(size(col("ts")) / 10.0).cast("int"), lit(1))
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("sz"))
+    val nLines = greatest(ceil(col("sz") / 10.0).cast("int"), lit(1))
     val lines = docs
-      .select(col("doc_id"), col("ts"), posexplode(sequence(lit(0), nLines - 1)))
+      .select(col("doc_id"), col("sz"), posexplode(sequence(lit(0), nLines - 1)))
       .select(col("doc_id"), col("col").cast("long").as("j"),
-        size(slice(col("ts"), col("col") * 10 + 1, lit(10))).cast("long").as("n"))
+        least(lit(10L), col("sz") - col("col").cast("long") * 10).as("n"))
       .filter(col("n") > 0)
     val lpos = col("j") % 7
     val base = lines.select(col("doc_id"), col("j"), col("n"),
