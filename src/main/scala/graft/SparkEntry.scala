@@ -288,6 +288,35 @@ object SparkEntry {
        |    PARTITION BY source, tokb ORDER BY doc_id) - 1) // 8 AS sub
        |  FROM b)""".stripMargin
 
+  /** Shared BPE trainer CTE chain — MUST stay in lockstep with
+    * TextOps.bpeTrainRounds: word counts from the shared tokenizer,
+    * char-split symbols, then [[operators.TextOps.BpeMerges]] rounds of
+    * (pair counts via zip-with-shifted → argmax with (freq DESC, pa, pb)
+    * tiebreak → greedy left-to-right non-overlapping merge fold). The
+    * fold runs over singleton lists so DuckDB's list_reduce (no initial
+    * accumulator) starts from the first symbol, exactly like the Spark
+    * aggregate() fold from an empty accumulator. Ends at b1..bK (the
+    * trained rules) and s1..sK (the merged vocab). */
+  private lazy val duckBpeTrainCtes: String = {
+    val rounds = (1 to operators.TextOps.BpeMerges).map { k =>
+      s"""p$k AS (SELECT u.z[1] AS pa, u.z[2] AS pb, sum(cnt) AS freq
+         |  FROM s${k - 1}, unnest(list_zip(syms, syms[2:])) AS u(z)
+         |  WHERE u.z[2] IS NOT NULL GROUP BY 1, 2),
+         |b$k AS (SELECT pa, pb, freq FROM p$k
+         |  ORDER BY freq DESC, pa, pb LIMIT 1),
+         |s$k AS (SELECT CASE WHEN length(syms) <= 1 THEN syms ELSE
+         |    list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+         |      CASE WHEN acc[-1] = b$k.pa AND x[1] = b$k.pb
+         |        THEN list_concat(acc[1:length(acc)-1], [b$k.pa || b$k.pb])
+         |        ELSE list_concat(acc, x) END) END AS syms, cnt
+         |  FROM s${k - 1}, b$k)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT unnest($duckTok) AS w FROM documents),
+       |v0 AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+       |s0 AS (SELECT regexp_extract_all(w, '.') AS syms, cnt FROM v0),
+       |$rounds""".stripMargin
+  }
+
   /** Shared curate-pipeline CTE chain (admission -> near-dup keepers ->
     * holdout/decontamination -> per-source packing cumsum), ending at the
     * `c` CTE. Composed by both the curate_pipeline and curate_report
@@ -991,6 +1020,39 @@ object SparkEntry {
          |SELECT doc_id, len(sel) AS n_fps,
          |  md5(array_to_string(sel, ',')) AS fp_digest
          |FROM s""".stripMargin,
+    // lockstep with TextOps.bpeTrainRounds (BpeMerges rounds, greedy
+    // left-to-right non-overlapping merge application, argmax tiebreak
+    // (freq DESC, pa, pb)) — the reduce over singleton lists IS the
+    // trainer's fold, so the two engines can never drift on merge
+    // semantics
+    "text_bpe_train" ->
+      s"""WITH $duckBpeTrainCtes
+         |${(1 to TextOps.BpeMerges).map(k =>
+             s"SELECT $k AS rank, pa || ' ' || pb AS pair, freq::BIGINT AS freq FROM b$k")
+             .mkString("\nUNION ALL\n")}
+         |ORDER BY rank""".stripMargin,
+    // applies the SAME trained rules in rank order, one fold pass each,
+    // over the DISTINCT-word vocabulary (merges never cross the \n word
+    // boundary, so per-word application equals the document-string
+    // regex chain), then joins counts back per doc occurrence
+    "text_bpe_apply" ->
+      s"""WITH $duckBpeTrainCtes,
+         |dw AS (SELECT doc_id, unnest($duckTok) AS w FROM documents),
+         |a0 AS (SELECT DISTINCT w, regexp_extract_all(w, '.') AS syms FROM dw),
+         |${(1 to TextOps.BpeMerges).map(k =>
+             s"""a$k AS (SELECT w, CASE WHEN length(syms) <= 1 THEN syms ELSE
+                |    list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+                |      CASE WHEN acc[-1] = b$k.pa AND x[1] = b$k.pb
+                |        THEN list_concat(acc[1:length(acc)-1], [b$k.pa || b$k.pb])
+                |        ELSE list_concat(acc, x) END) END AS syms
+                |  FROM a${k - 1}, b$k)""".stripMargin).mkString(",\n")},
+         |wl AS (SELECT w, length(w) AS nsw, length(syms) AS nbw
+         |  FROM a${TextOps.BpeMerges}),
+         |agg AS (SELECT dw.doc_id, sum(wl.nsw) AS n_sym, sum(wl.nbw) AS n_bpe
+         |  FROM dw JOIN wl USING (w) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(agg.n_sym, 0)::INT AS n_sym,
+         |  coalesce(agg.n_bpe, 0)::INT AS n_bpe
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     "chunk_documents" ->
       s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents)
          |SELECT doc_id, (u.s - 1) // 15 AS chunk_idx,
