@@ -382,6 +382,52 @@ object SparkEntry {
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
       |    FROM d2) WHERE rk = 1)""".stripMargin
 
+  /** Generated PQ CTE chain — MUST stay in lockstep with
+    * SearchOps.pqCents/pqCodes/vecKnnPq: L2-normalized vectors split
+    * into PqM subspaces of PqSub dims, PqK codebook entries per
+    * subspace seeded from the smallest-md5 vectors, PqIters Lloyd
+    * rounds with 6-decimal rounded centroids and (d, cluster) argmin
+    * total order. The subspace id `m` rides as a column, so one CTE
+    * per ROUND covers all subspaces (like the Spark side's single-plan
+    * training). Ends at pc<PqIters> (codebooks) and ca (codes). */
+  private lazy val duckPqCtes: String = {
+    import operators.SearchOps.{PqM, PqSub, PqK, PqIters}
+    def sq(r: Int) =
+      s"""list_sum(list_transform(range($PqSub),
+         |      i -> (s.sv[i+1]-p.c[i+1])*(s.sv[i+1]-p.c[i+1])))""".stripMargin
+    val rounds = (1 to PqIters).map { r =>
+      s"""pd$r AS (SELECT s.vec_id, s.m, s.sv, p.cluster, ${sq(r)} AS d
+         |  FROM sub s JOIN pc${r - 1} p USING (m)),
+         |pa$r AS (SELECT vec_id, m, cluster FROM (SELECT vec_id, m, cluster,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cluster)
+         |      AS rk FROM pd$r) WHERE rk = 1),
+         |pc$r AS (SELECT m, cluster, list(cv ORDER BY d) AS c FROM (
+         |    SELECT pa.m, pa.cluster, t.d, round(avg(s.sv[t.d+1]), 6) AS cv
+         |    FROM pa$r pa JOIN sub s ON pa.vec_id = s.vec_id AND pa.m = s.m
+         |    CROSS JOIN range($PqSub) t(d)
+         |    GROUP BY pa.m, pa.cluster, t.d) GROUP BY m, cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |nrm AS (SELECT vec_id, CASE WHEN nn = 0 THEN v
+       |      ELSE list_transform(v, x -> x / nn) END AS v
+       |  FROM (SELECT vec_id, v,
+       |      sqrt(list_sum(list_transform(v, x -> x*x))) AS nn FROM e)),
+       |sub AS (SELECT vec_id, t.m, v[t.m*$PqSub+1 : t.m*$PqSub+$PqSub] AS sv
+       |  FROM nrm CROSS JOIN range($PqM) t(m)),
+       |sd AS (SELECT v, row_number() OVER (
+       |      ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cluster
+       |  FROM nrm ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqK),
+       |pc0 AS (SELECT t.m, cluster::INT AS cluster,
+       |    v[t.m*$PqSub+1 : t.m*$PqSub+$PqSub] AS c
+       |  FROM sd CROSS JOIN range($PqM) t(m)),
+       |$rounds,
+       |ca AS (SELECT vec_id, m, cluster FROM (
+       |    SELECT s.vec_id, s.m, p.cluster,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY ${sq(0)},
+       |        p.cluster) AS rk
+       |  FROM sub s JOIN pc$PqIters p USING (m)) WHERE rk = 1)""".stripMargin
+  }
+
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -845,6 +891,35 @@ object SparkEntry {
     // +0.5-floor quantization (not round(): half-tie behavior differs
     // across engines); expression order mirrors the Spark side so IEEE
     // doubles agree bit-for-bit
+    // lockstep with SearchOps.vecKnnPq (ADC over the generated PQ chain:
+    // per-subspace query·centroid LUT, approx sum in fixed m order —
+    // the nested parenthesis chain mirrors Spark's left-fold reduce —
+    // top-PqRerank cut, exact cosine re-rank)
+    "vec_knn_pq" -> {
+      import operators.SearchOps.{PqM, PqSub, PqRerank}
+      val wide = (0 until PqM).map(m =>
+        s"    max(CASE WHEN ca.m = $m THEN l.qd END) AS q$m").mkString(",\n")
+      val foldSum = (1 until PqM).foldLeft("q0")((acc, m) => s"($acc+q$m)")
+      s"""WITH $duckPqCtes,
+         |qs AS (SELECT t.m, v[t.m*$PqSub+1 : t.m*$PqSub+$PqSub] AS sv
+         |  FROM nrm CROSS JOIN range($PqM) t(m) WHERE vec_id = 0),
+         |lut AS (SELECT p.m, p.cluster,
+         |    list_sum(list_transform(range($PqSub),
+         |      i -> qs.sv[i+1]*p.c[i+1])) AS qd
+         |  FROM pc${operators.SearchOps.PqIters} p JOIN qs USING (m)),
+         |apw AS (SELECT ca.vec_id,
+         |$wide
+         |  FROM ca JOIN lut l ON ca.m = l.m AND ca.cluster = l.cluster
+         |  WHERE ca.vec_id <> 0 GROUP BY ca.vec_id),
+         |top AS (SELECT vec_id, $foldSum AS approx_score
+         |  FROM apw ORDER BY approx_score DESC, vec_id LIMIT $PqRerank),
+         |q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings
+         |  WHERE vec_id = 0)
+         |SELECT emb.vec_id,
+         |  round(${duckCos("emb.embedding::DOUBLE[]", "q.q_emb")}, 4) AS score
+         |FROM embeddings emb JOIN top USING (vec_id) CROSS JOIN q
+         |ORDER BY score DESC, emb.vec_id LIMIT 10""".stripMargin
+    },
     "vec_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |m AS (SELECT vec_id, v,

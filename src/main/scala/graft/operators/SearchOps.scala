@@ -472,10 +472,10 @@ object SearchOps {
     * each, [[PqK]] centroids per subspace — codes compress a 64-float
     * (256-byte) vector to 4 small ints, the storage step that makes a
     * 100 TB vector corpus scannable from memory. */
-  private val PqM = 8
-  private val PqSub = 8
-  private val PqK = 16
-  private val PqRerank = 100
+  private[graft] val PqM = 8
+  private[graft] val PqSub = 8
+  private[graft] val PqK = 16
+  private[graft] val PqRerank = 100
 
   /** L2-normalize the vector column: PQ indexes UNIT vectors so the ADC
     * dot-product sum approximates cosine directly — encoding raw vectors
@@ -507,12 +507,14 @@ object SearchOps {
       .select(col("vec_id"), col("m"), col("sv"),
         col("a.cluster").as("cluster"))
 
-  /** Lloyd iterations for codebook training. Unlike [[kmeansCents]]
-    * (oracle-bound, hand-unrolled in lockstep with DuckDB CTEs), PQ is
-    * approximate-by-design with no oracle, so training iterates freely —
-    * each round re-persists the small centroid relation and cuts lineage
-    * so the plan does not stack scans. */
-  private val PqIters = 4
+  /** Lloyd iterations for codebook training. Oracle-bound since round 7:
+    * the DuckDB mirror unrolls these rounds as generated CTEs
+    * (SparkEntry.duckPqCtes) in lockstep with the determinism recipe
+    * here — 6-decimal rounded centroids, (d, cluster) argmin total
+    * order, md5-seeded init — so the full train→encode→ADC→re-rank
+    * chain hash-matches. Each round re-persists the small centroid
+    * relation and cuts lineage so the plan does not stack scans. */
+  private[graft] val PqIters = 4
 
   /** Trained PQ codebooks — md5-seeded init (the PqK smallest-md5 vectors
     * seed every subspace), [[PqIters]] Lloyd re-estimations with
@@ -578,7 +580,10 @@ object SearchOps {
     * before the final top-k cut — the standard recall repair that makes
     * 4-int codes usable. No shuffle anywhere: codes scan + broadcast
     * LUT + TakeOrdered, then a broadcast join for the re-rank.
-    * Approximate by design ⇒ rows-only driver check; the suite pins
+    * Approximate vs brute force, but DETERMINISTIC end-to-end (md5
+    * seeds, rounded centroids, total-order argmins), so since round 7
+    * the driver hash-checks it against a DuckDB replay of the full
+    * train→encode→ADC→re-rank chain; the suite additionally pins
     * recall against [[vecKnnBrute]].
     */
   def vecKnnPq(spark: SparkSession, dir: String): DataFrame = {
