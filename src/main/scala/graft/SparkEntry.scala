@@ -891,6 +891,46 @@ object SparkEntry {
     // +0.5-floor quantization (not round(): half-tie behavior differs
     // across engines); expression order mirrors the Spark side so IEEE
     // doubles agree bit-for-bit
+    // lockstep with SearchOps.vecKnnJoinAnn over DedupOps.embBands:
+    // the hyperplanes are md5-derived ((md5("seed_p_d")[:15hex] % 2001
+    // - 1000)/1000 — engine-reproducible by construction), signatures
+    // fold sign bits MSB-first per 4-bit band, candidates share a
+    // (band, label, sig) bucket, verify = exact cosine, top-3 per query
+    // by (score DESC, b_id) — TopKAgg's eval order
+    "vec_knn_join_ann" -> {
+      import operators.DedupOps.{EmbSeed, EmbBands, EmbBits, EmbDim}
+      val planes = EmbBands * EmbBits
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |pl AS (SELECT p, list(w ORDER BY d) AS wl FROM (
+         |    SELECT t.p, u.d,
+         |      ((('0x' || substr(md5('${EmbSeed}_' || t.p::VARCHAR || '_'
+         |        || u.d::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0
+         |        AS w
+         |    FROM range($planes) t(p) CROSS JOIN range($EmbDim) u(d))
+         |  GROUP BY p),
+         |dots AS (SELECT e.vec_id, e.label, pl.p,
+         |    list_sum(list_transform(range($EmbDim),
+         |      i -> e.v[i+1]*pl.wl[i+1])) AS dot
+         |  FROM e CROSS JOIN pl),
+         |sg AS (SELECT vec_id, label, (p // $EmbBits) AS band,
+         |    sum(CASE WHEN dot > 0
+         |      THEN (1 << (${EmbBits - 1} - (p % $EmbBits))) ELSE 0 END) AS sig
+         |  FROM dots GROUP BY 1, 2, 3),
+         |cand AS (SELECT DISTINCT a.label, a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM sg a JOIN sg b ON a.band = b.band AND a.label = b.label
+         |    AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |sc AS (SELECT c.label, c.a_id, c.b_id,
+         |    round(${duckCos("ea.v", "eb.v")}, 4) AS score
+         |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id
+         |    JOIN e eb ON eb.vec_id = c.b_id),
+         |rk AS (SELECT label, a_id, b_id, score,
+         |    row_number() OVER (PARTITION BY label, a_id
+         |      ORDER BY score DESC, b_id) AS rk
+         |  FROM sc)
+         |SELECT label, a_id, b_id, score, rk::INT AS rk
+         |FROM rk WHERE rk <= 3""".stripMargin
+    },
     // lockstep with SearchOps.vecKnnPq (ADC over the generated PQ chain:
     // per-subspace query·centroid LUT, approx sum in fixed m order —
     // the nested parenthesis chain mirrors Spark's left-fold reduce —

@@ -443,10 +443,10 @@ object DedupOps {
     * of the qualifying pairs at sf0.001/0.01/0.1 are missed. At a
     * realistic near-dup threshold (0.9+) the same machinery prunes ~100×
     * harder with wider bands; size (bits, bands) to the threshold. */
-  private val EmbBands = 32
-  private val EmbBits = 4
-  private val EmbSeed = 0
-  private val EmbDim = 64
+  private[graft] val EmbBands = 32
+  private[graft] val EmbBits = 4
+  private[graft] val EmbSeed = 0
+  private[graft] val EmbDim = 64
 
   /** THE hyperplane band relation for a corpus dir — the single source of
     * the LSH geometry, shared by dedup_embedding and vec_knn_join_ann

@@ -627,8 +627,10 @@ object SearchOps {
     * with p the per-bit agreement — rising with similarity, so the TRUE
     * nearest neighbours are precisely the pairs least likely to be
     * missed; the test suite pins recall >= 0.9 against the exact join.
-    * Approximate by design ⇒ rows-only driver check, like
-    * q9b_approx_distinct.
+    * Approximate vs the exact join, but DETERMINISTIC (md5-derived
+    * hyperplanes any engine can reproduce), so since round 7 the driver
+    * hash-checks it against a DuckDB replay of the full
+    * sign-bits→bands→candidates→verify→top-3 chain.
     */
   def vecKnnJoinAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
