@@ -239,12 +239,32 @@ object SparkEntry {
        |    sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS sig
        |  FROM bits GROUP BY 1),
        |k AS (SELECT t.doc_id, t.lang, t.lb, sh.sig
-       |      FROM tok t JOIN sh ON t.doc_id = sh.doc_id)
-       |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
-       |  bit_count(xor(x.sig, y.sig)) AS hamming
-       |FROM k x JOIN k y ON x.lang = y.lang AND x.lb = y.lb
-       |  AND x.doc_id < y.doc_id
-       |WHERE bit_count(xor(x.sig, y.sig)) <= 5""".stripMargin
+       |      FROM tok t JOIN sh ON t.doc_id = sh.doc_id),
+       |bd AS (SELECT doc_id, lang, lb, sig, t.band, $duckSimhashBandCase AS bv
+       |  FROM k CROSS JOIN range(${operators.DedupOps.SimhashBands.size})
+       |    t(band)),
+       |cd AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |    x.sig AS xs, y.sig AS ys
+       |  FROM bd x JOIN bd y ON x.band = y.band AND x.lang = y.lang
+       |    AND x.lb = y.lb AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, bit_count(xor(xs, ys)) AS hamming
+       |FROM cd
+       |WHERE bit_count(xor(xs, ys)) <= ${operators.DedupOps.SimhashTau}""".stripMargin
+
+  /** Band-value extraction generated from DedupOps.SimhashBands — the
+    * oracle's candidates come from the SAME banded buckets the Spark
+    * side joins on, not all-pairs-in-block: pigeonhole over the band
+    * layout makes band collisions a SUPERSET of every hamming ≤ τ pair,
+    * and the bit_count verify then yields the IDENTICAL pair set. This
+    * keeps the oracle subquadratic — the all-pairs formulation went
+    * 100× at the sf1 stress corpus (10× docs) and timed out, while the
+    * banded one matches the Spark output there in seconds. */
+  private lazy val duckSimhashBandCase: String =
+    operators.DedupOps.SimhashBands.zipWithIndex.init.map {
+      case ((off, w), j) => s"WHEN $j THEN (sig >> $off) % ${1L << w}"
+    }.mkString("CASE t.band ", " ", "") +
+      s" ELSE (sig >> ${operators.DedupOps.SimhashBands.last._1}) % " +
+      s"${1L << operators.DedupOps.SimhashBands.last._2} END"
 
   /** Unrolled min-label-propagation rounds, generated FROM
     * DedupOps.CcRounds so Spark and oracle always iterate the same
@@ -253,17 +273,22 @@ object SparkEntry {
     */
   private lazy val duckCcRounds: String =
     (1 to DedupOps.CcRounds).map { r =>
-      s"""nb$r AS (SELECT ed.u AS id, min(lv.lbl) AS nb
+      // MATERIALIZED is load-bearing: each round references the previous
+      // label relation twice, so inlined CTEs re-evaluate the whole chain
+      // 2^rounds times — the base of that power includes the full
+      // candidate generation, which detonated the oracle at the sf1
+      // stress corpus. Materializing keeps each round computed once.
+      s"""nb$r AS MATERIALIZED (SELECT ed.u AS id, min(lv.lbl) AS nb
          |  FROM ed JOIN l${r - 1} lv ON ed.v = lv.id GROUP BY ed.u),
-         |l$r AS (SELECT p.id, least(p.lbl, nb$r.nb) AS lbl
+         |l$r AS MATERIALIZED (SELECT p.id, least(p.lbl, nb$r.nb) AS lbl
          |  FROM l${r - 1} p JOIN nb$r ON p.id = nb$r.id)""".stripMargin
     }.mkString(",\n")
 
   /** The full clusters SELECT, shared by the dedup_clusters oracle and
     * (as a CTE) the corpus_curate oracle. */
   private lazy val duckClustersSel: String =
-    s"""WITH pairs AS ($duckSimhashSel),
-       |ed AS (SELECT a_id AS u, b_id AS v FROM pairs
+    s"""WITH pairs AS MATERIALIZED ($duckSimhashSel),
+       |ed AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM pairs
        |       UNION ALL SELECT b_id, a_id FROM pairs),
        |n AS (SELECT DISTINCT u AS id FROM ed),
        |l0 AS (SELECT id, id AS lbl FROM n),
@@ -1030,11 +1055,33 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // candidates via the SAME lossless rarest-first prefix filter the
+    // Spark side uses (Bayardo et al., WWW 2007): index each doc's first
+    // n − ceil(τ·n) + 1 shingles in global-df order; any jac ≥ τ pair
+    // must collide inside both prefixes, so prefix collisions within a
+    // (lang, lb) block are a SUPERSET of the answer and the exact
+    // verify yields the identical pair set — without the all-pairs
+    // block join that went quadratic at the sf1 stress corpus
     "dedup_ngram_jaccard" ->
-      s"""WITH $duckNg
-         |SELECT x.doc_id AS a_id, y.doc_id AS b_id, $duckJac AS jac
-         |FROM ng x JOIN ng y ON x.lang = y.lang AND x.lb = y.lb
-         |  AND x.doc_id < y.doc_id
+      s"""WITH $duckNg,
+         |inv AS MATERIALIZED (SELECT lang, lb, doc_id, len(gs) AS n,
+         |    unnest(gs) AS g FROM ng),
+         |gdf AS (SELECT g, count(*) AS df FROM inv GROUP BY g),
+         |pref AS (SELECT * FROM (SELECT inv.*, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY gdf.df, inv.g) AS rk
+         |    FROM inv JOIN gdf USING (g))
+         |  WHERE rk <= n - ceil(n * 0.5) + 1),
+         |cand AS (SELECT DISTINCT p.doc_id AS a_id, q.doc_id AS b_id
+         |  FROM pref p JOIN pref q ON p.g = q.g AND p.lang = q.lang
+         |    AND p.lb = q.lb AND p.doc_id < q.doc_id),
+         |v0 AS (SELECT c.a_id, c.b_id,
+         |    len(list_intersect(x.gs, y.gs)) AS inter,
+         |    len(x.gs) + len(y.gs) AS tot
+         |  FROM cand c JOIN ng x ON x.doc_id = c.a_id
+         |    JOIN ng y ON y.doc_id = c.b_id)
+         |SELECT a_id, b_id, jac FROM (SELECT a_id, b_id,
+         |    round(inter::DOUBLE / greatest(tot - inter, 1), 4) AS jac
+         |  FROM v0)
          |WHERE jac >= 0.5""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $duckNg,

@@ -252,9 +252,9 @@ object DedupOps {
     * at most 5 differing bits spread over 6 bands always leave >= 1 band
     * untouched, so banding is EXACT candidate generation, not approximate.
     */
-  private val SimhashBands =
+  private[graft] val SimhashBands =
     Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 4), (28, 4))
-  private val SimhashTau = 5
+  private[graft] val SimhashTau = 5
 
   /** The simhash signature/band relation, built once per (session, dir)
     * as a table bucketed on (band, bv): the candidate join's equi-keys
