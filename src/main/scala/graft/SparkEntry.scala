@@ -43,6 +43,8 @@ object SparkEntry {
     "q9b_approx_distinct" -> Relational.q9bApproxDistinct _,
     // approximate by design (mergeable quantile sketch) => rows-only check
     "q13b_approx_percentiles" -> Relational.q13bApproxPercentiles _,
+    "q9c_portable_hll" -> Relational.q9cPortableHll _,
+    "q13c_sampled_percentiles" -> Relational.q13cSampledPercentiles _,
     "vec_knn_brute" -> SearchOps.vecKnnBrute _,
     "vec_knn_ivf" -> SearchOps.vecKnnIvf _,
     "vec_knn_ivf_probe" -> SearchOps.vecKnnIvfProbe _,
@@ -51,6 +53,7 @@ object SparkEntry {
     "vec_knn_join" -> SearchOps.vecKnnJoin _,
     // approximate by design (LSH recall < 1) => no oracle, rows-only check
     "vec_knn_join_ann" -> SearchOps.vecKnnJoinAnn _,
+    "vec_knn_join_auto" -> SearchOps.vecKnnJoinAuto _,
     "fts_term_score" -> SearchOps.ftsTermScore _,
     "fts_phrase" -> SearchOps.ftsPhrase _,
     "hybrid_search" -> SearchOps.hybridSearch _,
@@ -139,6 +142,7 @@ object SparkEntry {
     "curate_ppl_buckets" -> CurateOps.curatePplBuckets _,
     "curate_quality_classifier" -> CurateOps.curateQualityClassifier _,
     "curate_dsir" -> CurateOps.curateDsir _,
+    "curate_gopher_rules" -> CurateOps.curateGopherRules _,
     "layout_zorder" -> LayoutOps.layoutZorder _,
     "discover_glob" -> DiscoveryOps.discoverGlob _,
     "ingest_jsonl" -> graft.sources.CorpusIO.ingestJsonl _
@@ -633,6 +637,48 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
         |  round(max(o_totalprice), 4) AS p100
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // lockstep with Relational.q9cPortableHll: 60-bit md5 hash, register =
+    // low 8 bits, rank = 53 - bitlen(high 52 bits), register sum kept in
+    // integer arithmetic scaled by 2^53 so addition order cannot drift
+    "q9c_portable_hll" ->
+      """WITH h AS (SELECT o_orderpriority AS pr,
+        |    ('0x' || substr(md5('hll#' || o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM orders),
+        |r AS (SELECT pr, h & 255 AS reg,
+        |    53 - (CASE WHEN (h >> 8) = 0 THEN 0
+        |          ELSE length(format('{:b}', h >> 8)) END) AS rank FROM h),
+        |m AS (SELECT pr, reg, max(rank) AS mreg FROM r GROUP BY 1, 2),
+        |g AS (SELECT pr, sum(1::BIGINT << (53 - mreg)) AS s_present,
+        |    count(*) AS n_regs FROM m GROUP BY 1),
+        |e AS (SELECT pr, n_regs,
+        |    (s_present + (256 - n_regs) * (1::BIGINT << 53))::DOUBLE AS s_int,
+        |    256 - n_regs AS v FROM g)
+        |SELECT pr AS o_orderpriority,
+        |  round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536 * power(2.0, 53)
+        |      / s_int <= 640.0 AND v > 0
+        |    THEN 256.0 * ln(256.0 / v)
+        |    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536 * power(2.0, 53) / s_int
+        |    END, 4) AS hll_customers,
+        |  n_regs
+        |FROM e ORDER BY o_orderpriority""".stripMargin,
+    // lockstep with Relational.q13cSampledPercentiles: the k-smallest-by-
+    // 48-bit-md5 sample is the TopKAgg heap's kept set ((hash ASC, cents
+    // ASC) total order), quantile_cont = Spark percentile (the q13
+    // agreement), +0.5-floor cents like vec_quantize_int8
+    "q13c_sampled_percentiles" ->
+      """WITH h AS (SELECT o_orderpriority AS pr,
+        |    ('0x' || substr(md5('q13c#' || o_orderkey::VARCHAR), 1, 12))::BIGINT AS h,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        |  FROM orders),
+        |s AS (SELECT pr, cents FROM (
+        |    SELECT pr, cents,
+        |      row_number() OVER (PARTITION BY pr ORDER BY h, cents) AS rn
+        |    FROM h) WHERE rn <= 200)
+        |SELECT pr AS o_orderpriority,
+        |  round(quantile_cont(cents / 100.0, 0.5), 4) AS p50,
+        |  round(quantile_cont(cents / 100.0, 0.95), 4) AS p95,
+        |  count(*) AS n_sample
+        |FROM s GROUP BY pr ORDER BY pr""".stripMargin,
     "q14_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
@@ -762,6 +808,54 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY a_id
          |                               ORDER BY score DESC, b_id) AS rk
          |  FROM pairs) WHERE rk <= 3""".stripMargin,
+    // lockstep with SearchOps.vecKnnJoinAuto: the oracle replays the cell
+    // size census, routes each label through the exact block join
+    // (cell_n <= cap) or the hyperplane-band candidate join (cell_n >
+    // cap, the vec_knn_join_ann sig CTEs), and must agree with the
+    // engine on which label took which path — the ROUTER is under test
+    "vec_knn_join_auto" -> {
+      import operators.DedupOps.{EmbSeed, EmbBands, EmbBits, EmbDim}
+      import operators.SearchOps.AutoCapDefault
+      val planes = EmbBands * EmbBits
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |cs AS (SELECT label, count(*) AS cell_n FROM e GROUP BY 1),
+         |ex AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(${duckCos("a.v", "b.v")}, 4) AS score, FALSE AS routed
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |  JOIN cs ON cs.label = a.label AND cs.cell_n <= $AutoCapDefault),
+         |pl AS (SELECT p, list(w ORDER BY d) AS wl FROM (
+         |    SELECT t.p, u.d,
+         |      ((('0x' || substr(md5('${EmbSeed}_' || t.p::VARCHAR || '_'
+         |        || u.d::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0
+         |        AS w
+         |    FROM range($planes) t(p) CROSS JOIN range($EmbDim) u(d))
+         |  GROUP BY p),
+         |bige AS (SELECT e.* FROM e JOIN cs ON cs.label = e.label
+         |  AND cs.cell_n > $AutoCapDefault),
+         |dots AS (SELECT e.vec_id, e.label, pl.p,
+         |    list_sum(list_transform(range($EmbDim),
+         |      i -> e.v[i+1]*pl.wl[i+1])) AS dot
+         |  FROM bige e CROSS JOIN pl),
+         |sg AS (SELECT vec_id, label, (p // $EmbBits) AS band,
+         |    sum(CASE WHEN dot > 0
+         |      THEN (1 << (${EmbBits - 1} - (p % $EmbBits))) ELSE 0 END) AS sig
+         |  FROM dots GROUP BY 1, 2, 3),
+         |cand AS (SELECT DISTINCT a.label, a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM sg a JOIN sg b ON a.band = b.band AND a.label = b.label
+         |    AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |rt AS (SELECT c.label, c.a_id, c.b_id,
+         |    round(${duckCos("ea.v", "eb.v")}, 4) AS score, TRUE AS routed
+         |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id
+         |    JOIN e eb ON eb.vec_id = c.b_id),
+         |un AS (SELECT * FROM ex UNION ALL SELECT * FROM rt),
+         |rkd AS (SELECT label, a_id, b_id, score, routed,
+         |    row_number() OVER (PARTITION BY label, a_id
+         |      ORDER BY score DESC, b_id) AS rk
+         |  FROM un)
+         |SELECT label, a_id, b_id, score, rk::INT AS rk, routed
+         |FROM rkd WHERE rk <= 3""".stripMargin
+    },
     "fts_term_score" ->
       s"""SELECT doc_id, $duckTermScore AS score FROM documents
          |WHERE $duckTermScore > 0
@@ -1709,6 +1803,46 @@ object SparkEntry {
          |SELECT doc_id, n_bigrams, ppl FROM ppl""".stripMargin,
     // DSIR hashed-bigram importance weights; md5-bucket, ln ratios and
     // the quantile gate all mirror the Spark expression shapes
+    // lockstep with CurateOps.curateGopherRules: whitespace words, alnum
+    // stopword tokens, integer '...' count via replace-diff div 3; every
+    // ratio threshold compares the same int/double arithmetic
+    "curate_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS ws,
+        |    list_filter(string_split(text, chr(10)), l -> length(rtrim(l)) > 0) AS ls,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    len(ws)::BIGINT AS n_words,
+        |    round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+        |      / greatest(len(ws), 1), 4) AS mean_word_len,
+        |    (length(text) - length(replace(text, '#', ''))) +
+        |      (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym,
+        |    len(list_filter(ls, l -> starts_with(ltrim(l), '-')
+        |      OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS n_bullet,
+        |    len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+        |      OR ends_with(rtrim(l), '…'))) AS n_ellip,
+        |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |    greatest(len(ls), 1) AS n_lines,
+        |    len(list_intersect(list_distinct(ts),
+        |      ['the','be','to','of','and','that','have','with'])) AS n_stop
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
+        |  (n_sym::DOUBLE <= 0.1 * greatest(n_words, 1)) AS r_symbol_ratio,
+        |  (n_bullet::DOUBLE < 0.9 * n_lines) AS r_bullets,
+        |  (n_ellip::DOUBLE < 0.3 * n_lines) AS r_ellipsis,
+        |  (n_alpha::DOUBLE >= 0.8 * greatest(n_words, 1)) AS r_alpha,
+        |  (n_stop >= 2) AS r_stopwords,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |    AND (n_sym::DOUBLE <= 0.1 * greatest(n_words, 1))
+        |    AND (n_bullet::DOUBLE < 0.9 * n_lines)
+        |    AND (n_ellip::DOUBLE < 0.3 * n_lines)
+        |    AND (n_alpha::DOUBLE >= 0.8 * greatest(n_words, 1))
+        |    AND (n_stop >= 2)) AS keep
+        |FROM b""".stripMargin,
     "curate_dsir" -> {
       val (m, b, q) =
         (CurateOps.DsirMod, CurateOps.DsirBuckets, CurateOps.DsirKeepQuantile)

@@ -798,6 +798,69 @@ object CurateOps {
       .unionAll(seqs)
   }
 
+  /** The Gopher quality-rule battery (Rae et al. 2021, Appendix A) as a
+    * per-document relation: every rule is its own boolean column plus the
+    * conjunction `keep`, so a pipeline can audit WHICH rule rejected a
+    * document (the per-rule columns are the audit relation the paper's
+    * ablation tables are built from). [[TextOps.textQuality]] scores; this
+    * op gates on the published thresholds:
+    *
+    *  - 50 <= word count <= 100,000
+    *  - 3 <= mean word length <= 10
+    *  - symbol-to-word ratio (# and ellipsis) <= 0.1
+    *  - < 90% of lines start with a bullet, < 30% end with an ellipsis
+    *  - >= 80% of words contain an alphabetic character
+    *  - >= 2 distinct Gopher stop words present
+    *
+    * One scan, zero shuffles, every rule a codegen'd string/array
+    * expression. Words are whitespace-split (punctuation kept — the
+    * symbol/alpha rules need it); the stopword test uses the shared alnum
+    * tokenizer. Mean word length is an int-sum/int-count single division,
+    * so the driver hash-checks digit-for-digit.
+    */
+  def curateGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val lines = filter(split(col("text"), "\n"), l => length(rtrim(l)) > 0)
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), words.as("ws"), lines.as("ls"),
+        tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        round(aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
+          .cast("double") / greatest(size(col("ws")), lit(1)), 4)
+          .as("mean_word_len"),
+        expr("(length(text) - length(replace(text, '#', ''))) + " +
+          "(length(text) - length(replace(text, '...', ''))) div 3")
+          .as("n_sym"),
+        size(filter(col("ls"), l => ltrim(l).startsWith("-") ||
+          ltrim(l).startsWith("*") || ltrim(l).startsWith("•")))
+          .as("n_bullet"),
+        size(filter(col("ls"), l => rtrim(l).endsWith("...") ||
+          rtrim(l).endsWith("…"))).as("n_ellip"),
+        size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).as("n_alpha"),
+        greatest(size(col("ls")), lit(1)).as("n_lines"),
+        size(array_intersect(array_distinct(col("ts")),
+          array(stops.map(lit): _*))).as("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_word_count"),
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+          .as("r_mean_len"),
+        (col("n_sym").cast("double") <=
+          lit(0.1) * greatest(col("n_words"), lit(1L))).as("r_symbol_ratio"),
+        (col("n_bullet").cast("double") <
+          lit(0.9) * col("n_lines")).as("r_bullets"),
+        (col("n_ellip").cast("double") <
+          lit(0.3) * col("n_lines")).as("r_ellipsis"),
+        (col("n_alpha").cast("double") >=
+          lit(0.8) * greatest(col("n_words"), lit(1L))).as("r_alpha"),
+        (col("n_stop") >= 2).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol_ratio") &&
+          col("r_bullets") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stopwords"))
+  }
+
   /** The sink side of the shard shuffle: write the corpus as parquet
     * partitioned by shard, each shard's rows sorted by the shuffle hash —
     * the physical layout [[curateShuffleShards]] computes positions for.

@@ -320,4 +320,100 @@ object Relational {
         datediff(col("day"), col("cohort")).as("offset_days"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("offset_days"))
+
+  /** Portable HyperLogLog distinct counting (Flajolet et al. 2007),
+    * hash-checked cross-engine — the companion to [[q9bApproxDistinct]]:
+    * q9b demonstrates the ENGINE-INTERNAL HLL++ sketch (whose register
+    * layout no other engine can replay, hence rows-only), this operator
+    * builds the same estimator from md5-derived arithmetic any engine
+    * reproduces bit-for-bit, so the driver hash-checks the estimate
+    * itself.
+    *
+    * Construction (m = 256 registers, the classic estimator without the
+    * ++ bias table): 60-bit hash = md5("hll#" ++ custkey)[:15 hex];
+    * register = low 8 bits; rank = leading-zero count of the remaining
+    * 52 bits + 1. The register maxima aggregate with partial (map-side)
+    * combine — the sketch property that makes distinct counting a thin
+    * mergeable shuffle at 100 TB — then the harmonic-mean estimate folds
+    * 256 rows per group. FP determinism: the register sum Σ 2^-M is kept
+    * in INTEGER arithmetic scaled by 2^53 (every term 2^(53-M) is exact,
+    * the sum fits a long, and addition order cannot change it); doubles
+    * appear only in the final one-division estimate, identical IEEE ops
+    * on both engines. The suite pins <10% relative error vs the exact
+    * count (theory: 1.04/√256 ≈ 6.5%).
+    */
+  def q9cPortableHll(spark: SparkSession, dir: String): DataFrame = {
+    val m = 256
+    val h = conv(substring(md5(concat(lit("hll#"),
+      col("o_custkey").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = shiftright(col("h"), 8)
+    val bitlen = when(w === 0L, lit(0))
+      .otherwise(length(bin(w)).cast("int"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), h.as("h"))
+      .select(col("o_orderpriority"),
+        col("h").bitwiseAND(lit(255L)).as("reg"),
+        (lit(53) - bitlen).as("rank"))
+      .groupBy(col("o_orderpriority"), col("reg"))
+      .agg(max(col("rank")).as("mreg"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(expr("shiftleft(1L, cast(53 - mreg AS int))"))
+          .as("s_present"),
+        count(lit(1)).as("n_regs"))
+      .select(col("o_orderpriority"), col("n_regs"),
+        (col("s_present") +
+          (lit(m.toLong) - col("n_regs")) * lit(1L << 53)).cast("double")
+          .as("s_int"),
+        (lit(m.toLong) - col("n_regs")).as("v"))
+      .select(col("o_orderpriority"),
+        round(when(
+          alpha * lit(m * m) * pow(lit(2.0), lit(53)) / col("s_int")
+            <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(
+            alpha * lit(m * m) * pow(lit(2.0), lit(53)) / col("s_int")),
+          4).as("hll_customers"),
+        col("n_regs"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Deterministic bounded-sample percentiles, hash-checked cross-engine —
+    * the companion to [[q13bApproxPercentiles]] the same way
+    * [[q9cPortableHll]] companions q9b: percentile_approx's t-digest is
+    * engine-internal (rows-only), but a k-smallest-by-md5 sample is a
+    * uniform random sample ANY engine reproduces exactly, and exact
+    * interpolated percentiles over it are digit-identical (the q13
+    * percentile/quantile_cont agreement).
+    *
+    * Scale shape: the per-group state is the [[graft.functions.TopKAgg]]
+    * bounded heap (k = 200) keyed on the 48-bit md5 of the order key —
+    * map-side partials trim to k before the shuffle, so a group of a
+    * billion rows ships 200 of them, the same bounded-memory contract as
+    * the t-digest. 48 bits (not 60) so the negated hash sits exactly in
+    * a double; the sampled value rides the heap as exact integer cents.
+    * Rank error is O(1/√k) ≈ 7% — the suite pins p50/p95 within 15% of
+    * the exact q13 answers.
+    */
+  def q13cSampledPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val k = 200
+    val h = conv(substring(md5(concat(lit("q13c#"),
+      col("o_orderkey").cast("string"))), 1, 12), 16, 10).cast("long")
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        (-h.cast("double")).as("nh"),
+        // +0.5-floor, not round(): half-tie behavior differs across
+        // engines (the vec_quantize_int8 lesson)
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKAgg.topK(col("nh"), col("cents"), k).as("top"))
+      .select(col("o_orderpriority"), explode(col("top")).as("e"))
+      .select(col("o_orderpriority"), (col("e.id") / 100.0).as("price"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(price, 0.5)"), 4).as("p50"),
+        round(expr("percentile(price, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n_sample"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -653,6 +653,78 @@ object SearchOps {
         col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk"))
   }
 
+  /** Conf knob for [[vecKnnJoinAuto]]'s per-cell routing threshold.
+    * Default 50 is sized to the TEST corpus (cells of 42-63 at the
+    * driver's verify SF, so BOTH paths run under the oracle hash); a
+    * deployment sets it to its executor task budget the way
+    * [[ExactCellCap]] documents (~100k). */
+  private[graft] val AutoCapConf = "spark.graft.knnAutoCellCap"
+
+  /** Default for [[AutoCapConf]] — shared with the oracle replay. */
+  private[graft] val AutoCapDefault = 50L
+
+  /** Self-routing batch KNN — the smooth composition of [[vecKnnJoin]]
+    * (exact, cell² compute) and [[vecKnnJoinAnn]] (banded-LSH candidates,
+    * collision-proportional compute): per label cell, the cell SIZE picks
+    * the path. Cells at or under [[AutoCapConf]] get the exact per-cell
+    * block join; larger cells get hyperplane-band candidates within the
+    * cell — the same in-plan degradation [[DedupOps.dedupSemantic]]
+    * routes oversize k-means cells through, here closing vecKnnJoin's
+    * abort-vs-route asymmetry. Every output row carries `routed` so
+    * exact-vs-approximate is observable per cell (the round-6 advisory
+    * contract), and both paths are md5-deterministic, so the driver
+    * hash-checks the ROUTER itself: the oracle replays the size census,
+    * the exact branch, and the banded branch, and must agree on which
+    * label took which.
+    *
+    * Scale shape: the size census is one thin aggregate over the
+    * bucketed table; the exact branch only ever touches bounded cells
+    * (cap² compute per task); the routed branch pays signature
+    * collisions. No path shuffles candidate pairs — both rank through
+    * the bounded-heap TopKAgg.
+    */
+  def vecKnnJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    val cap = spark.conf.getOption(AutoCapConf).map(_.toLong)
+      .getOrElse(AutoCapDefault)
+    val emb = spark.table(graft.sources.IndexStore.index(spark, dir).embByLabel)
+    val cellSizes = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("cell_n"))
+    val small = cellSizes.filter(col("cell_n") <= cap).select(col("label"))
+    val big = cellSizes.filter(col("cell_n") > cap).select(col("label"))
+    // exact branch: block join inside small cells only
+    val a = emb.join(broadcast(small), "label")
+      .select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val exactPairs = a
+      .join(b, col("label") === col("b_label") && col("a_id") =!= col("b_id"))
+      .select(col("label"), col("a_id"),
+        score(col("a_emb"), col("b_emb")).as("score"), col("b_id"),
+        lit(false).as("routed"))
+    // routed branch: band collisions inside big cells (cell_sig already
+    // folds the label, so the collision join cannot cross cells)
+    val bands = DedupOps.embBands(spark, dir).join(broadcast(big), "label")
+    val cand = bands
+      .join(bands.select(col("vec_id").as("b_id"),
+          col("band").as("b_band"), col("cell_sig").as("b_cell_sig")),
+        col("band") === col("b_band") && col("cell_sig") === col("b_cell_sig") &&
+          col("vec_id") =!= col("b_id"))
+      .select(col("label"), col("vec_id").as("a_id"), col("b_id")).distinct()
+    val routedPairs = cand
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
+      .select(col("label"), col("a_id"),
+        score(col("a_emb"), col("b_emb")).as("score"), col("b_id"),
+        lit(true).as("routed"))
+    exactPairs.unionAll(routedPairs)
+      .groupBy(col("label"), col("a_id"), col("routed"))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("b_id"), 3).as("top"))
+      .select(col("label"), col("a_id"), col("routed"), posexplode(col("top")))
+      .select(col("label"), col("a_id"), col("col.id").as("b_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk"),
+        col("routed"))
+  }
+
   /** FTS term scoring: term frequency of the probe terms over regex tokens,
     * top-20. Pure codegen string/array ops — no UDF (cortex FTS5 bm25
     * analogue, internal/mcp/exact_sqlite.go:141).
