@@ -105,6 +105,28 @@ class SketchRouteSpec extends AnyFunSuite with SparkFixture {
     assert(wc == Set(true, false), "r_word_count should split the corpus")
   }
 
+  test("gopher battery is one scan with zero exchanges") {
+    val plan = CurateOps.curateGopherRules(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"every rule must evaluate inside the scan:\n$plan")
+  }
+
+  test("portable sketches shuffle only thin aggregate state") {
+    // q13c: TopKAgg partial -> ONE hash exchange of <=k rows/group; the
+    // percentile agg REUSES that partitioning (no second hash exchange)
+    val p13 = Relational.q13cSampledPercentiles(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p13).size == 1,
+      s"expected exactly one hash exchange:\n$p13")
+    // q9c: (group, register) partial agg then group agg — register maxima
+    // are the only shuffled state, never raw rows
+    val p9 = Relational.q9cPortableHll(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p9).size == 2,
+      s"expected the two thin register shuffles:\n$p9")
+  }
+
   test("gopher rules catch the pathologies they were published against") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
