@@ -77,6 +77,7 @@ object SparkEntry {
     "graph_impact_phased" -> GraphOps.graphImpactPhased _,
     "pattern_search" -> PatternOps.patternSearch _,
     "symbols_extract" -> PatternOps.symbolsExtract _,
+    "symbols_format" -> PatternOps.symbolsFormat _,
     "pattern_search_all" -> PatternOps.patternSearchAll _,
     "pattern_search_gap" -> PatternOps.patternSearchGap _,
     "dedup_exact" -> DedupOps.dedupExact _,
@@ -124,6 +125,7 @@ object SparkEntry {
     "graph_impact" -> GraphOps.graphImpact _,
     "graph_type_usages" -> GraphOps.graphTypeUsages _,
     "graph_degree" -> GraphOps.graphDegree _,
+    "graph_update_incremental" -> GraphOps.graphUpdateIncremental _,
     "stream_window_agg" -> graft.streaming.StreamingOps.streamWindowAgg _,
     "stream_sessionize" -> graft.streaming.StreamingOps.streamSessionize _,
     "curate_decontaminate" -> CurateOps.curateDecontaminate _,
@@ -1110,6 +1112,65 @@ object SparkEntry {
          |SELECT doc_id, ts[i+1] AS symbol, 'type' AS kind, i AS pos FROM t
          |UNION ALL SELECT doc_id, ts[i+1], 'function', i FROM q
          |UNION ALL SELECT doc_id, ts[i+1], 'stream', i FROM s""".stripMargin,
+    // lockstep with PatternOps.symbolsFormat (formatter.go FormatSymbols
+    // analogue): per-kind entry blocks ordered by pos, kind blocks in
+    // import→type→function→stream rank order, import count as a header
+    "symbols_format" -> {
+      val kindEdges = Seq("table" -> "type", "query" -> "function",
+        "stream" -> "stream", "batch" -> "import").map { case (kw, kind) =>
+        s"""SELECT doc_id, ts[i+1] AS symbol, '$kind' AS kind, i AS pos
+           |  FROM (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
+           |    i -> ts[i] = '$kw')) AS i FROM tok)""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |d AS ($kindEdges),
+         |blocks AS (SELECT doc_id, kind, count(*) AS n,
+         |    string_agg('  - ' || symbol || ' (tok ' || pos || ')',
+         |      chr(10) ORDER BY pos, symbol) AS body
+         |  FROM d GROUP BY 1, 2),
+         |bt AS (SELECT doc_id, n,
+         |    CASE kind WHEN 'import' THEN 0 WHEN 'type' THEN 1
+         |      WHEN 'function' THEN 2 ELSE 3 END AS rk,
+         |    CASE WHEN kind = 'import'
+         |      THEN 'Imports: ' || n || ' packages'
+         |      ELSE (CASE kind WHEN 'type' THEN 'Types:'
+         |        WHEN 'function' THEN 'Functions:' ELSE 'Streams:' END)
+         |        || chr(10) || body END AS block
+         |  FROM blocks)
+         |SELECT doc_id,
+         |  string_agg(block, chr(10) || chr(10) ORDER BY rk) AS chunk_text,
+         |  sum(n)::BIGINT AS n_entries
+         |FROM bt GROUP BY 1""".stripMargin
+    },
+    // lockstep with GraphOps.graphUpdateIncremental: same snapshot
+    // convention as change_detect, carried/refreshed/deleted delta over
+    // the symbols_extract edge relation
+    "graph_update_incremental" -> {
+      def edges(tokCte: String) = Seq("table" -> "type",
+        "query" -> "function", "stream" -> "stream").map { case (kw, kind) =>
+        s"""SELECT doc_id, ts[i+1] AS symbol, '$kind' AS kind, i AS pos
+           |  FROM (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
+           |    i -> ts[i] = '$kw')) AS i FROM $tokCte)""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH neu AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |st AS (SELECT o.doc_id,
+         |    CASE WHEN n.doc_id IS NULL THEN 'deleted'
+         |         WHEN md5(n.text) <> md5(o.text) THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM documents o LEFT JOIN neu n USING (doc_id)),
+         |tokold AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |toknew AS (SELECT doc_id, $duckTok AS ts FROM neu
+         |  WHERE doc_id IN (SELECT doc_id FROM st WHERE status = 'changed')),
+         |eo AS (${edges("tokold")}),
+         |en AS (${edges("toknew")})
+         |SELECT eo.doc_id AS doc_id, symbol, kind, pos, 'carried' AS action
+         |  FROM eo JOIN st ON st.doc_id = eo.doc_id AND st.status = 'unchanged'
+         |UNION ALL SELECT en.doc_id, symbol, kind, pos, 'refreshed' FROM en
+         |UNION ALL SELECT eo.doc_id, symbol, kind, pos, 'deleted'
+         |  FROM eo JOIN st ON st.doc_id = eo.doc_id AND st.status = 'deleted'""".stripMargin
+    },
     "pattern_search" -> {
       // MUST stay in lockstep with PatternOps.patternSearch's template
       val r = "(?:^|[^a-z0-9])(hash[^a-z0-9]+([a-z0-9]+)[^a-z0-9]+join)\\b"

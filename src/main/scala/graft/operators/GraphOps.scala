@@ -506,4 +506,48 @@ object GraphOps {
         e.groupBy(col("dst")).agg(count(lit(1)).as("degree"))
           .select(lit("part").as("node_type"), col("dst").as("node_id"), col("degree")))
    }
+
+  /** Incremental graph maintenance — the reference's GraphUpdater
+    * (internal/indexer/graph_updater.go:19: "extraction → deletion →
+    * insertion" per changed file) as one declarative delta relation over
+    * the document→symbol edge set. Same snapshot convention as
+    * change_detect / pipeline_incremental (docs ≡ 0 mod 7 removed,
+    * docs ≡ 0 mod 5 get a rev2 edit):
+    *
+    *  - `carried`: edges of unchanged docs pass through untouched (no
+    *    re-extraction — the churn-proportional property);
+    *  - `refreshed`: changed docs' edges re-extracted from the NEW text
+    *    (the delete-then-insert pair collapses to one relation);
+    *  - `deleted`: removed docs surface their old edges for index
+    *    deletion (the eviction row the updater issues).
+    *
+    * The content-hash diff is the only corpus-wide join (doc_id-keyed,
+    * both sides thin projections of the same scan); extraction work is
+    * churn-sized.
+    */
+  def graphUpdateIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val neu = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    val status = docs.select(col("doc_id").as("o_id"), md5(col("text")).as("o_hash"))
+      .join(neu.select(col("doc_id").as("n_id"), md5(col("text")).as("n_hash")),
+        col("o_id") === col("n_id"), "left_outer")
+      .select(col("o_id").as("doc_id"),
+        when(col("n_id").isNull, "deleted")
+          .when(col("o_hash") =!= col("n_hash"), "changed")
+          .otherwise("unchanged").as("status"))
+    val oldEdges = PatternOps.symbolsExtract(spark, dir)
+    val carried = oldEdges
+      .join(status.filter(col("status") === "unchanged").select(col("doc_id")), "doc_id")
+      .withColumn("action", lit("carried"))
+    val deleted = oldEdges
+      .join(status.filter(col("status") === "deleted").select(col("doc_id")), "doc_id")
+      .withColumn("action", lit("deleted"))
+    val refreshed = PatternOps.streamingSymbolsExtract(
+        neu.join(status.filter(col("status") === "changed").select(col("doc_id")), "doc_id"))
+      .withColumn("action", lit("refreshed"))
+    carried.unionAll(refreshed).unionAll(deleted)
+  }
 }

@@ -264,6 +264,50 @@ object PatternOps {
   private def symbolsProjection(docs: DataFrame): DataFrame =
     keywordDecls(docs, SymbolKinds, Nil)
 
+  /** Symbol-chunk TEXT assembly — the reference's formatter renders each
+    * file's extracted symbols into the natural-language chunk the
+    * embedding index actually stores (internal/indexer/formatter.go:19,
+    * FormatSymbols: "Imports: N packages", then per-kind blocks of
+    * "  - name (range)" lines). Same contract here as a relation: per
+    * document, the import count block plus one block per symbol kind,
+    * entries in source order — the text production step between
+    * extraction (symbols_extract) and embedding (embed_*).
+    *
+    * Shape: the decls Generate feeds a (doc, kind) aggregate whose
+    * collected state is the doc's OWN symbol list (bounded by doc size,
+    * never corpus-sized), then a per-doc block fold — two thin key
+    * shuffles, deterministic ordering via array_sort on (pos, symbol) /
+    * (rank, block) structs, not collect order.
+    */
+  def symbolsFormat(spark: SparkSession, dir: String): DataFrame = {
+    val kinds = SymbolKinds :+ (ImportKeyword -> "import")
+    val decls = keywordDecls(Tables.documents(spark, dir), kinds, Nil)
+    val header = when(col("kind") === "type", lit("Types:"))
+      .when(col("kind") === "function", lit("Functions:"))
+      .otherwise(lit("Streams:"))
+    val rank = when(col("kind") === "import", lit(0))
+      .when(col("kind") === "type", lit(1))
+      .when(col("kind") === "function", lit(2)).otherwise(lit(3))
+    decls
+      .groupBy(col("doc_id"), col("kind"))
+      .agg(count(lit(1)).as("n"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("symbol")))),
+            e => concat(lit("  - "), e.getField("symbol"),
+              lit(" (tok "), e.getField("pos"), lit(")"))),
+          "\n").as("body"))
+      .select(col("doc_id"), col("n"), rank.as("rk"),
+        when(col("kind") === "import",
+          concat(lit("Imports: "), col("n"), lit(" packages")))
+          .otherwise(concat(header, lit("\n"), col("body"))).as("block"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("rk"), col("block")))),
+            _.getField("block")), "\n\n").as("chunk_text"),
+        sum(col("n")).as("n_entries"))
+  }
+
   /** Shared keyword-declaration extraction: for each (keyword -> kind)
     * pair, emit (doc_id, symbol = the token AFTER the keyword, kind,
     * pos = 1-based keyword index), passing the caller's `keep` columns
