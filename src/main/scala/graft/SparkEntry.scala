@@ -126,6 +126,7 @@ object SparkEntry {
     "graph_type_usages" -> GraphOps.graphTypeUsages _,
     "graph_degree" -> GraphOps.graphDegree _,
     "graph_update_incremental" -> GraphOps.graphUpdateIncremental _,
+    "graph_context" -> GraphOps.graphContext _,
     "stream_window_agg" -> graft.streaming.StreamingOps.streamWindowAgg _,
     "stream_sessionize" -> graft.streaming.StreamingOps.streamSessionize _,
     "curate_decontaminate" -> CurateOps.curateDecontaminate _,
@@ -1141,6 +1142,25 @@ object SparkEntry {
          |  string_agg(block, chr(10) || chr(10) ORDER BY rk) AS chunk_text,
          |  sum(n)::BIGINT AS n_entries
          |FROM bt GROUP BY 1""".stripMargin
+    },
+    // lockstep with GraphOps.graphContext (context.go ExtractContext
+    // analogue): ±5-token window around each (keyword, symbol) pair,
+    // 1-based inclusive list slice on both engines
+    "graph_context" -> {
+      val kindEdges = Seq("table" -> "type", "query" -> "function",
+        "stream" -> "stream").map { case (kw, kind) =>
+        s"""SELECT doc_id, ts, ts[i+1] AS symbol, '$kind' AS kind, i AS pos
+           |  FROM (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
+           |    i -> ts[i] = '$kw')) AS i FROM tok)""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |d AS ($kindEdges)
+         |SELECT doc_id, symbol, kind, pos,
+         |  '// toks ' || greatest(pos - 5, 1) || '-' || least(pos + 6, len(ts))
+         |    || chr(10) ||
+         |    array_to_string(ts[greatest(pos - 5, 1):least(pos + 6, len(ts))], ' ')
+         |    AS snippet
+         |FROM d""".stripMargin
     },
     // lockstep with GraphOps.graphUpdateIncremental: same snapshot
     // convention as change_detect, carried/refreshed/deleted delta over

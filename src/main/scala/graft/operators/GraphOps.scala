@@ -507,6 +507,50 @@ object GraphOps {
           .select(lit("part").as("node_type"), col("dst").as("node_id"), col("degree")))
    }
 
+  /** Context-lines window for [[graphContext]]. */
+  private val ContextK = 5
+
+  /** Code-context assembly around a graph node — the reference's
+    * ContextExtractor (internal/graph/context.go:43 ExtractContext:
+    * window the stored file content around a target range, prefix a
+    * "// Lines a-b" header) re-expressed over the token domain: for
+    * every symbol declaration, the ±[[ContextK]]-token window around
+    * the (keyword, symbol) pair with a "// toks lo-hi" header — what the
+    * graph tools render next to every impact/usage hit.
+    *
+    * One scan: the snippet slices the SAME staged token array the decls
+    * Generate reads (no join back to documents, no second tokenize), so
+    * context assembly is a projection, not a query — the byte-window
+    * trick context.go plays against SQLite substr, played against the
+    * columnar token array instead.
+    */
+  def graphContext(spark: SparkSession, dir: String): DataFrame = {
+    val ts = col("ts")
+    def decls(kw: String, kind: String): org.apache.spark.sql.Column =
+      filter(
+        transform(ts, (x, i) =>
+          when(x === lit(kw) && i < size(ts) - 1,
+            struct(
+              element_at(ts, (i + lit(2)).cast("int")).as("symbol"),
+              lit(kind).as("kind"),
+              (i + lit(1)).cast("long").as("pos")))
+            .otherwise(lit(null))),
+        _.isNotNull)
+    val lo = greatest(col("pos") - ContextK, lit(1L))
+    val hi = least(col("pos") + 1 + ContextK, size(ts).cast("long"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.Tokenize.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), ts,
+        explode(concat(PatternOps.SymbolKinds.map {
+          case (k, v) => decls(k, v) }: _*)).as("d"))
+      .select(col("doc_id"), col("d.symbol").as("symbol"),
+        col("d.kind").as("kind"), col("d.pos").as("pos"), ts)
+      .select(col("doc_id"), col("symbol"), col("kind"), col("pos"),
+        concat(lit("// toks "), lo, lit("-"), hi, lit("\n"),
+          array_join(slice(ts, lo.cast("int"), (hi - lo + 1).cast("int")), " "))
+          .as("snippet"))
+  }
+
   /** Incremental graph maintenance — the reference's GraphUpdater
     * (internal/indexer/graph_updater.go:19: "extraction → deletion →
     * insertion" per changed file) as one declarative delta relation over

@@ -39,6 +39,26 @@ class FormatUpdateSpec extends AnyFunSuite with SparkFixture {
     assert(!out.contains(2L), "symbol-free docs produce no chunk")
   }
 
+  test("graph_context windows the token array around each declaration") {
+    import spark.implicits._
+    val docs = Seq(
+      // decl at pos 2 ("table"): window clips at the left edge
+      (1L, "a table foo b c d e f g h i j"),
+      // decl near the end: window clips at the right edge
+      (2L, "a b c d e query bar"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("ctx").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = GraphOps.graphContext(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(4))).toSet
+    assert(out.contains((1L,
+      "foo", "// toks 1-8\na table foo b c d e f")))
+    assert(out.contains((2L,
+      "bar", "// toks 1-7\na b c d e query bar")))
+  }
+
   test("graph update delta partitions the corpus by change status") {
     val out = GraphOps.graphUpdateIncremental(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
