@@ -225,6 +225,43 @@ object ScaleProbe {
       f"parquet-bytes(raw=$rawB, codes=$codeB, ratio=${rawB.toDouble / codeB}%4.1fx)")
   }
 
+  /** vec_knn_join_auto at N×: times the EXACT formulation (cap = ∞,
+    * cell² cosines) against the ROUTED one (cap = 0, banded-LSH
+    * candidates) over the identical synthesized corpus and warm shared
+    * signature build, plus the routed top-3 edge recall vs exact. The
+    * jittered copies are true near-duplicates, so band collisions grow
+    * with corpus size — the candidate growth is semantic (those pairs
+    * ARE neighbours), while the exact path grows with cell² regardless
+    * of geometry. The crossover is the router's reason to exist. */
+  private def autoProbe(spark: SparkSession, base: String,
+      copies: Int): Unit = {
+    PlanCache.invalidate()
+    val dir = s"/tmp/graft_scale/emb$copies"
+    synthEmb(spark, base, dir, copies)
+    // the IndexStore build the auto op reads also indexes the docs side
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(base, "documents.parquet"),
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def runAt(cap: String): DataFrame = {
+      spark.conf.set(operators.SearchOps.AutoCapConf, cap)
+      try operators.SearchOps.vecKnnJoinAuto(spark, dir)
+      finally spark.conf.unset(operators.SearchOps.AutoCapConf)
+    }
+    runAt(Long.MaxValue.toString).count() // warm: index + sig build
+    val (tE, nE) = time(runAt(Long.MaxValue.toString).count())
+    runAt("0").count()
+    val (tR, nR) = time(runAt("0").count())
+    val exact = runAt(Long.MaxValue.toString).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val routed = runAt("0").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val recall = exact.count(routed).toDouble / exact.size
+    println(f"AUTO copies=$copies%2d vecs=${copies * 2000}%6d " +
+      f"exact=$tE%6.2fs routed=$tR%6.2fs ratio=${tE / tR}%5.2fx " +
+      f"edges(exact=$nE, routed=$nR) recall=$recall%.3f")
+  }
+
   /** dedup_substring at N×: the synth marker tokens land at the END of
     * each copy, so for N ≥ 2 every document's whole 8-gram body is
     * duplicated across copies — TOTAL SATURATION, the adversarial case
@@ -366,6 +403,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("decontam")) {
       args.drop(1).map(_.toInt).foreach(c => decontamProbe(spark, base, c))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("auto")) {
+      args.drop(1).map(_.toInt).foreach(c => autoProbe(spark, base, c))
       spark.stop()
       return
     }
