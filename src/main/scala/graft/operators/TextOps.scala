@@ -317,28 +317,35 @@ object TextOps {
     * count and post-merge BPE token count — the token-budget inputs the
     * packing/batching stages consume.
     *
-    * Shape: the document becomes ONE symbol-spaced string (words
-    * separated by \n so no merge crosses a word boundary), and each rule
-    * applies as a regexp_replace pass — Java's replaceAll scans
-    * left-to-right non-overlapping, which is EXACTLY the greedy merge
-    * fold (the suite proves equality against the array-fold reference).
-    * A first cut as nested aggregate() array folds measured 9.6 s at
-    * sf0.1; the regex chain is string ops in one scan. Symbols come from
-    * the [a-z0-9]+ tokenizer, so rule text never needs regex-quoting.
-    * The 8 trained rules ride in as ONE broadcast row; training is
-    * memoized per (session, dir) via PlanCache. Rows-only check (the
-    * rules come from the iterative trainer). */
+    * Shape — subword-nmt's VOCABULARY trick (the reference BPE apply
+    * also folds over word types, not occurrences): merges touch only
+    * the DISTINCT word list, which is vocabulary-bounded (Heaps' law:
+    * sublinear in corpus size), so the 8 regexp_replace passes run over
+    * kilobytes regardless of corpus scale; per-word symbol/token counts
+    * then BROADCAST-join back onto one token explode and a per-doc sum
+    * finishes it. (Earlier formulations measured: nested aggregate()
+    * folds per document 9.6 s at sf0.1 → whole-document regex chain
+    * 1.45 s → this vocabulary form 0.7 s at sf0.1 and ~6× less at sf1,
+    * because the regex work stopped scaling with the corpus at all.)
+    * Java's replaceAll scans left-to-right non-overlapping, which is
+    * EXACTLY the greedy merge fold (the suite proves equality against
+    * the array-fold reference). Symbols come from the [a-z0-9]+
+    * tokenizer, so rule text never needs regex-quoting. The 8 trained
+    * rules ride in as ONE broadcast row; training is memoized per
+    * (session, dir) via PlanCache. The DuckDB oracle replays the same
+    * distinct-word formulation. */
   def textBpeApply(spark: SparkSession, dir: String): DataFrame = {
     val rules = textBpeTrain(spark, dir)
       .agg(array_sort(collect_list(struct(col("rank"),
         split(col("pair"), " ").as("ps")))).as("rules"))
-    val spaced = array_join(transform(tokens(col("text")),
-      w => array_join(array_remove(split(w, ""), ""), " ")), "\n")
     def rulePart(k: Int, i: Int): Column =
       element_at(col("rules"), k).getField("ps").getItem(i)
-    val base = Tables.documents(spark, dir)
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w")).distinct()
       .crossJoin(broadcast(rules))
-      .select(col("doc_id"), spaced.as("_m0"), col("rules"))
+      .select(col("w"),
+        array_join(array_remove(split(col("w"), ""), ""), " ").as("_m0"),
+        col("rules"))
     // one withColumn per rule so each stage is a shared projection
     // alias — folding `when(guard, replace(c)).otherwise(c)` inline
     // would duplicate the whole chain per level (the measured 2^k
@@ -346,19 +353,31 @@ object TextOps {
     // size(rules) >= k guard keeps a short-trained rule list (a corpus
     // that runs out of pairs) a no-op instead of an ANSI
     // INVALID_ARRAY_INDEX error from element_at.
-    val staged = (1 to BpeMerges).foldLeft(base) { (df, k) =>
+    val staged = (1 to BpeMerges).foldLeft(vocab) { (df, k) =>
       df.withColumn(s"_m$k",
         when(size(col("rules")) >= k, regexp_replace(col(s"_m${k - 1}"),
-          concat(lit("(^|(?<=[ \n]))"), rulePart(k, 0), lit(" "),
-            rulePart(k, 1), lit("((?=[ \n])|$)")),
+          concat(lit("(^|(?<= ))"), rulePart(k, 0), lit(" "),
+            rulePart(k, 1), lit("((?= )|$)")),
           concat(rulePart(k, 0), rulePart(k, 1))))
           .otherwise(col(s"_m${k - 1}")))
     }
     def units(c: Column): Column =
       when(length(c) === 0, lit(0))
-        .otherwise(length(c) - length(translate(c, " \n", "")) + 1)
-    staged.select(col("doc_id"),
-      units(col("_m0")).as("n_sym"),
-      units(col(s"_m$BpeMerges")).as("n_bpe"))
+        .otherwise(length(c) - length(translate(c, " ", "")) + 1)
+    val wordUnits = staged.select(col("w"),
+      units(col("_m0")).as("w_sym"),
+      units(col(s"_m$BpeMerges")).as("w_bpe"))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(wordUnits), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_sym")).cast("int").as("n_sym"),
+        sum(col("w_bpe")).cast("int").as("n_bpe"))
+    // token-free docs still get a (0, 0) row, like the string form did
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_sym"), lit(0)).as("n_sym"),
+        coalesce(col("n_bpe"), lit(0)).as("n_bpe"))
   }
 }
