@@ -127,6 +127,7 @@ object SparkEntry {
     "graph_degree" -> GraphOps.graphDegree _,
     "graph_update_incremental" -> GraphOps.graphUpdateIncremental _,
     "graph_context" -> GraphOps.graphContext _,
+    "graph_iface_match" -> GraphOps.graphIfaceMatch _,
     "stream_window_agg" -> graft.streaming.StreamingOps.streamWindowAgg _,
     "stream_sessionize" -> graft.streaming.StreamingOps.streamSessionize _,
     "curate_decontaminate" -> CurateOps.curateDecontaminate _,
@@ -1190,6 +1191,61 @@ object SparkEntry {
          |UNION ALL SELECT en.doc_id, symbol, kind, pos, 'refreshed' FROM en
          |UNION ALL SELECT eo.doc_id, symbol, kind, pos, 'deleted'
          |  FROM eo JOIN st ON st.doc_id = eo.doc_id AND st.status = 'deleted'""".stripMargin
+    },
+    // lockstep with GraphOps.graphIfaceMatch (interface_matcher.go
+    // analogue): seed-stride interfaces, min-doc embed resolution,
+    // depth-6 flattening closure, division via match-count equality,
+    // empty interfaces as one (-1, '*') wildcard row each
+    "graph_iface_match" -> {
+      val stride = graft.operators.GraphOps.IfaceSeedStride
+      val depth = graft.operators.GraphOps.EmbedMaxDepth
+      s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |d AS (
+         |  SELECT doc_id, ts[i+1] AS symbol, 'type' AS kind
+         |    FROM (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
+         |      i -> ts[i] = 'table')) AS i FROM tok)
+         |  UNION ALL SELECT doc_id, ts[i+1], 'function'
+         |    FROM (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
+         |      i -> ts[i] = 'query')) AS i FROM tok)
+         |  UNION ALL SELECT doc_id, ts[i+1], 'stream'
+         |    FROM (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
+         |      i -> ts[i] = 'stream')) AS i FROM tok)
+         |  UNION ALL SELECT doc_id, ts[i+1], 'import'
+         |    FROM (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
+         |      i -> ts[i] = 'batch')) AS i FROM tok)),
+         |ifaces AS (SELECT DISTINCT doc_id, symbol FROM d
+         |  WHERE kind = 'stream' AND doc_id % $stride = 0),
+         |imp AS (SELECT DISTINCT doc_id, symbol AS tgt FROM d WHERE kind = 'import'),
+         |tmin AS (SELECT symbol AS tgt, min(doc_id) AS dst_doc FROM ifaces GROUP BY 1),
+         |embed AS (SELECT i.doc_id AS src_doc, i.symbol AS src_sym,
+         |    t.dst_doc, t.tgt AS dst_sym
+         |  FROM ifaces i JOIN imp ON imp.doc_id = i.doc_id
+         |  JOIN tmin t ON t.tgt = imp.tgt AND t.dst_doc <> i.doc_id),
+         |reach AS (
+         |  WITH RECURSIVE r(root_doc, root_sym, doc_id, symbol, depth) AS (
+         |    SELECT doc_id, symbol, doc_id, symbol, 0 FROM ifaces
+         |    UNION
+         |    SELECT r.root_doc, r.root_sym, e.dst_doc, e.dst_sym, r.depth + 1
+         |    FROM r JOIN embed e ON e.src_doc = r.doc_id AND e.src_sym = r.symbol
+         |    WHERE r.depth < $depth)
+         |  SELECT DISTINCT root_doc, root_sym, doc_id FROM r),
+         |meth AS (SELECT DISTINCT doc_id, symbol AS m FROM d WHERE kind = 'function'),
+         |resolved AS (SELECT DISTINCT r.root_doc AS iface_doc,
+         |    r.root_sym AS iface_symbol, m.m
+         |  FROM reach r JOIN meth m ON m.doc_id = r.doc_id),
+         |rn AS (SELECT iface_doc, iface_symbol, count(*) AS n_m
+         |  FROM resolved GROUP BY 1, 2),
+         |types AS (SELECT DISTINCT doc_id, symbol FROM d WHERE kind = 'type'),
+         |hits AS (SELECT m.doc_id, v.iface_doc, v.iface_symbol, count(*) AS n_hit
+         |  FROM resolved v JOIN meth m ON m.m = v.m GROUP BY 1, 2, 3)
+         |SELECT t.doc_id AS type_doc, t.symbol AS type_symbol,
+         |    h.iface_doc, h.iface_symbol, rn.n_m::BIGINT AS n_methods
+         |  FROM hits h JOIN rn USING (iface_doc, iface_symbol)
+         |  JOIN types t ON t.doc_id = h.doc_id
+         |  WHERE h.n_hit = rn.n_m
+         |UNION ALL SELECT -1, '*', i.doc_id, i.symbol, 0 FROM ifaces i
+         |  LEFT JOIN rn ON rn.iface_doc = i.doc_id AND rn.iface_symbol = i.symbol
+         |  WHERE rn.n_m IS NULL""".stripMargin
     },
     "pattern_search" -> {
       // MUST stay in lockstep with PatternOps.patternSearch's template

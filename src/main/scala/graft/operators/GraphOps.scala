@@ -594,4 +594,128 @@ object GraphOps {
       .withColumn("action", lit("refreshed"))
     carried.unionAll(refreshed).unionAll(deleted)
   }
+
+  /** Every [[graphIfaceMatch]] interface comes from a seed doc
+    * (doc_id ≡ 0 mod this stride) — the data-level stand-in for
+    * "interfaces are a small fraction of all declared types", which is
+    * what makes the interface side broadcastable. */
+  private[graft] val IfaceSeedStride = 40
+
+  /** Embedded-interface flattening depth cap — the reference's traversal
+    * bound (searcher_sql.go caps at 6; the matcher's flattening is
+    * cycle-guarded rather than depth-capped, but 6 covers any real
+    * embedding chain and keeps the closure a fixed number of joins). */
+  private[graft] val EmbedMaxDepth = 6
+
+  /** Interface-implementation inference — the reference's
+    * InterfaceMatcher (internal/graph/interface_matcher.go:92
+    * InferImplementations: every struct × every interface, implements iff
+    * the interface's RESOLVED method set — own methods plus recursively
+    * flattened embedded interfaces, flattenMethods:58 — is contained in
+    * the struct's method set) re-expressed as relational division over
+    * the symbols_extract token domain:
+    *
+    *  - interface = each `stream` symbol declared in a SEED doc
+    *    (doc_id ≡ 0 mod [[IfaceSeedStride]]); its own methods are the
+    *    `function` symbols of its declaring doc;
+    *  - embedding = the seed doc IMPORTS (`batch X`) another seed
+    *    interface name; the target resolves to the minimum seed doc
+    *    declaring that stream symbol (the min-id convention every graph
+    *    tie-break here uses), self-doc excluded;
+    *  - resolved methods = union of function names over the ≤
+    *    [[EmbedMaxDepth]]-step embed closure (cycle-safe: the closure is
+    *    a visited-set BFS, not a recursion);
+    *  - concrete type = each `table` symbol; its method set is its doc's
+    *    function names; implements iff resolved(iface) ⊆ methods(doc) —
+    *    set containment checked by match-count equality, the division-
+    *    via-counting formulation;
+    *  - the reference's "empty interface matches every type" degenerate
+    *    case (implementsInterface:124) is NOT materialized as edges —
+    *    at corpus scale that is a deliberate quadratic; it surfaces as
+    *    ONE wildcard row per empty interface (type_doc = -1,
+    *    type_symbol = '*', n_methods = 0) instead.
+    *
+    * Scale shape: the interface side (seed docs, embed edges, closure,
+    * resolved method rows) is tiny and BROADCASTS; the corpus pays ONE
+    * staged scan producing per-doc distinct name arrays (memoized — the
+    * probe and the type-explode read the same persisted relation), and
+    * the only corpus-sized exchange is the (doc, iface) match-count
+    * aggregate, sized by partial matches, not docs × interfaces. The
+    * reference's nested struct×iface loop is exactly the all-pairs this
+    * avoids. */
+  def graphIfaceMatch(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = graft.PlanCache.getOrBuild(spark, dir, "iface:perdoc") {
+      def names(kw: String) = array_distinct(filter(
+        transform(col("ts"), (x, i) =>
+          when(x === lit(kw) && i < size(col("ts")) - 1,
+            element_at(col("ts"), (i + lit(2)).cast("int")))
+            .otherwise(lit(null))),
+        _.isNotNull))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), graft.functions.Tokenize.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), names("query").as("fns"), names("table").as("tys"),
+          names("batch").as("imps"), names("stream").as("strs"))
+        .filter(size(col("fns")) > 0 || size(col("tys")) > 0 || size(col("strs")) > 0)
+    }
+    val seed = perDoc.filter(col("doc_id") % IfaceSeedStride === 0)
+    val ifaces = seed.select(col("doc_id"), explode(col("strs")).as("symbol"))
+    // embed edges: (src iface doc, src iface sym) -> min seed doc declaring
+    // an imported stream name; doc-level imports, so every iface symbol of
+    // the importing doc embeds the same targets (the Go node's
+    // EmbeddedTypes list lives on the declaring file too)
+    val tmin = ifaces.groupBy(col("symbol").as("dst_sym"))
+      .agg(min(col("doc_id")).as("dst_doc"))
+    val docEmbeds = seed.select(col("doc_id").as("src_doc"), explode(col("imps")).as("tgt"))
+      .join(broadcast(tmin), col("tgt") === col("dst_sym"))
+      .filter(col("dst_doc") =!= col("src_doc"))
+      .select(col("src_doc"), col("dst_doc"), col("dst_sym")).distinct()
+    val embed = ifaces.select(col("doc_id").as("src_doc"), col("symbol").as("src_sym"))
+      .join(broadcast(docEmbeds), "src_doc")
+    // Fixed-depth closure: one lineage cut per round (on the frontier
+    // only — `reach` stays a lazy union of already-cut frames, so the
+    // plan grows linearly in rounds, not exponentially).
+    var reach = ifaces.select(col("doc_id").as("root_doc"), col("symbol").as("root_sym"),
+      col("doc_id"), col("symbol"))
+    var frontier = reach
+    for (_ <- 1 to EmbedMaxDepth) {
+      val next = frontier
+        .join(broadcast(embed),
+          frontier("doc_id") === embed("src_doc") && frontier("symbol") === embed("src_sym"))
+        .select(col("root_doc"), col("root_sym"),
+          col("dst_doc").as("doc_id"), col("dst_sym").as("symbol"))
+        .distinct()
+        .join(reach, Seq("root_doc", "root_sym", "doc_id", "symbol"), "left_anti")
+        .lineageCut
+      reach = reach.unionAll(next)
+      frontier = next
+    }
+    // Cut once: three downstream branches (match counts, division sizes,
+    // wildcard anti-join) all read the resolved method relation.
+    val resolved = reach.select(col("root_doc"), col("root_sym"), col("doc_id")).distinct()
+      .join(perDoc.select(col("doc_id"), col("fns")), "doc_id")
+      .select(col("root_doc").as("iface_doc"), col("root_sym").as("iface_symbol"),
+        explode(col("fns")).as("m"))
+      .distinct()
+      .lineageCut
+    val rn = resolved.groupBy(col("iface_doc"), col("iface_symbol"))
+      .agg(count(lit(1)).as("n_m"))
+    val matched = perDoc
+      .filter(size(col("tys")) > 0 && size(col("fns")) > 0)
+      .select(col("doc_id"), col("tys"), explode(col("fns")).as("m"))
+      .join(broadcast(resolved), "m")
+      .groupBy(col("doc_id"), col("iface_doc"), col("iface_symbol"))
+      .agg(count(lit(1)).as("n_hit"), first(col("tys")).as("tys"))
+      .join(broadcast(rn), Seq("iface_doc", "iface_symbol"))
+      .filter(col("n_hit") === col("n_m"))
+    val edges = matched.select(col("doc_id").as("type_doc"),
+      explode(col("tys")).as("type_symbol"),
+      col("iface_doc"), col("iface_symbol"), col("n_m").as("n_methods"))
+    val wildcards = ifaces.join(rn,
+        ifaces("doc_id") === rn("iface_doc") && ifaces("symbol") === rn("iface_symbol"),
+        "left_anti")
+      .select(lit(-1L).as("type_doc"), lit("*").as("type_symbol"),
+        col("doc_id").as("iface_doc"), col("symbol").as("iface_symbol"),
+        lit(0L).as("n_methods"))
+    edges.unionAll(wildcards)
+  }
 }
