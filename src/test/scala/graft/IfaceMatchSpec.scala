@@ -53,6 +53,19 @@ class IfaceMatchSpec extends AnyFunSuite with SparkFixture {
     assert(!out.exists(e => e._3 == 280L))
   }
 
+  test("division is broadcast-shaped: no nested-loop struct x iface scan") {
+    // the reference's InferImplementations is a struct × iface double loop;
+    // the relational division must never plan that shape — iface-side
+    // relations broadcast, candidates come from the method-name join
+    val plan = GraphOps.graphIfaceMatch(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"division must not degrade to all-pairs:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"iface-side relations must broadcast into the corpus probe:\n$plan")
+  }
+
   test("flattening is depth-capped and deterministic on an embed chain") {
     // chain i0 <- i1 <- ... each adds one method; depth cap 6 bounds the union
     val chain = (0 to 8).map { k =>

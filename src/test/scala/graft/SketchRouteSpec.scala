@@ -92,6 +92,26 @@ class SketchRouteSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, s"routed recall $recall")
   }
 
+  test("ANN candidates are generated once per unordered pair") {
+    // the band self-join must carry the a < b condition (each unordered
+    // pair collides once; directions are restored by the narrow mirror
+    // explode AFTER scoring) — the both-directions formulation doubled
+    // every collision row, the dedup exchange, and both embedding joins
+    val plan = SearchOps.vecKnnJoinAnn(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(" < b_id"),
+      s"band join must generate a < b only:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
+    // symmetry invariant: the mirror restores both directions exactly
+    val rows = SearchOps.vecKnnJoinAnn(spark, SfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val dirs = rows.map { case (a, b, s) => (a, b) -> s }.toMap
+    rows.foreach { case (a, b, s) =>
+      assert(dirs.get((b, a)).forall(_ == s),
+        s"mirrored direction of ($a,$b) must carry the same score")
+    }
+  }
+
   test("gopher rule battery: keep is exactly the conjunction of its rules") {
     val rows = CurateOps.curateGopherRules(spark, SfDir).collect()
     assert(rows.nonEmpty)
