@@ -95,11 +95,16 @@ object ScaleProbe {
     val cached = spark.table(
       sources.IndexStore.derivedTableName(dir, "simhash_bands")).persist()
     cached.count()
+    // same first-match-band condition as simhashCandidates, so the two
+    // paths produce identical candidate sets and only the read strategy
+    // (bucketed vs cached+shuffled) differs
     val joined = cached
       .join(cached.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
           col("band").as("bb"), col("bkey").as("b_bkey")),
         col("band") === col("bb") && col("bkey") === col("b_bkey") &&
-          col("doc_id") < col("b_id"))
+          col("doc_id") < col("b_id") &&
+          operators.DedupOps.simhashFirstBandProbe(col("sig"), col("b_sig"))
+            === col("band"))
       .select(col("doc_id").as("a_id"), col("b_id"),
         col("sig").as("a_sig"), col("b_sig"))
     val (tC, nC) = time(joined.count())

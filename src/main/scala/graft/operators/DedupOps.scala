@@ -175,14 +175,21 @@ object DedupOps {
       min((col("hv") * (i * 2 + 1) + (i * 12345 + 7)) % P).as(s"mh$i")
     }
     val minh = h.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-    // bands pair signatures (2j, 2j+1); explode 8 band structs per doc
+    // bands pair signatures (2j, 2j+1); explode 8 band structs per doc,
+    // each row also carrying the doc's FULL 8-sig array so candidate
+    // joins can apply the first-match-band discipline (see
+    // [[firstBandMatch]]) instead of a distinct exchange over pair rows
+    val sigCols = (0 until 8).map { j =>
+      concat_ws("_", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))
+    }
     val bandStructs = (0 until 8).map { j =>
-      struct(lit(j.toLong).as("band"),
-        concat_ws("_", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")).as("sig"))
+      struct(lit(j.toLong).as("band"), sigCols(j).as("sig"))
     }
     minh
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      .select(col("doc_id"), array(sigCols: _*).as("sigs"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("sigs"),
+        col("b.band").as("band"), col("b.sig").as("sig"))
   }
 
   /** The corpus signature/band relation, built once per (session, dir) as
@@ -199,12 +206,15 @@ object DedupOps {
     // the candidate self-join's keys are exactly the bucket keys, so it
     // reads both sides co-located, exchange-free
     val bands = minhashBands(spark, dir)
-    val cand = bands.select(col("band"), col("sig"), col("doc_id").as("a_id"))
+    // first-match-band discipline: no (a_id, b_id) distinct exchange
+    val cand = bands.select(col("band"), col("sig"), col("sigs"),
+        col("doc_id").as("a_id"))
       .join(bands.select(col("band").as("b_band"), col("sig").as("b_sig"),
-          col("doc_id").as("b_id")),
+          col("sigs").as("b_sigs"), col("doc_id").as("b_id")),
         col("band") === col("b_band") && col("sig") === col("b_sig") &&
-          col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+          col("a_id") < col("b_id") &&
+          firstBandMatch(col("sigs"), col("b_sigs"), col("band")))
+      .select(col("a_id"), col("b_id"))
     jaccardVerify(cand, ng, 0.5)
   }
 
@@ -236,14 +246,18 @@ object DedupOps {
       .filter(col("doc_id") % IncrMod =!= IncrRes)
     corpus
       .join(broadcast(newBands.select(col("doc_id").as("a_id"),
-          col("band").as("a_band"), col("sig").as("a_sig"))),
-        col("band") === col("a_band") && col("sig") === col("a_sig"))
+          col("sigs").as("a_sigs"), col("band").as("a_band"),
+          col("sig").as("a_sig"))),
+        col("band") === col("a_band") && col("sig") === col("a_sig") &&
+          firstBandMatch(col("a_sigs"), col("sigs"), col("band")))
       .select(col("a_id"), col("doc_id").as("b_id"))
   }
 
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val ng = shingled(spark, dir)
-    val cand = incrementalCandidates(spark, dir).distinct()
+    // first-match-band probe: each (new, corpus) pair surfaces from one
+    // band only, so the churn-sized candidate set needs no distinct
+    val cand = incrementalCandidates(spark, dir)
     jaccardVerify(cand, ng, 0.5)
   }
 
@@ -309,21 +323,39 @@ object DedupOps {
     * it reads the bucketed band table co-located (no exchange between
     * the scans and the join; the distinct/verify shuffle above it is the
     * thin surviving-pairs relation, not the band rows). */
+  /** Index of the FIRST [[SimhashBands]] band where the two 32-bit
+    * signatures agree — computable from the xor alone, so the band rows
+    * need no extra carried state for the first-match-band discipline. */
+  private[graft] def simhashFirstBandProbe(aSig: Column, bSig: Column): Column =
+    simhashFirstBand(aSig, bSig)
+
+  private def simhashFirstBand(aSig: Column, bSig: Column): Column = {
+    val x = aSig.bitwiseXOR(bSig)
+    SimhashBands.zipWithIndex.foldRight(lit(-1L): Column) {
+      case (((off, w), j), els) =>
+        when(shiftright(x, off) % (1L << w) === 0, lit(j.toLong)).otherwise(els)
+    }
+  }
+
   private[graft] def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val bands = simhashBands(spark, dir)
     bands
       .join(bands.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
           col("band").as("bb"), col("bkey").as("b_bkey")),
         col("band") === col("bb") && col("bkey") === col("b_bkey") &&
-          col("doc_id") < col("b_id"))
-      // a pair can collide on several bands; sigs ride along (they are
-      // functions of the ids) so the verify needs no extra join
+          col("doc_id") < col("b_id") &&
+          // first-match-band discipline: a pair colliding on several
+          // bands is emitted by the smallest one only — local xor
+          // arithmetic replaces the (a_id, b_id) distinct exchange
+          simhashFirstBand(col("sig"), col("b_sig")) === col("band"))
+      // sigs ride along (they are functions of the ids) so the verify
+      // needs no extra join
       .select(col("doc_id").as("a_id"), col("b_id"),
         col("sig").as("a_sig"), col("b_sig"))
   }
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val cand = simhashCandidates(spark, dir).distinct()
+    val cand = simhashCandidates(spark, dir)
     cand
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
@@ -460,12 +492,26 @@ object DedupOps {
       import graft.functions.VectorFunctions.bandSigs
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"),
-          posexplode(bandSigs(col("embedding"), EmbSeed, EmbBands, EmbBits, EmbDim)))
+          bandSigs(col("embedding"), EmbSeed, EmbBands, EmbBits, EmbDim).as("sigs"))
+        // every band row carries the vector's FULL signature array too:
+        // consumers emit a colliding pair from its first matching band
+        // only ([[firstBandMatch]]) — local arithmetic in the collision
+        // join replaces a corpus-scale distinct exchange over pair rows
+        .select(col("vec_id"), col("label"), col("sigs"), posexplode(col("sigs")))
         // the IVF cell folds into the signature (cell_sig = label:sig) so
         // both band self-joins key exactly on the bucket cols
-        .select(col("vec_id"), col("label"), col("pos").as("band"),
+        .select(col("vec_id"), col("label"), col("sigs"), col("pos").as("band"),
           concat_ws(":", col("label"), col("col")).as("cell_sig"))
     })
+
+  /** True when `band` is the FIRST index where the two signature arrays
+    * agree — the dedup-free collision discipline: a pair sharing k bands
+    * is emitted by exactly one of them, so band joins need no
+    * (a_id, b_id) distinct exchange afterwards. Pure codegen'd array
+    * arithmetic evaluated inside the (already-matched) collision join. */
+  private[operators] def firstBandMatch(aSigs: Column, bSigs: Column,
+      band: Column): Column =
+    array_position(zip_with(aSigs, bSigs, (x, y) => x === y), true) === band + 1
 
   /** Embedding-cosine near-dup pairs (>= 0.42) inside IVF label cells.
     *
@@ -667,12 +713,15 @@ object DedupOps {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val bands = embBands(spark, dir)
+    // first-match-band discipline: each colliding pair is emitted by
+    // exactly one band, so no (a_id, b_id) distinct exchange is needed
     val cand = bands
-      .join(bands.select(col("vec_id").as("b_id"),
+      .join(bands.select(col("vec_id").as("b_id"), col("sigs").as("b_sigs"),
           col("band").as("b_band"), col("cell_sig").as("b_cell_sig")),
         col("band") === col("b_band") && col("cell_sig") === col("b_cell_sig") &&
-          col("vec_id") < col("b_id"))
-      .select(col("vec_id").as("a_id"), col("b_id")).distinct()
+          col("vec_id") < col("b_id") &&
+          firstBandMatch(col("sigs"), col("b_sigs"), col("band")))
+      .select(col("vec_id").as("a_id"), col("b_id"))
     cand
       .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
       .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")

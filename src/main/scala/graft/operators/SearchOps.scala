@@ -645,11 +645,12 @@ object SearchOps {
     val emb = spark.table(graft.sources.IndexStore.index(spark, dir).embById)
     val bands = DedupOps.embBands(spark, dir)
     val cand = bands
-      .join(bands.select(col("vec_id").as("b_id"),
+      .join(bands.select(col("vec_id").as("b_id"), col("sigs").as("b_sigs"),
           col("band").as("b_band"), col("cell_sig").as("b_cell_sig")),
         col("band") === col("b_band") && col("cell_sig") === col("b_cell_sig") &&
-          col("vec_id") < col("b_id"))
-      .select(col("vec_id").as("a_id"), col("b_id")).distinct()
+          col("vec_id") < col("b_id") &&
+          DedupOps.firstBandMatch(col("sigs"), col("b_sigs"), col("band")))
+      .select(col("vec_id").as("a_id"), col("b_id"))
     val scored = cand
       .join(emb.select(col("vec_id").as("a_id"), col("label"),
         col("embedding").as("a_emb")), "a_id")
@@ -723,11 +724,12 @@ object SearchOps {
     // explode — half the rows through the heavy middle, same result set
     val bands = DedupOps.embBands(spark, dir).join(broadcast(big), "label")
     val cand = bands
-      .join(bands.select(col("vec_id").as("b_id"),
+      .join(bands.select(col("vec_id").as("b_id"), col("sigs").as("b_sigs"),
           col("band").as("b_band"), col("cell_sig").as("b_cell_sig")),
         col("band") === col("b_band") && col("cell_sig") === col("b_cell_sig") &&
-          col("vec_id") < col("b_id"))
-      .select(col("vec_id").as("a_id"), col("b_id")).distinct()
+          col("vec_id") < col("b_id") &&
+          DedupOps.firstBandMatch(col("sigs"), col("b_sigs"), col("band")))
+      .select(col("vec_id").as("a_id"), col("b_id"))
     val routedPairs = cand
       .join(emb.select(col("vec_id").as("a_id"), col("label"),
         col("embedding").as("a_emb")), "a_id")
