@@ -97,9 +97,83 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 0-based index of the FIRST position where two equal-length arrays
+  * hold equal elements, -1 when none — the first-match-band collision
+  * discipline's predicate (DedupOps.firstBandMatch): evaluated once per
+  * collision-join row, where a `zip_with` + `array_position` composition
+  * would allocate a boolean array per row (measured 4× slower over 89M
+  * collision rows at the sf1 stress scale). A plain early-exit loop in
+  * both codegen and interpreted modes, zero allocation. Null elements
+  * never match (band signatures are null-free by construction); a null
+  * ARRAY yields null.
+  */
+case class FirstEqualIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "first_equal_index needs two array<string> or two " +
+          s"array<long> inputs, got $l / $r")
+    }
+
+  private def elemIsString: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == StringType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val str = elemIsString
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val eq =
+          if (str) x.getUTF8String(i).equals(y.getUTF8String(i))
+          else x.getLong(i) == y.getLong(i)
+        if (eq) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val eq =
+        if (elemIsString) s"$a.getUTF8String($i).equals($b.getUTF8String($i))"
+        else s"$a.getLong($i) == $b.getLong($i)"
+      s"""
+         |int $out = -1;
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) && $eq) { $out = $i; break; }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstEqualIndex =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayFunctions {
   /** Codegen'd merge-scan intersection size over sorted string arrays. */
   def sortedIntersectSize(a: Column, b: Column): Column =
     SqlBridge.column(
       SortedIntersectSize(SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  /** Codegen'd first-equal-position scan (0-based, -1 when none). */
+  def firstEqualIndex(a: Column, b: Column): Column =
+    SqlBridge.column(
+      FirstEqualIndex(SqlBridge.expression(a), SqlBridge.expression(b)))
 }

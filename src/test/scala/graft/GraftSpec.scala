@@ -736,6 +736,40 @@ class SortedIntersectSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("sortedintersectsize"),
       s"verify must use the merge-scan expression:\n${plan.take(1500)}")
   }
+
+  test("first-equal-index matches the zip_with model (both modes, both types)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def model[T](a: List[T], b: List[T]): Int =
+      a.zip(b).indexWhere { case (x, y) => x == y } // -1 when none
+    val gl = for {
+      n <- Gen.choose(0, 8)
+      a <- Gen.listOfN(n, Gen.choose(0L, 3L))
+      b <- Gen.listOfN(n, Gen.choose(0L, 3L))
+    } yield (a, b)
+    val gs = for {
+      n <- Gen.choose(0, 8)
+      a <- Gen.listOfN(n, Gen.oneOf("p", "q", "r"))
+      b <- Gen.listOfN(n, Gen.oneOf("p", "q", "r"))
+    } yield (a, b)
+    val longs = (1 to 60).map(i => gl.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val strs = (1 to 60).map(i => gs.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val sparkS = spark
+        import sparkS.implicits._
+        val gotL = longs.toDF("a", "b")
+          .select(functions.ArrayFunctions.firstEqualIndex(col("a"), col("b")))
+          .collect().map(_.getInt(0)).toSeq
+        assert(gotL == longs.map { case (a, b) => model(a, b) }, s"long mode=$cg")
+        val gotS = strs.toDF("a", "b")
+          .select(functions.ArrayFunctions.firstEqualIndex(col("a"), col("b")))
+          .collect().map(_.getInt(0)).toSeq
+        assert(gotS == strs.map { case (a, b) => model(a, b) }, s"string mode=$cg")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
 
 /** HyperplaneBandSigs: codegen and interpreted paths agree with a plain
