@@ -645,12 +645,12 @@ object GraphOps {
     * avoids. */
   def graphIfaceMatch(spark: SparkSession, dir: String): DataFrame = {
     val perDoc = graft.PlanCache.getOrBuild(spark, dir, "iface:perdoc") {
-      def names(kw: String) = array_distinct(filter(
+      def names(kw: String) = array_sort(array_distinct(filter(
         transform(col("ts"), (x, i) =>
           when(x === lit(kw) && i < size(col("ts")) - 1,
             element_at(col("ts"), (i + lit(2)).cast("int")))
             .otherwise(lit(null))),
-        _.isNotNull))
+        _.isNotNull)))
       Tables.documents(spark, dir)
         .select(col("doc_id"), graft.functions.Tokenize.tokens(col("text")).as("ts"))
         .select(col("doc_id"), names("query").as("fns"), names("table").as("tys"),
@@ -659,54 +659,75 @@ object GraphOps {
     }
     val seed = perDoc.filter(col("doc_id") % IfaceSeedStride === 0)
     val ifaces = seed.select(col("doc_id"), explode(col("strs")).as("symbol"))
-    // embed edges: (src iface doc, src iface sym) -> min seed doc declaring
-    // an imported stream name; doc-level imports, so every iface symbol of
-    // the importing doc embeds the same targets (the Go node's
-    // EmbeddedTypes list lives on the declaring file too)
-    val tmin = ifaces.groupBy(col("symbol").as("dst_sym"))
-      .agg(min(col("doc_id")).as("dst_doc"))
-    val docEmbeds = seed.select(col("doc_id").as("src_doc"), explode(col("imps")).as("tgt"))
-      .join(broadcast(tmin), col("tgt") === col("dst_sym"))
-      .filter(col("dst_doc") =!= col("src_doc"))
-      .select(col("src_doc"), col("dst_doc"), col("dst_sym")).distinct()
-    val embed = ifaces.select(col("doc_id").as("src_doc"), col("symbol").as("src_sym"))
-      .join(broadcast(docEmbeds), "src_doc")
-    // Fixed-depth closure: one lineage cut per round (on the frontier
-    // only — `reach` stays a lazy union of already-cut frames, so the
-    // plan grows linearly in rounds, not exponentially).
-    var reach = ifaces.select(col("doc_id").as("root_doc"), col("symbol").as("root_sym"),
-      col("doc_id"), col("symbol"))
-    var frontier = reach
-    for (_ <- 1 to EmbedMaxDepth) {
-      val next = frontier
-        .join(broadcast(embed),
-          frontier("doc_id") === embed("src_doc") && frontier("symbol") === embed("src_sym"))
-        .select(col("root_doc"), col("root_sym"),
-          col("dst_doc").as("doc_id"), col("dst_sym").as("symbol"))
+    // The flattening closure is the expensive prefix (6 rounds of eager
+    // lineage-cut jobs) and its result is tiny — memoize it per
+    // (session, dir) like every other graph BFS memo, so repeated calls
+    // pay the division probe only.
+    val resolved = graft.PlanCache.getOrBuild(spark, dir, "iface:resolved") {
+      // embed edges: (src iface doc, src iface sym) -> min seed doc
+      // declaring an imported stream name; doc-level imports, so every
+      // iface symbol of the importing doc embeds the same targets (the
+      // Go node's EmbeddedTypes list lives on the declaring file too)
+      val tmin = ifaces.groupBy(col("symbol").as("dst_sym"))
+        .agg(min(col("doc_id")).as("dst_doc"))
+      val docEmbeds = seed.select(col("doc_id").as("src_doc"), explode(col("imps")).as("tgt"))
+        .join(broadcast(tmin), col("tgt") === col("dst_sym"))
+        .filter(col("dst_doc") =!= col("src_doc"))
+        .select(col("src_doc"), col("dst_doc"), col("dst_sym")).distinct()
+      val embed = ifaces.select(col("doc_id").as("src_doc"), col("symbol").as("src_sym"))
+        .join(broadcast(docEmbeds), "src_doc")
+      // Fixed-depth closure: one lineage cut per round (on the frontier
+      // only — `reach` stays a lazy union of already-cut frames, so the
+      // plan grows linearly in rounds, not exponentially).
+      var reach = ifaces.select(col("doc_id").as("root_doc"), col("symbol").as("root_sym"),
+        col("doc_id"), col("symbol"))
+      var frontier = reach
+      for (_ <- 1 to EmbedMaxDepth) {
+        val next = frontier
+          .join(broadcast(embed),
+            frontier("doc_id") === embed("src_doc") && frontier("symbol") === embed("src_sym"))
+          .select(col("root_doc"), col("root_sym"),
+            col("dst_doc").as("doc_id"), col("dst_sym").as("symbol"))
+          .distinct()
+          .join(reach, Seq("root_doc", "root_sym", "doc_id", "symbol"), "left_anti")
+          .lineageCut
+        reach = reach.unionAll(next)
+        frontier = next
+      }
+      reach.select(col("root_doc"), col("root_sym"), col("doc_id")).distinct()
+        .join(perDoc.select(col("doc_id"), col("fns")), "doc_id")
+        .select(col("root_doc").as("iface_doc"), col("root_sym").as("iface_symbol"),
+          explode(col("fns")).as("m"))
         .distinct()
-        .join(reach, Seq("root_doc", "root_sym", "doc_id", "symbol"), "left_anti")
-        .lineageCut
-      reach = reach.unionAll(next)
-      frontier = next
     }
-    // Cut once: three downstream branches (match counts, division sizes,
-    // wildcard anti-join) all read the resolved method relation.
-    val resolved = reach.select(col("root_doc"), col("root_sym"), col("doc_id")).distinct()
-      .join(perDoc.select(col("doc_id"), col("fns")), "doc_id")
-      .select(col("root_doc").as("iface_doc"), col("root_sym").as("iface_symbol"),
-        explode(col("fns")).as("m"))
-      .distinct()
-      .lineageCut
-    val rn = resolved.groupBy(col("iface_doc"), col("iface_symbol"))
-      .agg(count(lit(1)).as("n_m"))
-    val matched = perDoc
-      .filter(size(col("tys")) > 0 && size(col("fns")) > 0)
-      .select(col("doc_id"), col("tys"), explode(col("fns")).as("m"))
-      .join(broadcast(resolved), "m")
-      .groupBy(col("doc_id"), col("iface_doc"), col("iface_symbol"))
-      .agg(count(lit(1)).as("n_hit"), first(col("tys")).as("tys"))
-      .join(broadcast(rn), Seq("iface_doc", "iface_symbol"))
-      .filter(col("n_hit") === col("n_m"))
+    // Division via rarest-method candidates + merge-scan verify (the
+    // Jaccard prefix filter's rarest-first trick applied to set
+    // containment): iface ⊆ doc implies doc contains the iface's rarest
+    // method, so ONE probe method per interface generates every true
+    // candidate — candidate volume is Σ_iface df(rarest method), not the
+    // dense all-names join (measured 84M joined rows at sf1 on this
+    // corpus's 31-name universe; rarest-probing cut the operator 35 s →
+    // seconds). Each candidate pair arises at most once (fns are
+    // distinct, one probe method per iface), so there is NO (doc, iface)
+    // aggregate at all: containment is a per-row SortedIntersectSize
+    // merge scan over the sorted name arrays.
+    val rnAgg = resolved.groupBy(col("iface_doc"), col("iface_symbol"))
+      .agg(array_sort(collect_list(col("m"))).as("ms"),
+        count(lit(1)).as("n_m"))
+    val rn = rnAgg.select(col("iface_doc"), col("iface_symbol"), col("n_m"))
+    val probe = perDoc.filter(size(col("tys")) > 0 && size(col("fns")) > 0)
+    val dfm = probe.select(explode(col("fns")).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("df"))
+    val rarest = resolved.join(dfm, "m")
+      .groupBy(col("iface_doc"), col("iface_symbol"))
+      .agg(min(struct(col("df"), col("m"))).as("r"))
+      .select(col("iface_doc"), col("iface_symbol"), col("r.m").as("m"))
+    val matched = probe
+      .select(col("doc_id"), col("tys"), col("fns"), explode(col("fns")).as("m"))
+      .join(broadcast(rarest), "m")
+      .join(broadcast(rnAgg), Seq("iface_doc", "iface_symbol"))
+      .filter(graft.functions.ArrayFunctions
+        .sortedIntersectSize(col("fns"), col("ms")) === col("n_m"))
     val edges = matched.select(col("doc_id").as("type_doc"),
       explode(col("tys")).as("type_symbol"),
       col("iface_doc"), col("iface_symbol"), col("n_m").as("n_methods"))
