@@ -33,12 +33,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 // Size the forked JVM's heap to the machine (a third of physical RAM,
-// clamped to [8g, 48g]) instead of a fixed 8g: local[32] stands in for a
-// whole cluster's executor memory, and an undersized heap turns storage
-// eviction + GC pauses into multi-second spikes that land on arbitrary
-// bench queries (measured: the same 128-query sf0.1 bench ran 142s at
-// 8g with a 15.8s worst query vs 76s at 40g with a 2.9s worst query on
-// the 125 GiB box). SPARK_DRIVER_MEM still overrides.
+// clamped to [8g, 24g]) instead of a fixed 8g. Two failure modes bound
+// the clamp, both measured on the same 128-query sf0.1 bench on the
+// 125 GiB / 32-vCPU box: at 8g, storage eviction + GC pauses land
+// multi-second spikes on arbitrary queries (142s total, 15.8s worst
+// query); past ~32g G1 cycles through so many never-before-touched heap
+// pages that first-touch faults dominate (this VM's kernel makes
+// concurrent faults very expensive — a probe JVM burned 4,483s of SYS
+// cpu vs 922s of user; 32g/41g benched 76s where 24g benched 53-55s,
+// repeatably). SPARK_DRIVER_MEM still overrides both ways.
 val defaultDriverMem: String = {
   val totalKb =
     try scala.io.Source.fromFile("/proc/meminfo").getLines()
@@ -47,7 +50,7 @@ val defaultDriverMem: String = {
       .getOrElse(0L)
     catch { case _: Throwable => 0L }
   val gb = totalKb / (1024L * 1024L)
-  s"${math.max(8L, math.min(48L, gb / 3))}g"
+  s"${math.max(8L, math.min(24L, gb / 3))}g"
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
