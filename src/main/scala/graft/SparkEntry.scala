@@ -153,12 +153,18 @@ object SparkEntry {
   )
 
   private val duckTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-  /** Word-3-gram shingle CTE shared by the dedup oracles. */
+  /** Word-3-gram shingle CTE shared by the dedup oracles. Each distinct
+    * trigram is stored as its 60-bit md5 hash — the exact arithmetic
+    * DedupOps.shingled's hash60 performs — so every downstream oracle
+    * (Jaccard intersect, minhash, simhash) operates on the same longs
+    * the engine's index holds. */
   private val duckNg =
     s"""tok AS (SELECT doc_id, lang, (n_chars // 100) AS lb, $duckTok AS ts FROM documents),
        |ng AS (SELECT doc_id, lang, lb,
-       |  list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)),
-       |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gs FROM tok)""".stripMargin
+       |  list_distinct(list_transform(
+       |    list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)),
+       |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])),
+       |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS gs FROM tok)""".stripMargin
   private val duckJac =
     "round(len(list_intersect(x.gs, y.gs))::DOUBLE / " +
       "greatest(len(list_distinct(x.gs || y.gs)), 1), 4)"
@@ -236,7 +242,7 @@ object SparkEntry {
     * band/threshold parameters. */
   private lazy val duckSimhashSel: String =
     s"""WITH $duckNg,
-       |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 4294967296 AS hv
+       |h AS (SELECT doc_id, g % 4294967296 AS hv
        |      FROM ng, unnest(gs) AS u(g)),
        |hi AS (SELECT doc_id, hv, ix.i AS i
        |       FROM h CROSS JOIN unnest(range(0, 32)) AS ix(i)),
@@ -1316,7 +1322,7 @@ object SparkEntry {
          |WHERE jac >= 0.5""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $duckNg,
-         |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS hv
+         |h AS (SELECT doc_id, g % 2147483647 AS hv
          |      FROM ng, unnest(gs) AS u(g)),
          |hi AS (SELECT doc_id, hv, ix.i AS i
          |       FROM h CROSS JOIN unnest(range(0, 16)) AS ix(i)),
@@ -1338,7 +1344,7 @@ object SparkEntry {
     // drift lesson); a_id is always the NEW-batch doc, b_id the corpus doc
     "dedup_incremental" ->
       s"""WITH $duckNg,
-         |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS hv
+         |h AS (SELECT doc_id, g % 2147483647 AS hv
          |      FROM ng, unnest(gs) AS u(g)),
          |hi AS (SELECT doc_id, hv, ix.i AS i
          |       FROM h CROSS JOIN unnest(range(0, 16)) AS ix(i)),

@@ -59,12 +59,26 @@ object DedupOps {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"),
           (col("n_chars") / 100).cast("long").as("lb"),
+          // The index stores each distinct trigram as its 60-bit md5
+          // hash (hash60), NOT the string: every downstream consumer
+          // already keys on that hash (minhash/simhash hashed per
+          // (doc, gram) — the hash just moves into the index build), and
+          // the Jaccard verify's per-pair payload drops from ~25 B to
+          // 8 B per shingle — at the sf1 stress scale the verify joins
+          // move millions of candidate rows each carrying two full
+          // arrays, so element width IS the exchange size. Jaccard over
+          // hashed distinct shingles equals string Jaccard unless two
+          // distinct grams collide in 60 bits (~n²/2^60 — vanishing),
+          // and the DuckDB oracle replays the SAME hash, so the
+          // cross-engine check stays exact either way.
           // SORTED at build time: sortedness is an index property — it
           // buys every verify a merge-scan intersection (no per-pair
           // hash set); every other consumer is order-insensitive
           // (explode for the prefix/minhash indexes, set compares in
           // specs)
-          array_sort(trigrams(tokens(col("text")))).as("gs"))
+          array_sort(array_distinct(
+            transform(trigrams(tokens(col("text"))), g => hash60(g))))
+            .as("gs"))
     }
 
   /** Exact-Jaccard verify of a candidate (a_id, b_id) relation against
@@ -166,8 +180,10 @@ object DedupOps {
     * frame — shared by the corpus index build and the incremental
     * new-batch side, so the two signature computations cannot drift. */
   private def minhashBandsOf(ng: DataFrame): DataFrame = {
+    // gs elements ARE the 60-bit gram hashes (see shingled), so the
+    // minhash universe is a plain mod away — no per-(doc, gram) md5
     val h = ng.select(col("doc_id"), explode(col("gs")).as("g"))
-      .select(col("doc_id"), (hash60(col("g")) % P).as("hv"))
+      .select(col("doc_id"), (col("g") % P).as("hv"))
     // all 16 minhashes as parallel aggregates: one shuffle on doc_id, no
     // 16x row replication — each min((2i+1)*hv + 12345i+7 mod P) is a
     // codegen'd partial aggregate
@@ -280,7 +296,7 @@ object DedupOps {
       "simhash_bands", Seq("band", "bkey")) {
       val ng = shingled(spark, dir)
       val h = ng.select(col("doc_id"), explode(col("gs")).as("g"))
-        .select(col("doc_id"), (hash60(col("g")) % 4294967296L).as("hv"))
+        .select(col("doc_id"), (col("g") % 4294967296L).as("hv"))
       // bit_i vote (+1 set / -1 clear) as 32 parallel codegen'd aggregates:
       // one shuffle on doc_id, no 32x row replication
       val voteAggs = (0 until 32).map { i =>
