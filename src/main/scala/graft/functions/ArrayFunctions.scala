@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.BinaryExpression
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -166,6 +168,140 @@ case class FirstEqualIndex(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Multiplicity statistics of an array<string> in ONE native pass:
+  * struct(n_distinct, max_run) where max_run is the highest multiplicity
+  * of any element — sort + adjacent scan inside the expression. Replaces
+  * an `array_distinct` + `array_sort` + `aggregate`-fold composition
+  * whose higher-order lambdas evaluate INTERPRETED per element (Spark
+  * HOFs are CodegenFallback) and whose fold allocates a struct row per
+  * element — the dominant cost of the repetition scorer at the sf1
+  * stress scale. Null elements are not expected (the gram builder trims
+  * its arrays); they sort first and count as one distinct value. The
+  * row-level work (n log n over the row's own array) dwarfs the one
+  * static call, so codegen emits a helper call rather than inlining the
+  * sort. */
+case class GramRunStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("max_run", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_run_stats needs array<string> input, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    GramRunStats.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramRunStats.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramRunStats =
+    copy(child = newChild)
+}
+
+object GramRunStats {
+  /** Static helper shared by eval and codegen: copy, sort, adjacent
+    * scan. Zero distinct elements (empty array) reports (0, 0). */
+  def compute(a: ArrayData): InternalRow = {
+    val n = a.numElements()
+    if (n == 0) return InternalRow(0, 0)
+    val arr = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      arr(i) = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      i += 1
+    }
+    java.util.Arrays.sort(arr,
+      new java.util.Comparator[org.apache.spark.unsafe.types.UTF8String] {
+        override def compare(x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String): Int =
+          if (x eq y) 0
+          else if (x == null) -1
+          else if (y == null) 1
+          else x.compareTo(y)
+      })
+    var distinct = 1; var run = 1; var best = 1
+    i = 1
+    while (i < n) {
+      val eq = (arr(i) eq arr(i - 1)) ||
+        (arr(i) != null && arr(i - 1) != null && arr(i).equals(arr(i - 1)))
+      if (eq) run += 1
+      else { distinct += 1; run = 1 }
+      if (run > best) best = run
+      i += 1
+    }
+    InternalRow(distinct, best)
+  }
+}
+
+/** Space-joined word n-grams of a token array in ONE native pass:
+  * output[i] = tokens[i] + " " + ... + tokens[i+n-1], length
+  * max(0, len - n + 1). Byte-identical to the zip_with shift-chain the
+  * gram builders used (b2 = zip_with(t, shift(t,1), concat), ... slice),
+  * but that chain's lambdas evaluate INTERPRETED per element (Spark HOFs
+  * are CodegenFallback) and each stage materializes a full intermediate
+  * array — for 2-grams that is 3 interpreted passes over every token of
+  * the corpus, the dominant cost of the gram-consuming ops at the sf1
+  * stress scale. Null tokens don't occur (the tokenizer never emits
+  * them); a null in the window yields a null gram, matching the
+  * concat-propagation of the zip_with chain. */
+case class NGramJoin(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, "n-grams need n >= 2")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_join needs array<string> input, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    NGramJoin.compute(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NGramJoin.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramJoin =
+    copy(child = newChild)
+}
+
+object NGramJoin {
+  private val Space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Static helper shared by eval and codegen. */
+  def compute(a: ArrayData, n: Int): ArrayData = {
+    val len = a.numElements()
+    val out = math.max(0, len - n + 1)
+    val grams = new Array[AnyRef](out)
+    var i = 0
+    while (i < out) {
+      var ok = true
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
+      var j = 0
+      while (ok && j < n) {
+        if (a.isNullAt(i + j)) ok = false
+        else {
+          if (j > 0) parts(2 * j - 1) = Space
+          parts(2 * j) = a.getUTF8String(i + j)
+        }
+        j += 1
+      }
+      grams(i) =
+        if (ok) org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)
+        else null
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(grams)
+  }
+}
+
 object ArrayFunctions {
   /** Codegen'd merge-scan intersection size over sorted string arrays. */
   def sortedIntersectSize(a: Column, b: Column): Column =
@@ -176,4 +312,12 @@ object ArrayFunctions {
   def firstEqualIndex(a: Column, b: Column): Column =
     SqlBridge.column(
       FirstEqualIndex(SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  /** One-pass (sort + scan) multiplicity stats: struct(n_distinct, max_run). */
+  def gramRunStats(a: Column): Column =
+    SqlBridge.column(GramRunStats(SqlBridge.expression(a)))
+
+  /** One-pass space-joined word n-grams of a token array. */
+  def ngramJoin(tokens: Column, n: Int): Column =
+    SqlBridge.column(NGramJoin(SqlBridge.expression(tokens), n))
 }

@@ -41,15 +41,12 @@ object CurateOps {
     * than n tokens get an empty array. */
   private[graft] def withGrams(df: DataFrame, n: Int, out: String): DataFrame = {
     require(n == 2 || n == 4, "gram sizes used by the curation ops")
-    val b2 = df.withColumn("_t", tokens(col("text")))
-      .withColumn("_b2", zip_with(col("_t"), shift(col("_t"), 1),
-        (x, y) => concat(x, lit(" "), y)))
-    val g = if (n == 2) b2
-      else b2.withColumn("_b2", zip_with(col("_b2"), shift(col("_b2"), 2),
-        (x, y) => concat(x, lit(" "), y)))
-    g.withColumn(out, slice(col("_b2"), lit(1),
-        greatest(size(col("_t")) - (n - 1), lit(0))))
-      .drop("_t", "_b2")
+    // one native pass (NGramJoin) — byte-identical to the former zip_with
+    // shift-chain, whose interpreted lambdas + per-stage intermediate
+    // arrays were the dominant cost of every gram-consuming op
+    df.withColumn("_t", tokens(col("text")))
+      .withColumn(out, graft.functions.ArrayFunctions.ngramJoin(col("_t"), n))
+      .drop("_t")
   }
 
   /** Every doc_id divisible by this is the deterministic eval holdout —
@@ -124,26 +121,24 @@ object CurateOps {
   private[graft] def repetitionScored(df: DataFrame): DataFrame =
     withGrams(df, 2, "gs")
       .withColumn("_nb", size(col("gs")).cast("double"))
+      // both fractions come from ONE native sort+scan over the gram
+      // array (GramRunStats): the previous array_distinct + array_sort +
+      // aggregate-fold ran its lambdas interpreted per ELEMENT (Spark
+      // HOFs don't codegen) and allocated a struct per fold step —
+      // measured as this op's dominant cost at the sf1 stress scale
+      .withColumn("_st", graft.functions.ArrayFunctions.gramRunStats(col("gs")))
       .withColumn("_dup", when(col("_nb") > 0,
-        lit(1.0) - size(array_distinct(col("gs"))).cast("double") / col("_nb"))
+        lit(1.0) - col("_st.n_distinct").cast("double") / col("_nb"))
         .otherwise(lit(0.0)))
-      .withColumn("_top", when(col("_nb") > 0, aggregate(
-        array_sort(col("gs")),
-        struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
-          lit(0).as("best")),
-        (acc, x) => {
-          val run = when(acc("prev") === x, acc("run") + 1).otherwise(lit(1))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc("best"), run).as("best"))
-        },
-        acc => acc("best")).cast("double") / col("_nb")).otherwise(lit(0.0)))
+      .withColumn("_top", when(col("_nb") > 0,
+        col("_st.max_run").cast("double") / col("_nb")).otherwise(lit(0.0)))
       .withColumn("n_bigrams", size(col("gs")))
       .withColumn("dup_bigram_frac", round(col("_dup"), 4))
       .withColumn("top_bigram_frac", round(col("_top"), 4))
       .withColumn("keep",
         (col("_dup") <= RepetitionMax && col("_top") <= RepetitionMax)
           .cast("int"))
-      .drop("gs", "_nb", "_dup", "_top")
+      .drop("gs", "_nb", "_st", "_dup", "_top")
 
   def curateRepetition(spark: SparkSession, dir: String): DataFrame =
     repetitionScored(

@@ -26,26 +26,13 @@ object DedupOps {
 
   private def tokens(c: Column): Column = graft.functions.Tokenize.tokens(c)
 
-  /** Distinct word-3-gram shingles via zip_with over shifted slices.
-    *
-    * Deliberately NOT transform(sequence(...), i -> element_at(toks, i)...):
-    * when the optimizer collapses the token projection into the lambda,
-    * each element_at re-evaluates the tokenizing regex per ELEMENT (~20x
-    * slowdown measured at sf0.1). zip_with's array arguments are evaluated
-    * once per row no matter how the plan collapses, so the cost stays
-    * O(tokens), not O(tokens * regex).
-    *
-    * zip_with pads the shorter (shifted) side with null; concat propagates
-    * the null and the final filter drops the short tail, so docs with < 3
-    * tokens yield an empty shingle set.
-    */
-  private[graft] def trigrams(toks: Column): Column = {
-    val sl2 = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
-    val sl3 = slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))
-    val bi = zip_with(toks, sl2, (a, b) => concat(a, lit(" "), b))
-    array_distinct(filter(zip_with(bi, sl3, (ab, c) => concat(ab, lit(" "), c)),
-      x => x.isNotNull))
-  }
+  /** Distinct word-3-gram shingles in one native pass (NGramJoin) —
+    * byte-identical to the former zip_with shift-chain, minus its
+    * per-element interpreted lambdas and two intermediate arrays (Spark
+    * HOFs are CodegenFallback; the chain was 3 interpreted passes over
+    * every token). Docs with < 3 tokens yield an empty shingle set. */
+  private[graft] def trigrams(toks: Column): Column =
+    array_distinct(graft.functions.ArrayFunctions.ngramJoin(toks, 3))
 
   /** documents with a `gs` distinct-shingle column, persisted and memoized
     * per (session, dir) via PlanCache: every dedup operator self-joins this

@@ -90,12 +90,13 @@ object TextOps {
     * overlap detection where the sorted-token fingerprint above is all
     * or nothing.
     *
-    * Both the positional grams and the window minima build from zip_with
-    * shift-chains, NOT transform(sequence, i -> slice(hs, i, w)): array
-    * arguments of zip_with are evaluated once per row however the plan
-    * collapses, where indexing into an inlined array expression per
-    * element re-evaluates it per ELEMENT (the measured 20x trap noted in
-    * DedupOps.trigrams). The least() chain: p1 = min of (i, i+1), p2 =
+    * The positional grams build in one native pass (NGramJoin); the
+    * window minima build from zip_with shift-chains, NOT
+    * transform(sequence, i -> slice(hs, i, w)): array arguments of
+    * zip_with are evaluated once per row however the plan collapses,
+    * where indexing into an inlined array expression per element
+    * re-evaluates it per ELEMENT (a measured 20x trap). The least()
+    * chain: p1 = min of (i, i+1), p2 =
     * min of (i..i+3) from p1 shifted by 2, p5 = min of (i..i+4) from p2
     * and hs shifted by 4. least() skips nulls, so positions past the
     * last full window are trimmed by LENGTH (slice to m-4), not by null
@@ -112,11 +113,10 @@ object TextOps {
     def shift(a: Column, by: Int): Column =
       graft.functions.Tokenize.shift(a, by)
     df.withColumn("_t", tokens(text))
-      .withColumn("_b2",
-        zip_with(col("_t"), shift(col("_t"), 1), (x, y) => concat(x, lit(" "), y)))
-      .withColumn("_g4", filter(
-        zip_with(col("_b2"), shift(col("_b2"), 2), (x, y) => concat(x, lit(" "), y)),
-        _.isNotNull))
+      // 4-gram build is ONE native pass (NGramJoin) — byte-identical to
+      // the former zip_with shift-chain without its interpreted
+      // per-element lambdas and intermediate arrays
+      .withColumn("_g4", graft.functions.ArrayFunctions.ngramJoin(col("_t"), 4))
       .withColumn("_hs", transform(col("_g4"), g =>
         conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
       .withColumn("_p1", zip_with(col("_hs"), shift(col("_hs"), 1), least(_, _)))
@@ -124,7 +124,7 @@ object TextOps {
       .withColumn("sel", array_sort(array_distinct(slice(
         zip_with(col("_p2"), shift(col("_hs"), 4), least(_, _)),
         lit(1), greatest(size(col("_hs")) - 4, lit(0))))))
-      .drop("_t", "_b2", "_g4", "_hs", "_p1", "_p2")
+      .drop("_t", "_g4", "_hs", "_p1", "_p2")
   }
 
   def textWinnow(spark: SparkSession, dir: String): DataFrame =

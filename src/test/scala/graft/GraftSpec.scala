@@ -770,6 +770,59 @@ class SortedIntersectSpec extends AnyFunSuite with SparkFixture {
       } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("ngram-join matches the sliding-window model (both modes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def model(ts: List[String], n: Int): List[String] =
+      ts.sliding(n).filter(_.size == n).map(_.mkString(" ")).toList
+    val g = for {
+      len <- Gen.choose(0, 9)
+      ts <- Gen.listOfN(len, Gen.oneOf("alpha", "b", "ccc", "d1"))
+    } yield ts
+    val cases = (1 to 60).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val sparkS = spark
+        import sparkS.implicits._
+        for (n <- Seq(2, 3, 4)) {
+          val got = cases.toDF("ts")
+            .select(functions.ArrayFunctions.ngramJoin(col("ts"), n))
+            .collect().map(_.getSeq[String](0).toList).toSeq
+          assert(got == cases.map(model(_, n)), s"n=$n mode=$cg")
+        }
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("gram-run-stats matches the groupBy model (both modes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def model(gs: List[String]): (Int, Int) =
+      if (gs.isEmpty) (0, 0)
+      else {
+        val m = gs.groupBy(identity).view.mapValues(_.size)
+        (m.size, m.values.max)
+      }
+    val g = for {
+      len <- Gen.choose(0, 12)
+      gs <- Gen.listOfN(len, Gen.oneOf("x y", "y z", "x x", "w v"))
+    } yield gs
+    val cases = (1 to 80).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val sparkS = spark
+        import sparkS.implicits._
+        val got = cases.toDF("gs")
+          .select(functions.ArrayFunctions.gramRunStats(col("gs")).as("s"))
+          .select(col("s.n_distinct"), col("s.max_run"))
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+        assert(got == cases.map(model), s"mode=$cg")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
 
 /** HyperplaneBandSigs: codegen and interpreted paths agree with a plain
