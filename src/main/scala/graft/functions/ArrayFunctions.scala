@@ -302,6 +302,59 @@ object NGramJoin {
   }
 }
 
+/** Per-element 60-bit md5 hash of a string array in ONE native pass:
+  * out[i] = first 60 bits of md5(in[i]) — numerically identical to the
+  * portable `conv(substring(md5(g), 1, 15), 16, 10)::long` every gram
+  * hash in this codebase (and its DuckDB oracle twin,
+  * `('0x' || substr(md5(g), 1, 15))::BIGINT`) computes, but without the
+  * interpreted `transform` lambda or the hex-string round trip (md5 →
+  * 32-char hex → substring → base-16 parse): the digest's first 8 bytes
+  * read as an unsigned big-endian long shifted right 4 ARE the first 15
+  * hex nibbles. Null elements hash to null. */
+case class Hash60Array(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hash60_array needs array<string> input, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    Hash60Array.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Hash60Array.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash60Array =
+    copy(child = newChild)
+}
+
+object Hash60Array {
+  /** Static helper shared by eval and codegen. One MessageDigest per
+    * call (per row), reset between elements. */
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(a.getUTF8String(i).getBytes)
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        out(i) = v >>> 4
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object ArrayFunctions {
   /** Codegen'd merge-scan intersection size over sorted string arrays. */
   def sortedIntersectSize(a: Column, b: Column): Column =
@@ -320,4 +373,8 @@ object ArrayFunctions {
   /** One-pass space-joined word n-grams of a token array. */
   def ngramJoin(tokens: Column, n: Int): Column =
     SqlBridge.column(NGramJoin(SqlBridge.expression(tokens), n))
+
+  /** One-pass per-element 60-bit md5 hash of a string array. */
+  def hash60Array(a: Column): Column =
+    SqlBridge.column(Hash60Array(SqlBridge.expression(a)))
 }

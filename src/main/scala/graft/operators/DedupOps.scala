@@ -63,8 +63,8 @@ object DedupOps {
           // hash set); every other consumer is order-insensitive
           // (explode for the prefix/minhash indexes, set compares in
           // specs)
-          array_sort(array_distinct(
-            transform(trigrams(tokens(col("text"))), g => hash60(g))))
+          array_sort(array_distinct(graft.functions.ArrayFunctions
+            .hash60Array(trigrams(tokens(col("text"))))))
             .as("gs"))
     }
 

@@ -117,8 +117,9 @@ object TextOps {
       // the former zip_with shift-chain without its interpreted
       // per-element lambdas and intermediate arrays
       .withColumn("_g4", graft.functions.ArrayFunctions.ngramJoin(col("_t"), 4))
-      .withColumn("_hs", transform(col("_g4"), g =>
-        conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+      // per-gram 60-bit md5 in one native pass (Hash60Array) — same
+      // value as the former conv(substring(md5(g),1,15),16,10) transform
+      .withColumn("_hs", graft.functions.ArrayFunctions.hash60Array(col("_g4")))
       .withColumn("_p1", zip_with(col("_hs"), shift(col("_hs"), 1), least(_, _)))
       .withColumn("_p2", zip_with(col("_p1"), shift(col("_p1"), 2), least(_, _)))
       .withColumn("sel", array_sort(array_distinct(slice(

@@ -796,6 +796,32 @@ class SortedIntersectSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("hash60-array matches the conv(substring(md5)) formulation (both modes)") {
+    // the portable gram hash every oracle replays — the native pass must
+    // be bit-identical to the hex-string route for ANY input
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val g = for {
+      len <- Gen.choose(0, 6)
+      ts <- Gen.listOfN(len, Gen.oneOf("a b c", "", "query join", "µ ünï", "x"))
+    } yield ts
+    val cases = (1 to 60).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val sparkS = spark
+        import sparkS.implicits._
+        val df = cases.toDF("gs")
+        val got = df.select(functions.ArrayFunctions.hash60Array(col("gs")))
+          .collect().map(_.getSeq[Long](0).toList).toSeq
+        val want = df.select(transform(col("gs"), x =>
+            conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+          .collect().map(_.getSeq[Long](0).toList).toSeq
+        assert(got == want, s"mode=$cg")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("gram-run-stats matches the groupBy model (both modes)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
