@@ -558,16 +558,12 @@ object DedupOps {
     * spread over this many stage-1 reducers. */
   private[graft] val CensusSalts = 16
 
-  private def shiftArr(a: Column, by: Int): Column =
-    graft.functions.Tokenize.shift(a, by)
 
-  /** Positional space-joined 8-grams: g8[i] covers tokens i..i+7. */
-  private def grams8(toks: Column): Column = {
-    val b2 = zip_with(toks, shiftArr(toks, 1), (a, b) => concat(a, lit(" "), b))
-    val g4 = zip_with(b2, shiftArr(b2, 2), (a, b) => concat(a, lit(" "), b))
-    val g8 = zip_with(g4, shiftArr(g4, 4), (a, b) => concat(a, lit(" "), b))
-    slice(g8, lit(1), greatest(size(toks) - (SubstrL - 1), lit(0)))
-  }
+  /** Positional space-joined 8-grams: g8[i] covers tokens i..i+7 — one
+    * native pass (NGramJoin), byte-identical to the former zip_with
+    * doubling chain without its interpreted per-element lambdas. */
+  private def grams8(toks: Column): Column =
+    graft.functions.ArrayFunctions.ngramJoin(toks, SubstrL)
 
   /** The positional gram-hash relation, persisted and memoized per
     * (session, dir): the census AND the duplicated-start recovery both
