@@ -355,6 +355,78 @@ object Hash60Array {
   }
 }
 
+/** Winnowing selection over a rolling-hash array in ONE native pass:
+  * the SORTED DISTINCT set of per-window minima over every full window
+  * of width `w` — i.e. array_sort(array_distinct([min(hs[i..i+w-1]) for
+  * i <= len-w])). Byte-identical to the zip_with least()-chain + slice +
+  * distinct + sort pipeline it replaces (whose lambdas evaluate
+  * interpreted per element); windows shorter than `w` (the array tail)
+  * select nothing, and an array shorter than `w` selects nothing — the
+  * same trimming the slice performed. Null elements cannot occur (the
+  * hashes come from Hash60Array over null-free grams) and are skipped
+  * like least() skips nulls if they ever do. */
+case class WindowMinSelect(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 2, "winnow windows need w >= 2")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"window_min_select needs array<long> input, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    WindowMinSelect.compute(a.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WindowMinSelect.compute($a, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowMinSelect =
+    copy(child = newChild)
+}
+
+object WindowMinSelect {
+  /** Static helper shared by eval and codegen: sliding minima via a
+    * monotone deque over the primitive array, then sort + dedup the
+    * selected values — O(len + s log s) per row where s is the selected
+    * count. */
+  def compute(a: ArrayData, w: Int): ArrayData = {
+    val len = a.numElements()
+    val out = len - w + 1
+    if (out <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      hs(i) = if (a.isNullAt(i)) Long.MaxValue else a.getLong(i)
+      i += 1
+    }
+    // monotone-increasing index deque: head is the window minimum
+    val dq = new Array[Int](len)
+    var lo = 0; var hi = -1
+    val sel = new Array[Long](out)
+    i = 0
+    while (i < len) {
+      while (hi >= lo && hs(dq(hi)) >= hs(i)) hi -= 1
+      hi += 1; dq(hi) = i
+      if (dq(lo) <= i - w) lo += 1
+      if (i >= w - 1) sel(i - w + 1) = hs(dq(lo))
+      i += 1
+    }
+    java.util.Arrays.sort(sel)
+    var n = 0
+    i = 0
+    while (i < out) {
+      if (n == 0 || sel(i) != sel(n - 1)) { sel(n) = sel(i); n += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(sel, n))
+  }
+}
+
 object ArrayFunctions {
   /** Codegen'd merge-scan intersection size over sorted string arrays. */
   def sortedIntersectSize(a: Column, b: Column): Column =
@@ -377,4 +449,8 @@ object ArrayFunctions {
   /** One-pass per-element 60-bit md5 hash of a string array. */
   def hash60Array(a: Column): Column =
     SqlBridge.column(Hash60Array(SqlBridge.expression(a)))
+
+  /** One-pass winnowing selection: sorted distinct window-w minima. */
+  def windowMinSelect(a: Column, w: Int): Column =
+    SqlBridge.column(WindowMinSelect(SqlBridge.expression(a), w))
 }

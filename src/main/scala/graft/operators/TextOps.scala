@@ -90,28 +90,16 @@ object TextOps {
     * overlap detection where the sorted-token fingerprint above is all
     * or nothing.
     *
-    * The positional grams build in one native pass (NGramJoin); the
-    * window minima build from zip_with shift-chains, NOT
-    * transform(sequence, i -> slice(hs, i, w)): array arguments of
-    * zip_with are evaluated once per row however the plan collapses,
-    * where indexing into an inlined array expression per element
-    * re-evaluates it per ELEMENT (a measured 20x trap). The least()
-    * chain: p1 = min of (i, i+1), p2 =
-    * min of (i..i+3) from p1 shifted by 2, p5 = min of (i..i+4) from p2
-    * and hs shifted by 4. least() skips nulls, so positions past the
-    * last full window are trimmed by LENGTH (slice to m-4), not by null
-    * filtering.
-    */
-  /** Winnowing selection as a STAGED column pipeline (adds `sel` to the
-    * input frame): each intermediate array is its own aliased projection
-    * step. That staging is load-bearing — a single nested expression
-    * would duplicate the hash-array sub-tree ~10× per row (p2 references
-    * p1 twice, each p1 references hs twice, ...), a measured 10×+
-    * slowdown; CollapseProject keeps staged aliases shared because it
-    * refuses to duplicate non-cheap expressions. */
-  private[graft] def winnowed(df: DataFrame, text: Column): DataFrame = {
-    def shift(a: Column, by: Int): Column =
-      graft.functions.Tokenize.shift(a, by)
+    * Every stage is a single native pass (adds `sel` to the input
+    * frame): NGramJoin positional grams → Hash60Array rolling hashes →
+    * WindowMinSelect (monotone-deque sliding minima, then distinct +
+    * sort inside the expression). Earlier formulations of this pipeline
+    * hit two measured traps worth recording: indexing into an inlined
+    * array expression re-evaluates it per ELEMENT (20×), and nesting
+    * zip_with stages into one expression duplicates the hash sub-tree
+    * ~10× per row — both are moot now that each stage is one native
+    * expression over the previous aliased column. */
+  private[graft] def winnowed(df: DataFrame, text: Column): DataFrame =
     df.withColumn("_t", tokens(text))
       // 4-gram build is ONE native pass (NGramJoin) — byte-identical to
       // the former zip_with shift-chain without its interpreted
@@ -120,13 +108,12 @@ object TextOps {
       // per-gram 60-bit md5 in one native pass (Hash60Array) — same
       // value as the former conv(substring(md5(g),1,15),16,10) transform
       .withColumn("_hs", graft.functions.ArrayFunctions.hash60Array(col("_g4")))
-      .withColumn("_p1", zip_with(col("_hs"), shift(col("_hs"), 1), least(_, _)))
-      .withColumn("_p2", zip_with(col("_p1"), shift(col("_p1"), 2), least(_, _)))
-      .withColumn("sel", array_sort(array_distinct(slice(
-        zip_with(col("_p2"), shift(col("_hs"), 4), least(_, _)),
-        lit(1), greatest(size(col("_hs")) - 4, lit(0))))))
-      .drop("_t", "_g4", "_hs", "_p1", "_p2")
-  }
+      // window-5 minima + distinct + sort in one native pass
+      // (WindowMinSelect, monotone-deque sliding minimum) — replaces the
+      // staged least()-chain + slice + array_distinct + array_sort
+      .withColumn("sel",
+        graft.functions.ArrayFunctions.windowMinSelect(col("_hs"), 5))
+      .drop("_t", "_g4", "_hs")
 
   def textWinnow(spark: SparkSession, dir: String): DataFrame =
     winnowed(Tables.documents(spark, dir), col("text"))

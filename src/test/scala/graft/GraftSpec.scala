@@ -822,6 +822,31 @@ class SortedIntersectSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("window-min-select matches the sliding-window model (both modes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def model(hs: List[Long], w: Int): List[Long] =
+      hs.sliding(w).filter(_.size == w).map(_.min).toList.distinct.sorted
+    val g = for {
+      len <- Gen.choose(0, 14)
+      hs <- Gen.listOfN(len, Gen.choose(0L, 9L))
+    } yield hs
+    val cases = (1 to 80).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val sparkS = spark
+        import sparkS.implicits._
+        for (w <- Seq(2, 5)) {
+          val got = cases.toDF("hs")
+            .select(functions.ArrayFunctions.windowMinSelect(col("hs"), w))
+            .collect().map(_.getSeq[Long](0).toList).toSeq
+          assert(got == cases.map(model(_, w)), s"w=$w mode=$cg")
+        }
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("gram-run-stats matches the groupBy model (both modes)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
