@@ -103,6 +103,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // optional args: time only queries whose name contains one of them
+    // (local iteration aid, same convention as Verify; the driver passes
+    // none). Filtered runs skip the committed artifact — a partial map
+    // must never overwrite the full round history.
+    val only = args
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -126,7 +131,9 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
       catch { case t: Throwable =>
         Some((t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage)).take(300)) }
-    SparkEntry.queries.foreach { case (_, fn) => run(fn) }
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
+    queries.foreach { case (_, fn) => run(fn) }
     // TWO timed passes, per-query MIN: this host intermittently stalls
     // >10 cores in kernel page-fault storms (docs/SCALE_NOTES.md), which
     // lands multi-second spikes on arbitrary single runs — the min of
@@ -135,13 +142,13 @@ object Bench {
     // An error in EITHER pass surfaces (a flaky query must not report
     // whichever pass happened to work).
     def timedPass(): Map[String, (Double, Option[String])] =
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err = run(fn)
         name -> ((System.nanoTime() - t0) / 1e9, err)
       }
     val p1 = timedPass(); val p2 = timedPass()
-    val results = SparkEntry.queries.keys.toSeq.map { name =>
+    val results = queries.keys.toSeq.map { name =>
       val (t1, e1) = p1(name); val (t2, e2) = p2(name)
       (name, math.min(t1, t2), e1.orElse(e2))
     }
@@ -154,7 +161,7 @@ object Bench {
     // so a regression in an omitted query would be invisible
     // round-over-round without this file. One file per sf so an sf1
     // stress run doesn't clobber the sf0.1 history.
-    writeFullArtifact(results, sfDir)
+    if (only.isEmpty) writeFullArtifact(results, sfDir)
     println(renderLine(results, sfDir))
     spark.stop()
   }

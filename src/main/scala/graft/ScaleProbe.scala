@@ -384,6 +384,34 @@ object ScaleProbe {
     }
   }
 
+  /** Batch-KNN stage attribution over a corpus dir: times the scored-pair
+    * stage alone vs the full operator (pairs + TopKAgg) under each salt
+    * factor, so block-join compute, scoring, and the top-k aggregate can
+    * be costed separately. Each variant runs once warm, then twice timed
+    * (min), on the SAME index tables. */
+  private def knnProbe(spark: SparkSession, dir: String, salts: Seq[Int]): Unit = {
+    def time(df: DataFrame): Double = {
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass(); math.min(pass(), pass())
+    }
+    for (s <- salts) {
+      val pairs = operators.SearchOps.knnPairsScored(spark, dir, s, Long.MaxValue)
+      // same join, scoring pruned away — isolates pair ITERATION cost
+      val joinOnly = pairs.select(col("label"), col("a_id"), col("b_id"))
+      val full = pairs
+        .groupBy(col("label"), col("a_id"))
+        .agg(functions.TopKAgg.topK(col("score"), col("b_id"), 3).as("top"))
+        .select(col("label"), col("a_id"), posexplode(col("top")))
+      val tj = time(joinOnly); val tp = time(pairs); val tf = time(full)
+      println(f"KNN salt=$s%2d join=$tj%6.2fs pairs=$tp%6.2fs full=$tf%6.2fs " +
+        f"score_delta=${tp - tj}%6.2fs agg_delta=${tf - tp}%6.2fs")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -396,6 +424,14 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = "/root/testdata/sf0.1"
+    if (args.headOption.contains("knn")) {
+      val dir = args.lift(1).getOrElse(base)
+      knnProbe(spark, dir, args.drop(2).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 4, 8, 16); case s => s
+      })
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("winnow")) {
       winnowProbe(spark, base)
       spark.stop()

@@ -101,4 +101,22 @@ object TopKAgg {
     SqlBridge.column(
       TopKAgg(SqlBridge.expression(score), SqlBridge.expression(id), k)
         .toAggregateExpression())
+
+  /** ObjectHashAggregate (the physical home of every TypedImperative
+    * aggregate, this one included) abandons hashing for SORT-based
+    * aggregation once a partition exceeds
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` distinct
+    * groups — and the default is 128, sized for giant per-group state
+    * like collect_list, not for k-bounded heaps. A batch-KNN top-k over
+    * vector-count groups then SORTS every candidate-pair row (observed
+    * as the dominant aggregate cost in ScaleProbe `knn`). Operators that
+    * rank through this aggregate call this first: a session still on the
+    * stock 128 is raised to 4M groups (≈ a few hundred bytes each at
+    * k ≤ 10 — well under task memory); any OTHER configured value is the
+    * deployment's explicit choice and is respected. */
+  def ensureHashAggPosture(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (spark.conf.getOption(key).forall(_ == "128"))
+      spark.conf.set(key, (4 * 1024 * 1024).toString)
+  }
 }

@@ -179,10 +179,223 @@ object HyperplaneBandSigs {
     }
 }
 
+/** Plain dot product over two float/double array columns — the pair-time
+  * half of [[CosineSimilarity]] split out so batch-KNN joins can
+  * precompute each vector's squared norm ONCE (see [[SumSquares]]) and
+  * pay only the dot per candidate pair: cosine evaluates dot, ‖a‖² and
+  * ‖b‖² in one interleaved loop, so inside an n²-pair cell join 2/3 of
+  * its multiply-adds recompute the same per-vector norms n times over.
+  * Each accumulator in that interleaved loop is independent, so summing
+  * the dot alone here (in index order, doubles) is bit-identical to the
+  * dot [[CosineSimilarity]] accumulates — dot/(√ssa·√ssb) reproduces its
+  * result digit-for-digit, which the oracle hashes rely on.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+      val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 norm (sum of squares) of a float/double array column,
+  * accumulated in index order in double — exactly the ‖v‖² term of
+  * [[CosineSimilarity]]'s interleaved loop, computed once per VECTOR
+  * instead of once per pair. CAVEAT shared with [[DotProduct]]: cosine
+  * truncates all three sums to min(len(a), len(b)), so the split
+  * formulation is only bit-identical on equal-length vectors — which
+  * every embedding column in this engine is (fixed model dim).
+  */
+case class SumSquares(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"sum_squares needs array<float|double> input, got $dt")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      ss += xi * xi
+      i += 1
+    }
+    ss
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val getter = if (elemIsFloat) "getFloat" else "getDouble"
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val ss = ctx.freshName("ss"); val x = ctx.freshName("x")
+      s"""
+         |int $n = $c.numElements();
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $c.$getter($i);
+         |  $ss += $x * $x;
+         |}
+         |${ev.value} = $ss;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SumSquares =
+    copy(child = newChild)
+}
+
+/** Decimal HALF_UP rounding of a double, bit-identical to Spark's
+  * `round(x, scale)` but without its per-row `BigDecimal.valueOf` —
+  * which stringifies the double (Double.toString inside valueOf) and
+  * allocates two BigDecimals per value; jstack sampling of the batch-KNN
+  * pair stage showed that conversion chain dominating the scoring time.
+  *
+  * Fast path: k = floor(|x|·10^s + 0.5) in double arithmetic, result
+  * sign·k/10^s (an exact long divided by an exact power of ten — IEEE
+  * division is correctly rounded, so this IS the nearest double to the
+  * rounded decimal, exactly what BigDecimal.doubleValue returns). The
+  * fast path is only wrong where the true decimal value of x sits within
+  * FP error of a .5 rounding boundary, so anything inside an
+  * ulp-proportional guard band around one — plus anything past 2^53 or
+  * non-finite — falls back to the exact BigDecimal chain. The band is
+  * ~10⁴ ulps wide, vastly wider than the ≤~3-ulp error of the
+  * shortest-decimal→double→·10^s chain it guards against, and still hit
+  * by ~1e-12 of uniform inputs. Both-modes equivalence vs Spark's round
+  * is property-tested, boundary literals included.
+  */
+case class FastRoundHalfUp(child: Expression, scale: Int)
+    extends UnaryExpression {
+  require(scale >= 0 && scale <= 10, "fast_round supports scales 0..10")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"fast_round needs a double input, got $dt")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastRoundHalfUp.round(input.asInstanceOf[Double], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.FastRoundHalfUp.round($c, $scale);")
+
+  override protected def withNewChildInternal(newChild: Expression): FastRoundHalfUp =
+    copy(child = newChild)
+}
+
+object FastRoundHalfUp {
+  private val Pow10 = Array.tabulate(11)(i => math.pow(10.0, i))
+
+  def round(x: Double, scale: Int): Double = {
+    if (!java.lang.Double.isFinite(x)) return x
+    val p = Pow10(scale)
+    val y = Math.abs(x) * p
+    if (y >= 9.007199254740992e15) return bigDecimalRound(x, scale)
+    val k = Math.floor(y + 0.5)
+    // near either .5 edge of k's half-open window → exact decision. The
+    // guard band scales with ulp(y) (the |x|·10^s chain's error is a few
+    // ulps of y, so a FIXED eps breaks once y grows past eps/ulp), kept
+    // ~4 orders above the true error and still vanishingly rare to hit.
+    val eps = Math.max(1e-12, y * 1e-12)
+    if (y - (k - 0.5) < eps || (k + 0.5) - y < eps)
+      return bigDecimalRound(x, scale)
+    if (k == 0.0) 0.0 // BigDecimal has no -0; keep +0.0 like Spark does
+    else if (x < 0) -k / p
+    else k / p
+  }
+
+  private def bigDecimalRound(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+}
+
 object VectorFunctions {
   /** Codegen'd cosine similarity between two array<float|double> columns. */
   def cosineSim(a: Column, b: Column): Column =
     SqlBridge.column(CosineSimilarity(SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  /** Spark-round-identical decimal HALF_UP rounding without the per-row
+    * BigDecimal stringification (see [[FastRoundHalfUp]]). */
+  def fastRound(c: Column, scale: Int): Column =
+    SqlBridge.column(FastRoundHalfUp(SqlBridge.expression(c), scale))
+
+  /** Codegen'd dot product between two array<float|double> columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    SqlBridge.column(DotProduct(SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  /** Codegen'd squared L2 norm of an array<float|double> column. */
+  def sumSquares(a: Column): Column =
+    SqlBridge.column(SumSquares(SqlBridge.expression(a)))
+
+  /** Cosine from a precomputed-norm split: dot/(√ssa·√ssb) with
+    * [[CosineSimilarity]]'s zero-denominator convention. Bit-identical
+    * to cosineSim on equal-length vectors (see [[SumSquares]] caveat);
+    * the batch-KNN joins use it to pay one dot — not dot + two norms —
+    * per candidate pair. */
+  def cosineFromParts(dot: Column, ssa: Column, ssb: Column): Column = {
+    import org.apache.spark.sql.functions.{sqrt, when, lit}
+    val den = sqrt(ssa) * sqrt(ssb)
+    when(den === 0.0, lit(0.0)).otherwise(dot / den)
+  }
 
   /** Codegen'd hyperplane-LSH band signatures for a vector column. */
   def bandSigs(v: Column, seed: Int, bands: Int, bits: Int, dim: Int): Column =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Checkpoints.LineageCut
-import graft.functions.VectorFunctions.cosineSim
+import graft.functions.VectorFunctions.{cosineSim, fastRound}
 
 /** Deduplication operators for a training-data pipeline: exact, n-gram
   * Jaccard, MinHash+LSH (Broder 1997, "On the resemblance and containment
@@ -85,7 +85,9 @@ object DedupOps {
           .sortedIntersectSize(col("a_gs"), col("b_gs")).as("inter"),
         (size(col("a_gs")) + size(col("b_gs"))).as("tot"))
       .select(col("a_id"), col("b_id"),
-        round(col("inter").cast("double") /
+        // fastRound: Spark-round-identical, minus the per-pair
+        // BigDecimal stringification (FastRoundHalfUp scaladoc)
+        fastRound(col("inter").cast("double") /
           greatest(col("tot") - col("inter"), lit(1)), 4).as("jac"))
       .filter(col("jac") >= tau)
 
@@ -417,7 +419,7 @@ object DedupOps {
         // sel is array_sort∘array_distinct at build (TextOps.winnowed),
         // so the intersection is the same codegen'd merge scan the
         // Jaccard verify uses — no per-pair hash set
-        round(graft.functions.ArrayFunctions
+        fastRound(graft.functions.ArrayFunctions
             .sortedIntersectSize(col("a_sel"), col("b_sel")).cast("double") /
           greatest(least(size(col("a_sel")), size(col("b_sel"))), lit(1)), 4)
           .as("containment"))
@@ -696,7 +698,7 @@ object DedupOps {
       // the verify-side cosine work per-candidate, not per-collision
       .dropDuplicates("a_id", "b_id")
     val drops = exactPairs.unionAll(bandPairs)
-      .filter(round(cosineSim(col("a_v"), col("b_v")), 4) >= SemTau)
+      .filter(fastRound(cosineSim(col("a_v"), col("b_v")), 4) >= SemTau)
       .select(col("b_id").as("vec_id")).distinct()
     // `routed` makes the exact-vs-approximate split OBSERVABLE: true on
     // members of cells that exceeded the cap and went through band
@@ -728,7 +730,7 @@ object DedupOps {
       .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
       .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(cosineSim(col("a_emb"), col("b_emb")), 4).as("score"))
+        fastRound(cosineSim(col("a_emb"), col("b_emb")), 4).as("score"))
       .filter(col("score") >= 0.42)
   }
 }

@@ -215,8 +215,18 @@ object SearchOps {
       .filter(col("vec_id") === QueryVecId)
       .select(col("embedding").as("q_emb"))
 
-  /** Rounded cosine between two embedding columns (codegen'd expression). */
-  private def score(a: Column, b: Column): Column = round(cosineSim(a, b), 4)
+  /** Rounded cosine between two embedding columns (codegen'd expression;
+    * fastRound = Spark-round-identical without per-row BigDecimal). */
+  private def score(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.fastRound(cosineSim(a, b), 4)
+
+  /** [[score]] from a dot + per-side precomputed squared norms —
+    * bit-identical on the fixed-dim embedding columns (see
+    * [[graft.functions.SumSquares]]); the batch-KNN joins use it to pay
+    * one dot, not dot + two norms, per candidate pair. */
+  private def scoreParts(dotC: Column, ssa: Column, ssb: Column): Column =
+    graft.functions.VectorFunctions.fastRound(
+      graft.functions.VectorFunctions.cosineFromParts(dotC, ssa, ssb), 4)
 
   private val Terms = Seq("data", "query", "table")
 
@@ -263,12 +273,30 @@ object SearchOps {
   private[graft] val ExactCellCap = 100000L
 
   /** Batch KNN: top-3 neighbours for every vector, pairing only within the
-    * same coarse cell (shuffle on label, then a per-cell block join).
+    * same coarse cell (a per-cell block join).
     *
     * Ranking uses the bounded-heap TopKAgg, not a window: the window would
     * re-shuffle EVERY candidate pair to its a_id partition; the aggregate
-    * trims to 3 per vector map-side, so the second shuffle moves at most
-    * 3 rows per vector regardless of cell size.
+    * trims to 3 per vector map-side, so the post-join shuffle moves at
+    * most 3 rows per vector regardless of cell size.
+    *
+    * Pair scoring pays ONE dot product: each side carries its
+    * [[graft.functions.SumSquares]] norm computed once per VECTOR, so the
+    * n² inner loop skips the two norm accumulations cosine would redo per
+    * pair — bit-identical scores (see the SumSquares scaladoc), 3× fewer
+    * multiply-adds in the dominant stage.
+    *
+    * Parallelism is governed by [[KnnSaltConf]] (default 1): the
+    * co-located formulation joins bucket-to-bucket with zero exchanges,
+    * but one CELL is one task. Salting >1 splits side A into that many
+    * slices and explodes side B across them — the exchanges this adds
+    * carry VECTOR-count rows (N + salt·N), never the n² pair rows. On
+    * one host it measures neutral-to-negative even with cells < cores
+    * (ScaleProbe `knn`, salt 1/4/8/16 at the sf1 stress corpus: the
+    * block join saturates memory bandwidth before it runs out of
+    * cells), so 1 is the default; the knob exists for multi-NODE
+    * clusters with few giant cells, where extra slices recruit whole
+    * machines rather than sibling cores.
     *
     * Guarded by [[ExactCellCap]]: an oversize cell aborts the job with a
     * routing message instead of detonating quadratically.
@@ -276,33 +304,60 @@ object SearchOps {
   def vecKnnJoin(spark: SparkSession, dir: String): DataFrame =
     vecKnnJoinCapped(spark, dir, ExactCellCap)
 
-  private[graft] def vecKnnJoinCapped(spark: SparkSession, dir: String,
-      cellCap: Long): DataFrame = {
-    // label-bucketed index table: the self-join below is co-located per
-    // bucket, so the only exchange left in the plan is the thin top-k
-    // aggregate's — the candidate pairs themselves never shuffle
+  /** Intra-cell parallelism knob for [[vecKnnJoin]]'s block join: 1
+    * (default) = co-located bucket join, no exchange; >1 = salt side A
+    * into that many slices per cell (see the vecKnnJoin scaladoc for
+    * when that trade wins). */
+  private[graft] val KnnSaltConf = "spark.graft.knnSaltFactor"
+
+  private[graft] def knnSaltFactor(spark: SparkSession): Int =
+    spark.conf.getOption(KnnSaltConf).map(_.toInt).getOrElse(1)
+
+  /** The scored-pair stage of [[vecKnnJoin]] with an EXPLICIT salt
+    * factor — shared by the operator (salt from [[knnSaltFactor]]) and
+    * ScaleProbe's stage-attribution runs. */
+  private[graft] def knnPairsScored(spark: SparkSession, dir: String,
+      salt: Int, cellCap: Long): DataFrame = {
+    graft.functions.TopKAgg.ensureHashAggPosture(spark)
     val emb = spark.table(graft.sources.IndexStore.index(spark, dir).embByLabel)
     // guard: cell sizes aggregate exchange-free over the bucketed table
     // and broadcast back onto side A; assert_true lives in a FILTER so
     // column pruning cannot drop it, and costs one comparison per row
     val cellSizes = emb.groupBy(col("label")).agg(count(lit(1)).as("cell_n"))
-    val a = emb.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val ssq = graft.functions.VectorFunctions.sumSquares _
+    val a0 = emb.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
       .join(broadcast(cellSizes), "label")
       .filter(assert_true(col("cell_n") <= cellCap,
         concat(lit("vec_knn_join: cell size "), col("cell_n"),
           lit(s" exceeds ExactCellCap=$cellCap — exact per-cell KNN is cell² "),
           lit("compute; route this corpus to vec_knn_join_ann"))).isNull)
-      .select(col("label"), col("a_id"), col("a_emb"))
-    val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    a.join(b, col("label") === col("b_label") && col("a_id") =!= col("b_id"))
+      .select(col("label"), col("a_id"), col("a_emb"), ssq(col("a_emb")).as("a_ss"))
+    val b0 = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), ssq(col("embedding")).as("b_ss"))
+    val joined =
+      if (salt == 1)
+        a0.join(b0, col("label") === col("b_label") && col("a_id") =!= col("b_id"))
+      else {
+        val a = a0.withColumn("a_salt", pmod(xxhash64(col("a_id")), lit(salt.toLong)))
+        val b = b0.withColumn("b_salt",
+          explode(sequence(lit(0L), lit(salt.toLong - 1L))))
+        a.join(b, col("label") === col("b_label") &&
+          col("a_salt") === col("b_salt") && col("a_id") =!= col("b_id"))
+      }
+    joined
       .select(col("label"), col("a_id"),
-        score(col("a_emb"), col("b_emb")).as("score"), col("b_id"))
+        scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score"),
+        col("b_id"))
+  }
+
+  private[graft] def vecKnnJoinCapped(spark: SparkSession, dir: String,
+      cellCap: Long): DataFrame =
+    knnPairsScored(spark, dir, knnSaltFactor(spark), cellCap)
       .groupBy(col("label"), col("a_id"))
       .agg(graft.functions.TopKAgg.topK(col("score"), col("b_id"), 3).as("top"))
       .select(col("label"), col("a_id"), posexplode(col("top")))
       .select(col("label"), col("a_id"), col("col.id").as("b_id"),
         col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk"))
-  }
 
   /** The IVF coarse quantizer, computed for real: per-label mean
     * embedding. Built once per (session, dir) — posexplode to (label,
@@ -565,9 +620,14 @@ object SearchOps {
           transform(col("s"), x => x.getField("cluster")).as("codes"))
     }
 
-  /** Dot product in array index order (portable accumulation). */
+  /** Dot product in array index order (portable accumulation), as one
+    * codegen'd native pass. Elements promote to double BEFORE the
+    * multiply, so on double arrays it reproduces the former
+    * zip_with·aggregate fold digit-for-digit, and on float arrays it
+    * matches [[graft.functions.CosineSimilarity]]'s per-element
+    * promotion (a float-precision multiply would not). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
   /** PQ KNN with asymmetric-distance scoring + exact re-rank — the other
     * 100 TB single-query path next to IVF pruning ([[vecKnnKmeans]]):
@@ -633,6 +693,7 @@ object SearchOps {
     * sign-bits→bands→candidates→verify→top-3 chain.
     */
   def vecKnnJoinAnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.ensureHashAggPosture(spark)
     // Every unordered pair is generated ONCE (a < b) inside the
     // co-located band-bucket join, scored once, and only then mirrored
     // into both directions by a narrow explode — candidate collisions,
@@ -651,12 +712,17 @@ object SearchOps {
           col("vec_id") < col("b_id") &&
           DedupOps.firstBandMatch(col("sigs"), col("b_sigs"), col("band")))
       .select(col("vec_id").as("a_id"), col("b_id"))
+    // each side's squared norm computes once per VECTOR under the join
+    // (an 8-byte rider on the pair rows), so collision scoring pays one
+    // dot per pair — bit-identical to cosine (SumSquares scaladoc)
+    val ssq = graft.functions.VectorFunctions.sumSquares _
     val scored = cand
       .join(emb.select(col("vec_id").as("a_id"), col("label"),
-        col("embedding").as("a_emb")), "a_id")
-      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
+        col("embedding").as("a_emb"), ssq(col("embedding")).as("a_ss")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        ssq(col("embedding")).as("b_ss")), "b_id")
       .select(col("label"), col("a_id"), col("b_id"),
-        score(col("a_emb"), col("b_emb")).as("score"))
+        scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score"))
     scored
       .select(col("label"), col("score"), explode(array(
         struct(col("a_id").as("s"), col("b_id").as("o")),
@@ -700,6 +766,7 @@ object SearchOps {
     * the bounded-heap TopKAgg.
     */
   def vecKnnJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.ensureHashAggPosture(spark)
     val cap = spark.conf.getOption(AutoCapConf).map(_.toLong)
       .getOrElse(AutoCapDefault)
     val emb = spark.table(graft.sources.IndexStore.index(spark, dir).embByLabel)
@@ -707,16 +774,19 @@ object SearchOps {
       .agg(count(lit(1)).as("cell_n"))
     val small = cellSizes.filter(col("cell_n") <= cap).select(col("label"))
     val big = cellSizes.filter(col("cell_n") > cap).select(col("label"))
-    // exact branch: block join inside small cells only
+    // exact branch: block join inside small cells only; split scoring
+    // (dot per pair, norms per vector) as in vecKnnJoin
+    val ssq = graft.functions.VectorFunctions.sumSquares _
     val a = emb.join(broadcast(small), "label")
-      .select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        ssq(col("embedding")).as("a_ss"))
     val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"),
-      col("embedding").as("b_emb"))
+      col("embedding").as("b_emb"), ssq(col("embedding")).as("b_ss"))
     val exactPairs = a
       .join(b, col("label") === col("b_label") && col("a_id") =!= col("b_id"))
       .select(col("label"), col("a_id"),
-        score(col("a_emb"), col("b_emb")).as("score"), col("b_id"),
-        lit(false).as("routed"))
+        scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score"),
+        col("b_id"), lit(false).as("routed"))
     // routed branch: band collisions inside big cells (cell_sig already
     // folds the label, so the collision join cannot cross cells)
     // same once-per-unordered-pair discipline as vecKnnJoinAnn: a < b
@@ -732,10 +802,11 @@ object SearchOps {
       .select(col("vec_id").as("a_id"), col("b_id"))
     val routedPairs = cand
       .join(emb.select(col("vec_id").as("a_id"), col("label"),
-        col("embedding").as("a_emb")), "a_id")
-      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
+        col("embedding").as("a_emb"), ssq(col("embedding")).as("a_ss")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        ssq(col("embedding")).as("b_ss")), "b_id")
       .select(col("label"), col("a_id"), col("b_id"),
-        score(col("a_emb"), col("b_emb")).as("score"))
+        scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score"))
       .select(col("label"), col("score"), explode(array(
         struct(col("a_id").as("s"), col("b_id").as("o")),
         struct(col("b_id").as("s"), col("a_id").as("o")))).as("d"))

@@ -822,6 +822,44 @@ class SortedIntersectSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("fast-round matches Spark's round digit-for-digit (both modes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // adversarial: exact .5 decimal boundaries at scale 4, shortest-repr
+    // neighbours of boundaries, signs, zeros, magnitudes past the cosine
+    // range, plus uniform random
+    val pinned: Seq[Double] = Seq(
+      0.86545, -0.86545, 0.99995, -0.99995, 0.00005, -0.00005, 0.12345,
+      0.5e-4, -0.5e-4, 1.00005, 0.0, -0.0, 1.0, -1.0, 0.868450000000001,
+      0.8684499999999999, 12345.67895, -98765.43215, 1e-12, -1e-12,
+      123456789.12345, 0.49999999999999994)
+    val g = Gen.oneOf(
+      Gen.choose(-1.0, 1.0),
+      Gen.choose(-1e6, 1e6),
+      Gen.choose(0L, 20000L).map(_ / 10000.0 - 1.0)) // dense on boundaries
+    val rand = (1 to 400).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val vals = pinned ++ rand
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val sparkS = spark
+        import sparkS.implicits._
+        for (sc <- Seq(0, 2, 4)) {
+          val got = vals.toDF("x")
+            .select(functions.VectorFunctions.fastRound(col("x"), sc).as("f"),
+              round(col("x"), sc).as("r"))
+            .collect()
+          vals.zip(got).foreach { case (v, row) =>
+            val (f, r) = (row.getDouble(0), row.getDouble(1))
+            assert(java.lang.Double.doubleToRawLongBits(f) ==
+              java.lang.Double.doubleToRawLongBits(r),
+              s"x=$v scale=$sc mode=$cg: fast=$f spark=$r")
+          }
+        }
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("window-min-select matches the sliding-window model (both modes)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
