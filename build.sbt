@@ -56,4 +56,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultDriverMem)}",
-)
+) ++
+  // ad-hoc conf experiments without a rebuild: SparkConf reads spark.*
+  // system properties, so SPARK_EXTRA_OPTS="-Dspark.x=y -Dspark.z=w"
+  // reaches any conf the session builder doesn't pin explicitly
+  sys.env.get("SPARK_EXTRA_OPTS").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)
