@@ -427,6 +427,51 @@ object WindowMinSelect {
   }
 }
 
+/** Gap-capped span coverage over a SORTED int-position array: for each
+  * position, min(L, next − pos) tokens are newly covered (the last span
+  * contributes its full L) — Σ over the array, i.e. the token count
+  * covered by length-L spans starting at the given sorted positions.
+  * The closed form of the lead()-window formulation it replaces
+  * (when(nxt null, L).otherwise(least(L, nxt−pos)) summed per doc): one
+  * native pass over a per-doc array instead of a partition-wide sort +
+  * window + second aggregate. */
+case class GapCappedCoverage(child: Expression, l: Int) extends UnaryExpression {
+  require(l >= 1, "span length must be >= 1")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gap_capped_coverage needs array<int> input, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    GapCappedCoverage.compute(a.asInstanceOf[ArrayData], l)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GapCappedCoverage.compute($a, $l);")
+
+  override protected def withNewChildInternal(newChild: Expression): GapCappedCoverage =
+    copy(child = newChild)
+}
+
+object GapCappedCoverage {
+  def compute(a: ArrayData, l: Int): Long = {
+    val n = a.numElements()
+    if (n == 0) return 0L
+    var sum = 0L
+    var i = 0
+    while (i < n - 1) {
+      val gap = a.getInt(i + 1) - a.getInt(i)
+      sum += (if (gap < l) gap else l)
+      i += 1
+    }
+    sum + l
+  }
+}
+
 object ArrayFunctions {
   /** Codegen'd merge-scan intersection size over sorted string arrays. */
   def sortedIntersectSize(a: Column, b: Column): Column =
@@ -453,4 +498,8 @@ object ArrayFunctions {
   /** One-pass winnowing selection: sorted distinct window-w minima. */
   def windowMinSelect(a: Column, w: Int): Column =
     SqlBridge.column(WindowMinSelect(SqlBridge.expression(a), w))
+
+  /** One-pass gap-capped span coverage over sorted int positions. */
+  def gapCappedCoverage(a: Column, l: Int): Column =
+    SqlBridge.column(GapCappedCoverage(SqlBridge.expression(a), l))
 }

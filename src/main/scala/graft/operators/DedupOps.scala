@@ -556,9 +556,6 @@ object DedupOps {
     * pure scan. */
   val SubstrL = 8
 
-  /** Salt fan-out for the gram-df census — distinct docs of one hot gram
-    * spread over this many stage-1 reducers. */
-  private[graft] val CensusSalts = 16
 
 
   /** Positional space-joined 8-grams: g8[i] covers tokens i..i+7 — one
@@ -567,53 +564,60 @@ object DedupOps {
   private def grams8(toks: Column): Column =
     graft.functions.ArrayFunctions.ngramJoin(toks, SubstrL)
 
-  /** The positional gram-hash relation, persisted and memoized per
-    * (session, dir): the census AND the duplicated-start recovery both
-    * scan it, so without materialization the zip_with chain + hash runs
-    * twice over the corpus (measured ~2× the operator's cost). The key
-    * is xxhash64, not md5 — it is ENGINE-INTERNAL (never output, so the
-    * oracle's own internal key needn't match) and an 8-byte long keeps
-    * the persisted rows and the census shuffle thin. Collision math: a
-    * 64-bit birthday collision needs ~10^9 more grams than any driver
-    * run holds; even at 10^12 grams (100 TB) the expected ~3e-8 false
+  /** The positional gram-hash relation as a BUCKETED-BY-gh derived
+    * table, memoized per (session, dir): the census AND the
+    * duplicated-start recovery both scan it, so without materialization
+    * the gram build + hash runs twice over the corpus (measured ~2× the
+    * operator's cost) — and bucketing on the gram hash makes the whole
+    * hash-keyed middle exchange-free: the salted census clusters by
+    * (gh, salt) which the gh-bucketing already satisfies, its gh merge
+    * inherits the same partitioning, and the duplicated-gram join back
+    * onto the gram scan is co-located — so the operator's only
+    * corpus-scale exchange is the final per-doc regroup (plan-tested).
+    * The key is xxhash64, not md5 — it is ENGINE-INTERNAL (never
+    * output, so the oracle's own internal key needn't match) and an
+    * 8-byte long keeps the stored rows thin. Collision math: a 64-bit
+    * birthday collision needs ~10^9 more grams than any driver run
+    * holds; even at 10^12 grams (100 TB) the expected ~3e-8 false
     * dup-position fraction is noise for a coverage METRIC (an exactness
     * consumer would widen to the 128-bit hash). */
   private def substrGrams(spark: SparkSession, dir: String): DataFrame =
-    graft.PlanCache.getOrBuild(spark, dir, "substr_grams") {
+    spark.table(graft.sources.IndexStore.derivedBucketed(
+      spark, dir, "substr_grams", Seq("gh")) {
       Tables.documents(spark, dir)
         .select(col("doc_id"), tokens(col("text")).as("ts"))
         .select(col("doc_id"), posexplode(grams8(col("ts"))))
         .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gh"))
-    }
+    })
 
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
     val g = substrGrams(spark, dir)
-    // SALTED two-stage df census: a boilerplate 8-gram shared by millions
-    // of docs at 100 TB would make raw groupBy(gh) send every distinct
-    // (gh, doc_id) pair to ONE reducer. The salt is a FUNCTION OF doc_id,
-    // so each distinct doc lands in exactly one (gh, salt) bucket —
-    // per-bucket distinct counts are disjoint and their sum is EXACTLY
-    // the per-gh distinct count (no approximation), while the hot gram
-    // fans out across CensusSalts reducers. Stage 2 sees ≤ CensusSalts
-    // rows per gram. Same defense as the winnow df cap.
+    // df census over the gh-BUCKETED gram table: the groupBy clustering
+    // is satisfied by the bucketing, so the census never shuffles at all
+    // — which retires the earlier doc_id-salted two-stage census (that
+    // defense spread a boilerplate gram's distinct docs across reducers;
+    // with no reducer exchange there is nothing to spread — a hot gram's
+    // rows are scanned linearly inside its own bucket's task, and bucket
+    // count is the deploy-time parallelism knob).
     val hot = g
-      .groupBy(col("gh"), pmod(xxhash64(col("doc_id")), lit(CensusSalts))
-        .as("salt"))
-      .agg(count_distinct(col("doc_id")).as("pdf"))
-      .groupBy(col("gh")).agg(sum(col("pdf")).as("df"))
+      .groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
       .select(col("gh"))
-    val starts = g.join(hot, "gh").select("doc_id", "pos").distinct()
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // (doc_id, pos) is unique by construction (one gram per position)
+    // and `hot` is one row per gh, so the join emits each duplicated
+    // start exactly once — no distinct needed. Coverage folds per doc in
+    // one native pass over the sorted start array (GapCappedCoverage)
+    // instead of a partition-wide sort + lead() window + second agg.
+    val starts = g.join(hot, "gh").select("doc_id", "pos")
     val cov = starts
-      .withColumn("nxt", lead(col("pos"), 1).over(w))
-      .select(col("doc_id"),
-        when(col("nxt").isNull, lit(SubstrL))
-          .otherwise(least(lit(SubstrL), col("nxt") - col("pos"))).as("c"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("long").as("nd"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"),
+        graft.functions.ArrayFunctions
+          .gapCappedCoverage(col("ps"), SubstrL).as("nd"))
     d.select(col("doc_id"), size(col("ts")).as("n_tok"))
       .join(cov, Seq("doc_id"), "left")
       .withColumn("n_dup_tok", coalesce(col("nd"), lit(0L)))

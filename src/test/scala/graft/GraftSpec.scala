@@ -363,16 +363,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(expected.exists(_._3 == 0), "corpus must exercise the clean path")
   }
 
-  test("substring census is salted: partial distinct on (gh, salt), then merge") {
+  test("substring gram middle is exchange-free: only the per-doc regroup " +
+      "and the doc-side join shuffle") {
     val plan = DedupOps.dedupSubstring(spark, SfDir)
       .queryExecution.executedPlan.toString
-    // stage 1 shuffles on (gh, salt) — a corpus-wide boilerplate gram
-    // fans its distinct docs across CensusSalts reducers instead of one
-    // (Catalyst rewrites the pmod salt to a _groupingexpression alias)
-    assert("""hashpartitioning\(gh#\d+L?, (salt|_groupingexpression)#\d+""".r
-      .findAllIn(plan).nonEmpty, s"salted census exchange missing:\n$plan")
-    // and the merge stage still exists (sum of disjoint partial counts)
-    assert(plan.contains("sum(pdf"), s"merge stage missing:\n$plan")
+    // the census agg and the duplicated-gram join both read the
+    // gh-bucketed gram table co-located, so NO exchange keys on gh — a
+    // boilerplate gram's rows are scanned inside their own bucket's task
+    // instead of ever crossing a shuffle (the defense that previously
+    // needed the doc_id-salted two-stage census)
+    assert(!"""hashpartitioning\(gh#""".r.findAllIn(plan).hasNext,
+      s"gram-hash exchange crept back in:\n$plan")
+    // the only shuffles left key on doc_id (coverage regroup + the
+    // documents-side join)
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex <= 2, s"expected <=2 doc_id exchanges, got $ex:\n$plan")
   }
 
   test("ngram jaccard pairs are canonical (a<b) and within threshold") {
@@ -856,6 +861,33 @@ class SortedIntersectSpec extends AnyFunSuite with SparkFixture {
               s"x=$v scale=$sc mode=$cg: fast=$f spark=$r")
           }
         }
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("gap-capped coverage matches the lead-window model (both modes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val L = 8
+    def model(ps: List[Int]): Long = ps match {
+      case Nil => 0L
+      case _ => ps.zip(ps.tail).map { case (p, n) => math.min(L, n - p) }
+        .map(_.toLong).sum + L
+    }
+    val g = for {
+      len <- Gen.choose(0, 12)
+      ps <- Gen.listOfN(len, Gen.choose(0, 40))
+    } yield ps.distinct.sorted
+    val cases = (1 to 100).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val sparkS = spark
+        import sparkS.implicits._
+        val got = cases.toDF("ps")
+          .select(functions.ArrayFunctions.gapCappedCoverage(col("ps"), L))
+          .collect().map(_.getLong(0)).toSeq
+        assert(got == cases.map(model), s"mode=$cg")
       } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
