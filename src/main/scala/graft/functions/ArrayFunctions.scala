@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.unsafe.types.UTF8String
 
 /** `size(array_intersect(a, b))` for two SORTED, DISTINCT, null-free
   * string or long arrays, as a single merge scan.
@@ -472,6 +473,105 @@ object GapCappedCoverage {
   }
 }
 
+/** Per-term occurrence counts over a token array in ONE native pass:
+  * out[i] = |{ t ∈ tokens : t = terms(i) }|. Replaces one interpreted
+  * `size(filter(ts, _ === term))` ArrayFilter lambda PER TERM — the
+  * jstack-visible HOF cost in the BM25/term-score scans, which
+  * re-walk the token array once per query term. Equality is UTF8String
+  * binary equality, the same comparison the filter predicate compiled
+  * to, so counts are identical. */
+case class TermFreqs(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "term_freqs needs at least one term")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"term_freqs needs array<string> input, got $t")
+  }
+
+  @transient private lazy val termBytes: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
+  override protected def nullSafeEval(a: Any): Any =
+    TermFreqs.compute(a.asInstanceOf[ArrayData], termBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("terms", termBytes,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TermFreqs.compute($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermFreqs =
+    copy(child = newChild)
+}
+
+object TermFreqs {
+  def compute(a: ArrayData, terms: Array[UTF8String]): ArrayData = {
+    val out = new Array[Long](terms.length)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val t = a.getUTF8String(i)
+        var j = 0
+        while (j < terms.length) {
+          if (terms(j).equals(t)) out(j) += 1L
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Count of tokens with a given prefix, one native pass — the wildcard
+  * (`dat*`) analogue of [[TermFreqs]], replacing the interpreted
+  * `size(filter(ts, _.startsWith(p)))` lambda walk. */
+case class PrefixCount(child: Expression, prefix: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"prefix_count needs array<string> input, got $t")
+  }
+
+  @transient private lazy val p: UTF8String = UTF8String.fromString(prefix)
+
+  override protected def nullSafeEval(a: Any): Any =
+    PrefixCount.compute(a.asInstanceOf[ArrayData], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("prefix", p,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PrefixCount.compute($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PrefixCount =
+    copy(child = newChild)
+}
+
+object PrefixCount {
+  def compute(a: ArrayData, p: UTF8String): Long = {
+    val n = a.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && a.getUTF8String(i).startsWith(p)) c += 1L
+      i += 1
+    }
+    c
+  }
+}
+
 object ArrayFunctions {
   /** Codegen'd merge-scan intersection size over sorted string arrays. */
   def sortedIntersectSize(a: Column, b: Column): Column =
@@ -502,4 +602,12 @@ object ArrayFunctions {
   /** One-pass gap-capped span coverage over sorted int positions. */
   def gapCappedCoverage(a: Column, l: Int): Column =
     SqlBridge.column(GapCappedCoverage(SqlBridge.expression(a), l))
+
+  /** One-pass per-term occurrence counts over a token array. */
+  def termFreqs(a: Column, terms: Seq[String]): Column =
+    SqlBridge.column(TermFreqs(SqlBridge.expression(a), terms))
+
+  /** One-pass count of tokens starting with `prefix`. */
+  def prefixCount(a: Column, prefix: String): Column =
+    SqlBridge.column(PrefixCount(SqlBridge.expression(a), prefix))
 }

@@ -232,9 +232,12 @@ object SearchOps {
 
   private def tokens(c: Column): Column = graft.functions.Tokenize.tokens(c)
 
-  /** Term frequency of the probe terms in a token array. */
+  /** Term frequency of the probe terms in a token array — one native
+    * pass; terms are distinct so the per-term counts sum to the isin
+    * filter's size exactly. */
   private def termScore(toks: Column): Column =
-    size(filter(toks, t => t.isin(Terms: _*)))
+    aggregate(graft.functions.ArrayFunctions.termFreqs(toks, Terms),
+      lit(0L), (acc, x) => acc + x).cast("int")
 
   /** Brute-force cosine top-k against a broadcast single-row query vector.
     * One scan, no shuffle; the limit is a TakeOrderedAndProject.
@@ -857,7 +860,7 @@ object SearchOps {
     docs.join(emb, docs("doc_id") === emb("vec_id"))
       .crossJoin(broadcast(queryVec(spark, dir)))
       .select(col("doc_id"),
-        round(lit(0.5) * cosineSim(col("embedding"), col("q_emb")) +
+        graft.functions.VectorFunctions.fastRound(lit(0.5) * cosineSim(col("embedding"), col("q_emb")) +
           lit(0.5) * (termScore(col("toks")).cast("double") /
             greatest(size(col("toks")), lit(1))), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -878,14 +881,19 @@ object SearchOps {
     * before any query-time filter, as FTS5's rank is — and reduce to a
     * single broadcast row. */
   private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+    // per-term tf in ONE native token-array pass (TermFreqs) instead of
+    // an interpreted ArrayFilter walk per term; the tfs array is its own
+    // aliased stage so the pass runs once however the plan collapses
     val baseCols = Seq(col("doc_id"), col("lang"), col("n_chars"), col("text"),
       lower(col("text")).as("lt"), col("ts"),
       size(col("ts")).cast("double").as("dl")) ++
-      Terms.zipWithIndex.map { case (t, i) =>
-        size(filter(col("ts"), x => x === t)).cast("double").as(s"tf$i")
+      Terms.indices.map { i =>
+        element_at(col("tfs"), i + 1).cast("double").as(s"tf$i")
       }
     val base = Tables.documents(spark, dir)
       .withColumn("ts", tokens(col("text")))
+      .withColumn("tfs",
+        graft.functions.ArrayFunctions.termFreqs(col("ts"), Terms))
       .select(baseCols: _*)
     val statCols = Seq(
       count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")) ++
@@ -901,7 +909,7 @@ object SearchOps {
     }.reduce(_ + _)
     base.crossJoin(broadcast(stats))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
-        col("lt"), col("ts"), round(score, 4).as("score"))
+        col("lt"), col("ts"), graft.functions.VectorFunctions.fastRound(score, 4).as("score"))
   }
 
   def ftsBm25(spark: SparkSession, dir: String): DataFrame =
@@ -934,7 +942,8 @@ object SearchOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"),
-        size(filter(col("ts"), t => t.startsWith("dat"))).as("score"))
+        graft.functions.ArrayFunctions.prefixCount(col("ts"), "dat")
+          .cast("int").as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)

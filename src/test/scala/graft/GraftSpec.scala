@@ -865,6 +865,64 @@ class SortedIntersectSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ascii-tokens matches the regexp_extract_all(lower) formulation " +
+      "(both modes, unicode inputs)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val pinned = Seq("", "  ", "Data42 query!", "Ünïcode Data-42_x",
+      "İstanbul İ ABC09", "a", "9", "ß SS ss", "日本語 mix3d 中",
+      "tab\tnl\nqQ", " ctla1", "ÀÉÎø å12B")
+    val g = Gen.listOfN(12, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '-', '_', '!', 'Ä', 'ç', '日', '\t')))
+      .map(_.mkString)
+    val rand = (1 to 150).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val vals = pinned ++ rand
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val sparkS = spark
+        import sparkS.implicits._
+        val got = vals.toDF("t")
+          .select(functions.Tokenize.tokens(col("t")).as("n"),
+            regexp_extract_all(lower(col("t")), lit("[a-z0-9]+"), lit(0)).as("r"))
+          .collect()
+        vals.zip(got).foreach { case (v, row) =>
+          assert(row.getSeq[String](0) == row.getSeq[String](1),
+            s"input=${v.map(c => f"\\u${c.toInt}%04x").mkString} mode=$cg")
+        }
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("term-freqs and prefix-count match the filter models (both modes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val terms = Seq("data", "query", "table")
+    val g = for {
+      len <- Gen.choose(0, 10)
+      ts <- Gen.listOfN(len,
+        Gen.oneOf("data", "query", "table", "datum", "dat", "x", "querying"))
+    } yield ts
+    val cases = (1 to 80).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val sparkS = spark
+        import sparkS.implicits._
+        val got = cases.toDF("ts")
+          .select(functions.ArrayFunctions.termFreqs(col("ts"), terms).as("f"),
+            functions.ArrayFunctions.prefixCount(col("ts"), "dat").as("p"))
+          .collect()
+        cases.zip(got).foreach { case (ts, row) =>
+          assert(row.getSeq[Long](0) == terms.map(t => ts.count(_ == t).toLong),
+            s"ts=$ts mode=$cg")
+          assert(row.getLong(1) == ts.count(_.startsWith("dat")).toLong,
+            s"ts=$ts mode=$cg")
+        }
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("gap-capped coverage matches the lead-window model (both modes)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
