@@ -312,8 +312,10 @@ case class SumSquares(child: Expression) extends UnaryExpression {
   * rounded decimal, exactly what BigDecimal.doubleValue returns). The
   * fast path is only wrong where the true decimal value of x sits within
   * FP error of a .5 rounding boundary, so anything inside an
-  * ulp-proportional guard band around one — plus anything past 2^53 or
-  * non-finite — falls back to the exact BigDecimal chain. The band is
+  * ulp-proportional guard band around one — plus anything past 2^53 —
+  * falls back to the exact BigDecimal chain (non-finite inputs return
+  * unchanged; Spark's round would raise on them, and the scoring
+  * guards upstream make them unreachable here). The band is
   * ~10⁴ ulps wide, vastly wider than the ≤~3-ulp error of the
   * shortest-decimal→double→·10^s chain it guards against, and still hit
   * by ~1e-12 of uniform inputs. Both-modes equivalence vs Spark's round
