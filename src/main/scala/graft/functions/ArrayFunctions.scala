@@ -572,6 +572,66 @@ object PrefixCount {
   }
 }
 
+/** Whitespace-word statistics over raw text in ONE native byte scan:
+  * struct(n_words, len_sum, n_alpha) where words are the non-empty
+  * pieces of split(text, "\\s+") (Java's default \s is the six ASCII
+  * whitespace bytes — UTF-8 continuation bytes are ≥ 0x80 and can never
+  * match, so byte-level splitting is exact), len_sum adds each word's
+  * CHARACTER length (codepoints — bytes not of the form 10xxxxxx, the
+  * same count UTF8String.numChars/length() returns), and n_alpha counts
+  * words containing at least one ASCII letter (the rlike("[A-Za-z]")
+  * predicate). Replaces a regex split + three interpreted array-lambda
+  * walks (filter/aggregate/filter-with-rlike) per document. */
+case class WsWordStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("len_sum", LongType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ws_word_stats needs a string input, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WsWordStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WsWordStats.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): WsWordStats =
+    copy(child = newChild)
+}
+
+object WsWordStats {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def compute(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var nWords = 0L; var lenSum = 0L; var nAlpha = 0
+    var i = 0
+    while (i < n) {
+      if (!isWs(bytes(i))) {
+        nWords += 1
+        var alpha = false
+        while (i < n && !isWs(bytes(i))) {
+          val b = bytes(i)
+          if ((b & 0xC0) != 0x80) lenSum += 1
+          if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) alpha = true
+          i += 1
+        }
+        if (alpha) nAlpha += 1
+      } else i += 1
+    }
+    InternalRow(nWords, lenSum, nAlpha)
+  }
+}
+
 object ArrayFunctions {
   /** Codegen'd merge-scan intersection size over sorted string arrays. */
   def sortedIntersectSize(a: Column, b: Column): Column =
@@ -610,4 +670,8 @@ object ArrayFunctions {
   /** One-pass count of tokens starting with `prefix`. */
   def prefixCount(a: Column, prefix: String): Column =
     SqlBridge.column(PrefixCount(SqlBridge.expression(a), prefix))
+
+  /** One-pass whitespace-word stats: struct(n_words, len_sum, n_alpha). */
+  def wsWordStats(text: Column): Column =
+    SqlBridge.column(WsWordStats(SqlBridge.expression(text)))
 }

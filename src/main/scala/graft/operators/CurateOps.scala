@@ -818,17 +818,19 @@ object CurateOps {
     * so the driver hash-checks digit-for-digit.
     */
   def curateGopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
     val lines = filter(split(col("text"), "\n"), l => length(rtrim(l)) > 0)
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), words.as("ws"), lines.as("ls"),
-        tokens(col("text")).as("ts"))
+      // word count / length sum / has-letter count fold in ONE native
+      // byte scan (WsWordStats) — replaces the regex \s+ split plus
+      // three interpreted array-lambda walks (incl. an rlike per word)
+      .select(col("doc_id"), col("text"),
+        graft.functions.ArrayFunctions.wsWordStats(col("text")).as("wst"),
+        lines.as("ls"), tokens(col("text")).as("ts"))
       .select(col("doc_id"),
-        size(col("ws")).cast("long").as("n_words"),
-        round(aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
-          .cast("double") / greatest(size(col("ws")), lit(1)), 4)
-          .as("mean_word_len"),
+        col("wst.n_words").as("n_words"),
+        round(col("wst.len_sum").cast("double") /
+          greatest(col("wst.n_words"), lit(1L)), 4).as("mean_word_len"),
         expr("(length(text) - length(replace(text, '#', ''))) + " +
           "(length(text) - length(replace(text, '...', ''))) div 3")
           .as("n_sym"),
@@ -837,7 +839,7 @@ object CurateOps {
           .as("n_bullet"),
         size(filter(col("ls"), l => rtrim(l).endsWith("...") ||
           rtrim(l).endsWith("…"))).as("n_ellip"),
-        size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).as("n_alpha"),
+        col("wst.n_alpha").as("n_alpha"),
         greatest(size(col("ls")), lit(1)).as("n_lines"),
         size(array_intersect(array_distinct(col("ts")),
           array(stops.map(lit): _*))).as("n_stop"))

@@ -923,6 +923,38 @@ class SortedIntersectSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ws-word-stats matches the split/filter/aggregate model (both modes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val pinned = Seq("", " ", "a b  c", "  lead trail  ", "tab\tsplit",
+      "nl\nsplit\r\nmore", "Ünïcode wörd 日本 x9", "...", "#hash A-Z",
+      "vtab\fff", "ß 42")
+    val g = Gen.listOfN(14, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', ' ', '\t', '\n', '-', 'Ä', '日', '\f')))
+      .map(_.mkString)
+    val rand = (1 to 120).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val vals = pinned ++ rand
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val sparkS = spark
+        import sparkS.implicits._
+        val ws = filter(split(col("t"), "\\s+"), w => length(w) > 0)
+        val got = vals.toDF("t")
+          .select(functions.ArrayFunctions.wsWordStats(col("t")).as("s"),
+            size(ws).cast("long").as("mw"),
+            aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("ml"),
+            size(filter(ws, w => w.rlike("[A-Za-z]"))).as("ma"))
+          .collect()
+        vals.zip(got).foreach { case (v, r) =>
+          val s = r.getStruct(0)
+          assert((s.getLong(0), s.getLong(1), s.getInt(2)) ==
+            ((r.getLong(1), r.getLong(2), r.getInt(3))), s"input=$v mode=$cg")
+        }
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("gap-capped coverage matches the lead-window model (both modes)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
