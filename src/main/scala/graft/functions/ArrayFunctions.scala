@@ -632,6 +632,77 @@ object WsWordStats {
   }
 }
 
+/** Keyword-declaration extraction over a token array in ONE native
+  * pass: for each (keyword, kind) pair, every position i (0-based)
+  * with ts[i] = keyword and a following token emits
+  * struct(symbol = ts[i+1], kind, pos = i+1 — 1-based keyword index);
+  * output lists all of pair 1's matches in token order, then pair 2's,
+  * … — exactly the concat-of-per-keyword-arrays the HOF formulation
+  * (one interpreted transform + filter walk PER PAIR) produced. Shared
+  * by every decls consumer (DSL virtual tables, symbol extraction and
+  * formatting, the graph edge builders). */
+case class KeywordDecls(child: Expression, kws: Seq[String],
+    kinds: Seq[String]) extends UnaryExpression {
+  require(kws.nonEmpty && kws.length == kinds.length,
+    "keyword_decls needs parallel keyword/kind lists")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("symbol", StringType, nullable = true),
+    StructField("kind", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"keyword_decls needs array<string> input, got $t")
+  }
+
+  @transient private lazy val kwBytes: Array[UTF8String] =
+    kws.map(UTF8String.fromString).toArray
+  @transient private lazy val kindBytes: Array[UTF8String] =
+    kinds.map(UTF8String.fromString).toArray
+
+  override protected def nullSafeEval(a: Any): Any =
+    KeywordDecls.compute(a.asInstanceOf[ArrayData], kwBytes, kindBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kw = ctx.addReferenceObj("kws", kwBytes,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val kd = ctx.addReferenceObj("kinds", kindBytes,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.KeywordDecls.compute($a, $kw, $kd);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KeywordDecls =
+    copy(child = newChild)
+}
+
+object KeywordDecls {
+  def compute(a: ArrayData, kws: Array[UTF8String],
+      kinds: Array[UTF8String]): ArrayData = {
+    val n = a.numElements()
+    val bufs = Array.fill(kws.length)(new java.util.ArrayList[AnyRef]())
+    var i = 0
+    while (i < n - 1) { // the last token has no follower; never a decl
+      if (!a.isNullAt(i)) {
+        val t = a.getUTF8String(i)
+        var j = 0
+        while (j < kws.length) { // no short-circuit: kw lists may repeat
+          if (kws(j).equals(t))
+            bufs(j).add(InternalRow(a.getUTF8String(i + 1), kinds(j),
+              (i + 1).toLong))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new java.util.ArrayList[AnyRef]()
+    bufs.foreach(out.addAll(_))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object ArrayFunctions {
   /** Codegen'd merge-scan intersection size over sorted string arrays. */
   def sortedIntersectSize(a: Column, b: Column): Column =
@@ -674,4 +745,9 @@ object ArrayFunctions {
   /** One-pass whitespace-word stats: struct(n_words, len_sum, n_alpha). */
   def wsWordStats(text: Column): Column =
     SqlBridge.column(WsWordStats(SqlBridge.expression(text)))
+
+  /** One-pass keyword-declaration extraction (see [[KeywordDecls]]). */
+  def keywordDecls(ts: Column, pairs: Seq[(String, String)]): Column =
+    SqlBridge.column(KeywordDecls(SqlBridge.expression(ts),
+      pairs.map(_._1), pairs.map(_._2)))
 }

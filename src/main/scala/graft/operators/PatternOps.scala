@@ -316,25 +316,16 @@ object PatternOps {
     * join back to documents). Single narrow Generate, no shuffle. */
   private[graft] def keywordDecls(docs: DataFrame,
       kinds: Seq[(String, String)], keep: Seq[String]): DataFrame = {
-    val ts = col("ts")
-    // per keyword: positions i (0-based) with a following token → struct
-    // (symbol = ts[i+1], kind, pos = i+1 to match 1-based oracle indexing)
-    def decls(kw: String, kind: String): Column =
-      filter(
-        transform(ts, (x, i) =>
-          when(x === lit(kw) && i < size(ts) - 1,
-            struct(
-              element_at(ts, (i + lit(2)).cast("int")).as("symbol"),
-              lit(kind).as("kind"),
-              (i + lit(1)).cast("long").as("pos")))
-            .otherwise(lit(null))),
-        _.isNotNull)
+    // ONE native token-array pass for all (keyword → kind) pairs
+    // (KeywordDecls: symbol = token after the keyword, pos = 1-based
+    // keyword index, per-pair output order = the concat of the former
+    // per-keyword transform+filter walks)
     val keepCols = keep.map(col)
     docs
       .select(col("doc_id") +: keepCols :+
         graft.functions.Tokenize.tokens(col("text")).as("ts"): _*)
       .select(col("doc_id") +: keepCols :+
-        explode(concat(kinds.map { case (k, v) => decls(k, v) }: _*))
+        explode(graft.functions.ArrayFunctions.keywordDecls(col("ts"), kinds))
           .as("d"): _*)
       .select(col("doc_id") +: keepCols :+ col("d.symbol").as("symbol") :+
         col("d.kind").as("kind") :+ col("d.pos").as("pos"): _*)
