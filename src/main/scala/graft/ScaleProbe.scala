@@ -93,7 +93,7 @@ object ScaleProbe {
     val (tB, nB) = time(operators.DedupOps.simhashCandidates(spark, dir).count())
     // cached-DataFrame path over the SAME rows
     val cached = spark.table(
-      sources.IndexStore.derivedTableName(dir, "simhash_bands")).persist()
+      sources.IndexStore.derivedTableName(spark, dir, "simhash_bands")).persist()
     cached.count()
     // same first-match-band condition as simhashCandidates, so the two
     // paths produce identical candidate sets and only the read strategy
@@ -402,10 +402,11 @@ object ScaleProbe {
       val pairs = operators.SearchOps.knnPairsScored(spark, dir, s, Long.MaxValue)
       // same join, scoring pruned away — isolates pair ITERATION cost
       val joinOnly = pairs.select(col("label"), col("a_id"), col("b_id"))
-      val full = pairs
+      // posture as the operator does, so agg_delta reflects the real plan
+      val full = functions.TopKAgg.posture(spark, pairs
         .groupBy(col("label"), col("a_id"))
         .agg(functions.TopKAgg.topK(col("score"), col("b_id"), 3).as("top"))
-        .select(col("label"), col("a_id"), posexplode(col("top")))
+        .select(col("label"), col("a_id"), posexplode(col("top"))))
       val tj = time(joinOnly); val tp = time(pairs); val tf = time(full)
       println(f"KNN salt=$s%2d join=$tj%6.2fs pairs=$tp%6.2fs full=$tf%6.2fs " +
         f"score_delta=${tp - tj}%6.2fs agg_delta=${tf - tp}%6.2fs")

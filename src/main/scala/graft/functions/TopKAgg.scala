@@ -109,14 +109,53 @@ object TopKAgg {
     * groups — and the default is 128, sized for giant per-group state
     * like collect_list, not for k-bounded heaps. A batch-KNN top-k over
     * vector-count groups then SORTS every candidate-pair row (observed
-    * as the dominant aggregate cost in ScaleProbe `knn`). Operators that
-    * rank through this aggregate call this first: a session still on the
-    * stock 128 is raised to 4M groups (≈ a few hundred bytes each at
-    * k ≤ 10 — well under task memory); any OTHER configured value is the
-    * deployment's explicit choice and is respected. */
-  def ensureHashAggPosture(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (spark.conf.getOption(key).forall(_ == "128"))
-      spark.conf.set(key, (4 * 1024 * 1024).toString)
+    * as the dominant aggregate cost in ScaleProbe `knn`).
+    *
+    * The raise is SCOPED, not session-wide: [[posture]] re-binds the
+    * operator's final plan to a memoized clone of the caller's session
+    * whose only divergence is this threshold, so the caller's session —
+    * and every unbounded-state ObjectHashAggregate it later runs
+    * (collect_list and friends, where 4M in-memory groups per task is an
+    * OOM) — keeps the stock posture. A threshold the caller configured
+    * explicitly (anything but the stock 128) is the deployment's choice
+    * and is copied through unchanged. */
+  def posture(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graft.SqlBridge.rebind(posturedSession(spark), df)
+
+  private val FallbackKey =
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+  private val RaisedGroups = (4 * 1024 * 1024).toString
+  private val postured = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+  // keys this module copied onto a clone — so a key the parent later
+  // UNSETS is unset on the clone too instead of going stale there
+  private val synced = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, Set[String]]()
+
+  /** The memoized posture clone for `spark` (one per parent session;
+    * clones share the SparkContext, catalog and cache manager). Runtime
+    * confs are re-synced from the parent on EVERY call, so AQE toggles
+    * and graft knobs set after the clone was created still steer these
+    * plans; only the fallback threshold diverges. */
+  private[graft] def posturedSession(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    postured.keySet.removeIf(_.sparkContext.isStopped)
+    synced.keySet.removeIf(_.sparkContext.isStopped)
+    val clone = postured.computeIfAbsent(spark, p => p.newSession())
+    val parentAll = spark.conf.getAll
+    parentAll.foreach { case (k, v) =>
+      if (k != FallbackKey && !clone.conf.getOption(k).contains(v))
+        try clone.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
+    }
+    synced.getOrDefault(clone, Set.empty)
+      .filterNot(parentAll.contains)
+      .foreach(k => try clone.conf.unset(k) catch { case _: Throwable => () })
+    synced.put(clone, parentAll.keySet)
+    val parent = spark.conf.getOption(FallbackKey)
+    clone.conf.set(FallbackKey,
+      if (parent.forall(_ == "128")) RaisedGroups else parent.get)
+    clone
   }
 }

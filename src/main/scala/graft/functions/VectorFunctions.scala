@@ -313,9 +313,10 @@ case class SumSquares(child: Expression) extends UnaryExpression {
   * fast path is only wrong where the true decimal value of x sits within
   * FP error of a .5 rounding boundary, so anything inside an
   * ulp-proportional guard band around one — plus anything past 2^53 —
-  * falls back to the exact BigDecimal chain (non-finite inputs return
-  * unchanged; Spark's round would raise on them, and the scoring
-  * guards upstream make them unreachable here). The band is
+  * falls back to the exact BigDecimal chain (non-finite inputs take
+  * that path too, so they raise the same NumberFormatException Spark's
+  * round raises — a NaN cosine from corrupt embeddings fails the job
+  * loudly instead of silently flowing through score filters). The band is
   * ~10⁴ ulps wide, vastly wider than the ≤~3-ulp error of the
   * shortest-decimal→double→·10^s chain it guards against, and still hit
   * by ~1e-12 of uniform inputs. Both-modes equivalence vs Spark's round
@@ -348,7 +349,9 @@ object FastRoundHalfUp {
   private val Pow10 = Array.tabulate(11)(i => math.pow(10.0, i))
 
   def round(x: Double, scale: Int): Double = {
-    if (!java.lang.Double.isFinite(x)) return x
+    // non-finite: BigDecimal.valueOf raises NumberFormatException, the
+    // exact failure Spark's round produces — keep fail-loud parity
+    if (!java.lang.Double.isFinite(x)) return bigDecimalRound(x, scale)
     val p = Pow10(scale)
     val y = Math.abs(x) * p
     if (y >= 9.007199254740992e15) return bigDecimalRound(x, scale)

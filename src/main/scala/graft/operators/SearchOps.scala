@@ -321,7 +321,10 @@ object SearchOps {
     * ScaleProbe's stage-attribution runs. */
   private[graft] def knnPairsScored(spark: SparkSession, dir: String,
       salt: Int, cellCap: Long): DataFrame = {
-    graft.functions.TopKAgg.ensureHashAggPosture(spark)
+    // salt <= 0 would NOT error: pmod(x, 0) is null and sequence(0, -1)
+    // is [0,-1], so the salt-equality join silently matches nothing and
+    // the KNN output is empty. Fail loudly on a misconfigured factor.
+    require(salt >= 1, s"$KnnSaltConf must be >= 1, got $salt")
     val emb = spark.table(graft.sources.IndexStore.index(spark, dir).embByLabel)
     // guard: cell sizes aggregate exchange-free over the bucketed table
     // and broadcast back onto side A; assert_true lives in a FILTER so
@@ -355,12 +358,13 @@ object SearchOps {
 
   private[graft] def vecKnnJoinCapped(spark: SparkSession, dir: String,
       cellCap: Long): DataFrame =
-    knnPairsScored(spark, dir, knnSaltFactor(spark), cellCap)
-      .groupBy(col("label"), col("a_id"))
-      .agg(graft.functions.TopKAgg.topK(col("score"), col("b_id"), 3).as("top"))
-      .select(col("label"), col("a_id"), posexplode(col("top")))
-      .select(col("label"), col("a_id"), col("col.id").as("b_id"),
-        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk"))
+    graft.functions.TopKAgg.posture(spark,
+      knnPairsScored(spark, dir, knnSaltFactor(spark), cellCap)
+        .groupBy(col("label"), col("a_id"))
+        .agg(graft.functions.TopKAgg.topK(col("score"), col("b_id"), 3).as("top"))
+        .select(col("label"), col("a_id"), posexplode(col("top")))
+        .select(col("label"), col("a_id"), col("col.id").as("b_id"),
+          col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk")))
 
   /** The IVF coarse quantizer, computed for real: per-label mean
     * embedding. Built once per (session, dir) — posexplode to (label,
@@ -696,7 +700,6 @@ object SearchOps {
     * sign-bits→bands→candidates→verify→top-3 chain.
     */
   def vecKnnJoinAnn(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.TopKAgg.ensureHashAggPosture(spark)
     // Every unordered pair is generated ONCE (a < b) inside the
     // co-located band-bucket join, scored once, and only then mirrored
     // into both directions by a narrow explode — candidate collisions,
@@ -726,7 +729,7 @@ object SearchOps {
         ssq(col("embedding")).as("b_ss")), "b_id")
       .select(col("label"), col("a_id"), col("b_id"),
         scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score"))
-    scored
+    graft.functions.TopKAgg.posture(spark, scored
       .select(col("label"), col("score"), explode(array(
         struct(col("a_id").as("s"), col("b_id").as("o")),
         struct(col("b_id").as("s"), col("a_id").as("o")))).as("d"))
@@ -735,7 +738,7 @@ object SearchOps {
       .agg(graft.functions.TopKAgg.topK(col("score"), col("b_id"), 3).as("top"))
       .select(col("label"), col("a_id"), posexplode(col("top")))
       .select(col("label"), col("a_id"), col("col.id").as("b_id"),
-        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk"))
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk")))
   }
 
   /** Conf knob for [[vecKnnJoinAuto]]'s per-cell routing threshold.
@@ -769,7 +772,6 @@ object SearchOps {
     * the bounded-heap TopKAgg.
     */
   def vecKnnJoinAuto(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.TopKAgg.ensureHashAggPosture(spark)
     val cap = spark.conf.getOption(AutoCapConf).map(_.toLong)
       .getOrElse(AutoCapDefault)
     val emb = spark.table(graft.sources.IndexStore.index(spark, dir).embByLabel)
@@ -815,13 +817,13 @@ object SearchOps {
         struct(col("b_id").as("s"), col("a_id").as("o")))).as("d"))
       .select(col("label"), col("d.s").as("a_id"),
         col("score"), col("d.o").as("b_id"), lit(true).as("routed"))
-    exactPairs.unionAll(routedPairs)
+    graft.functions.TopKAgg.posture(spark, exactPairs.unionAll(routedPairs)
       .groupBy(col("label"), col("a_id"), col("routed"))
       .agg(graft.functions.TopKAgg.topK(col("score"), col("b_id"), 3).as("top"))
       .select(col("label"), col("a_id"), col("routed"), posexplode(col("top")))
       .select(col("label"), col("a_id"), col("col.id").as("b_id"),
         col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk"),
-        col("routed"))
+        col("routed")))
   }
 
   /** FTS term scoring: term frequency of the probe terms over regex tokens,

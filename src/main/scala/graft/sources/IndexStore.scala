@@ -16,11 +16,34 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
-  /** Write `df` as a bucketed, per-bucket-sorted parquet table. Bucket
-    * count is a deploy-time knob: at 100 TB you size buckets so one bucket
-    * of the largest relation fits an executor's scan budget. */
+  /** Deploy-time bucket-count knob for every index and derived table.
+    * The co-located joins' parallelism IS the bucket count (a bucketed
+    * read is one task per bucket), so the sizing rule at scale is
+    * buckets ≈ ceil(largest bucketed relation / target per-task scan):
+    * a 10 TB embedding table at a ~1 GB task budget wants ~10k buckets,
+    * while the local test corpus is fine at the default 8. The count is
+    * folded into every table's IDENTITY (a `_b<n>` name suffix), so
+    * changing the conf builds fresh tables instead of silently reusing
+    * a differently-bucketed layout. */
+  val BucketsConf = "spark.graft.indexBuckets"
+  private val BucketsDefault = 8
+
+  /** The configured bucket count (see [[BucketsConf]]). */
+  def buckets(spark: SparkSession): Int = {
+    val n = spark.conf.getOption(BucketsConf).map(_.toInt)
+      .getOrElse(BucketsDefault)
+    require(n >= 1, s"$BucketsConf must be >= 1, got $n")
+    n
+  }
+
+  /** Write `df` as a bucketed, per-bucket-sorted parquet table, with
+    * the bucket count from [[BucketsConf]]. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String): Unit =
+    writeBucketedMulti(df, table, Seq(bucketCol), buckets(df.sparkSession))
+
+  /** [[writeBucketed]] at an explicit bucket count. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int = 8): Unit =
+      buckets: Int): Unit =
     writeBucketedMulti(df, table, Seq(bucketCol), buckets)
 
   /** Multi-column bucketing: a join whose equi-keys are a SUPERSET of the
@@ -28,7 +51,7 @@ object IndexStore {
     * equal bucket keys), so band self-joins bucket on (band, sig) and
     * stay exchange-free even when the join adds block keys on top. */
   def writeBucketedMulti(df: DataFrame, table: String,
-      bucketCols: Seq[String], buckets: Int = 8): Unit =
+      bucketCols: Seq[String], buckets: Int): Unit =
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
@@ -73,9 +96,16 @@ object IndexStore {
 
   /** The catalog name [[derivedBucketed]] gives the (dir, tag) derived
     * table — the single source of the naming scheme; probes and tests
-    * resolve names through this instead of re-deriving the sanitization. */
+    * resolve names through this instead of re-deriving the sanitization.
+    * The session-less form takes the ALREADY bucket-decorated tag; use
+    * the (spark, dir, tag) form to resolve what derivedBucketed built. */
   def derivedTableName(dir: String, tag: String): String =
     s"graft_${tag}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** [[derivedTableName]] with the bucket-count decoration the builder
+    * applies — the name derivedBucketed(spark, dir, tag, …) produced. */
+  def derivedTableName(spark: SparkSession, dir: String, tag: String): String =
+    derivedTableName(dir, s"${tag}_b${buckets(spark)}")
 
   /** Materialize a derived relation (a signature/band/prefix index) ONCE
     * per (session, dir) as a bucketed table and return its name. The
@@ -91,19 +121,21 @@ object IndexStore {
     * dropping it out from under that session's queries.
     */
   def derivedBucketed(spark: SparkSession, dir: String, tag: String,
-      bucketCols: Seq[String], buckets: Int = 8)
+      bucketCols: Seq[String])
       (build: => DataFrame): String = {
+    val n = buckets(spark)
+    val btag = s"${tag}_b$n" // bucket count is part of the table identity
     derived.keySet.removeIf(k => k._1.sparkContext.isStopped)
     // get + putIfAbsent, NOT computeIfAbsent: build closures may resolve
     // dependencies through caches (the PlanCache reentrancy rule)
-    val key = (spark, dir, tag)
+    val key = (spark, dir, btag)
     val existing = derived.get(key)
     if (existing != null) existing
     else withBuildLock(key) {
       val again = derived.get(key)
       if (again != null) again
       else {
-        val tbl = derivedTableName(dir, tag)
+        val tbl = derivedTableName(dir, btag)
         if (!spark.catalog.tableExists(tbl)) {
           // clear a previous PROCESS's physical leftovers before writing
           val wh = new org.apache.hadoop.fs.Path(
@@ -111,7 +143,7 @@ object IndexStore {
           val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val p = new org.apache.hadoop.fs.Path(wh, tbl.toLowerCase)
           if (fs.exists(p)) fs.delete(p, true)
-          writeBucketedMulti(build, tbl, bucketCols, buckets)
+          writeBucketedMulti(build, tbl, bucketCols, n)
         }
         derived.put(key, tbl)
         tbl
@@ -153,9 +185,8 @@ object IndexStore {
   final case class IndexTables(docs: String, embById: String,
       embByLabel: String)
 
-  private val built = new ConcurrentHashMap[(SparkSession, String), IndexTables]()
-
-  private val Buckets = 8
+  private val built =
+    new ConcurrentHashMap[(SparkSession, String, Int), IndexTables]()
 
   /** Build (once per session+dir) the bucketed search index the query
     * operators read — the cortex index-build step (chunk → tokenize →
@@ -179,7 +210,8 @@ object IndexStore {
     // crash (the PlanCache rule), while a bare get+putIfAbsent would let
     // two threads race the DROP + delete + write sequence — the monitor
     // serializes same-key builds and stays reentrant across keys.
-    val key = (spark, dir)
+    val n = buckets(spark)
+    val key = (spark, dir, n)
     val existing = built.get(key)
     if (existing != null) existing
     else withBuildLock(key) {
@@ -190,8 +222,9 @@ object IndexStore {
   }
 
   private def buildIndex(spark: SparkSession, dir: String,
-      key: (SparkSession, String)): IndexTables = {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      key: (SparkSession, String, Int)): IndexTables = {
+      val n = key._3
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_b$n"
       val t = IndexTables(s"graft_docs$tag", s"graft_emb_id$tag",
         s"graft_emb_lbl$tag")
       val names = Seq(t.docs, t.embById, t.embByLabel)
@@ -214,9 +247,9 @@ object IndexStore {
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
             graft.functions.Tokenize.tokens(col("text")).as("toks"))
         val emb = graft.Tables.embeddings(spark, dir)
-        writeBucketed(docs, t.docs, "doc_id", Buckets)
-        writeBucketed(emb, t.embById, "vec_id", Buckets)
-        writeBucketed(emb, t.embByLabel, "label", Buckets)
+        writeBucketed(docs, t.docs, "doc_id", n)
+        writeBucketed(emb, t.embById, "vec_id", n)
+        writeBucketed(emb, t.embByLabel, "label", n)
       }
       built.put(key, t)
       t

@@ -2021,7 +2021,7 @@ class IndexStoreSpec extends AnyFunSuite with SparkFixture {
 
   test("invalidateDerived drops a dir's derived tables; next use rebuilds") {
     operators.DedupOps.simhashCandidates(spark, SfDir).count()
-    val tbl = IndexStore.derivedTableName(SfDir, "simhash_bands")
+    val tbl = IndexStore.derivedTableName(spark, SfDir, "simhash_bands")
     assert(spark.catalog.tableExists(tbl))
     IndexStore.invalidateDerived(spark, SfDir)
     assert(!spark.catalog.tableExists(tbl),
