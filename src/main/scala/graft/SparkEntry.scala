@@ -1206,19 +1206,28 @@ object SparkEntry {
       val stride = graft.operators.GraphOps.IfaceSeedStride
       val depth = graft.operators.GraphOps.EmbedMaxDepth
       s"""WITH tok AS (SELECT doc_id, $duckTok AS ts FROM documents),
+         |ktok AS (SELECT doc_id, ts, list_filter(range(1, len(ts) + 1),
+         |    j -> list_contains(['query','table','batch','stream'], ts[j])) AS kpos
+         |  FROM tok),
          |d AS (
          |  SELECT doc_id, ts[i+1] AS symbol, 'type' AS kind
          |    FROM (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
          |      i -> ts[i] = 'table')) AS i FROM tok)
-         |  UNION ALL SELECT doc_id, ts[i+1], 'function'
-         |    FROM (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
-         |      i -> ts[i] = 'query')) AS i FROM tok)
          |  UNION ALL SELECT doc_id, ts[i+1], 'stream'
          |    FROM (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
          |      i -> ts[i] = 'stream')) AS i FROM tok)
          |  UNION ALL SELECT doc_id, ts[i+1], 'import'
          |    FROM (SELECT doc_id, ts, unnest(list_filter(range(1, len(ts)),
          |      i -> ts[i] = 'batch')) AS i FROM tok)),
+         |meth0 AS (SELECT doc_id, ts[i+1] AS m, i,
+         |    coalesce(list_min(list_filter(kpos, j -> j > i + 1)), len(ts) + 1)
+         |      - (i + 1) - 1 AS ar
+         |  FROM (SELECT doc_id, ts, kpos, unnest(list_filter(range(1, len(ts)),
+         |    i -> ts[i] = 'query')) AS i FROM ktok)),
+         |meth AS (SELECT doc_id, m || ':' || ar AS sig FROM (
+         |    SELECT doc_id, m, ar, row_number() OVER (
+         |      PARTITION BY doc_id, m ORDER BY i DESC) AS rk FROM meth0)
+         |  WHERE rk = 1),
          |ifaces AS (SELECT DISTINCT doc_id, symbol FROM d
          |  WHERE kind = 'stream' AND doc_id % $stride = 0),
          |imp AS (SELECT DISTINCT doc_id, symbol AS tgt FROM d WHERE kind = 'import'),
@@ -1234,16 +1243,19 @@ object SparkEntry {
          |    SELECT r.root_doc, r.root_sym, e.dst_doc, e.dst_sym, r.depth + 1
          |    FROM r JOIN embed e ON e.src_doc = r.doc_id AND e.src_sym = r.symbol
          |    WHERE r.depth < $depth)
-         |  SELECT DISTINCT root_doc, root_sym, doc_id FROM r),
-         |meth AS (SELECT DISTINCT doc_id, symbol AS m FROM d WHERE kind = 'function'),
-         |resolved AS (SELECT DISTINCT r.root_doc AS iface_doc,
-         |    r.root_sym AS iface_symbol, m.m
-         |  FROM reach r JOIN meth m ON m.doc_id = r.doc_id),
+         |  SELECT DISTINCT root_doc, root_sym, doc_id, depth FROM r),
+         |resolved AS (SELECT iface_doc, iface_symbol, sig FROM (
+         |    SELECT r.root_doc AS iface_doc, r.root_sym AS iface_symbol, m.sig,
+         |      row_number() OVER (PARTITION BY r.root_doc, r.root_sym,
+         |          split_part(m.sig, ':', 1)
+         |        ORDER BY r.depth, r.doc_id, m.sig) AS rk
+         |    FROM reach r JOIN meth m ON m.doc_id = r.doc_id)
+         |  WHERE rk = 1),
          |rn AS (SELECT iface_doc, iface_symbol, count(*) AS n_m
          |  FROM resolved GROUP BY 1, 2),
          |types AS (SELECT DISTINCT doc_id, symbol FROM d WHERE kind = 'type'),
          |hits AS (SELECT m.doc_id, v.iface_doc, v.iface_symbol, count(*) AS n_hit
-         |  FROM resolved v JOIN meth m ON m.m = v.m GROUP BY 1, 2, 3)
+         |  FROM resolved v JOIN meth m ON m.sig = v.sig GROUP BY 1, 2, 3)
          |SELECT t.doc_id AS type_doc, t.symbol AS type_symbol,
          |    h.iface_doc, h.iface_symbol, rn.n_m::BIGINT AS n_methods
          |  FROM hits h JOIN rn USING (iface_doc, iface_symbol)

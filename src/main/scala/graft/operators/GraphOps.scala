@@ -615,20 +615,36 @@ object GraphOps {
     * the struct's method set) re-expressed as relational division over
     * the symbols_extract token domain:
     *
+    *  - method identity is SIGNATURE-AWARE like the reference's
+    *    signaturesMatch (internal/storage/inferencer.go:171: methods
+    *    match on name AND param/return counts, not name alone): each
+    *    `query` decl's arity = the token count between its symbol and
+    *    the next keyword token (query/table/batch/stream) or
+    *    end-of-doc — the decl template's parameter span. A method is
+    *    the encoded string `name:arity`; per doc the LAST declaration
+    *    of a name wins (the reference builds a name→signature map in
+    *    decl order, so later decls overwrite), giving each doc ONE
+    *    signature per method name;
     *  - interface = each `stream` symbol declared in a SEED doc
     *    (doc_id ≡ 0 mod [[IfaceSeedStride]]); its own methods are the
-    *    `function` symbols of its declaring doc;
+    *    `function` decls of its declaring doc;
     *  - embedding = the seed doc IMPORTS (`batch X`) another seed
     *    interface name; the target resolves to the minimum seed doc
     *    declaring that stream symbol (the min-id convention every graph
     *    tie-break here uses), self-doc excluded;
-    *  - resolved methods = union of function names over the ≤
+    *  - resolved methods = the function signatures over the ≤
     *    [[EmbedMaxDepth]]-step embed closure (cycle-safe: the closure is
-    *    a visited-set BFS, not a recursion);
+    *    a visited-set BFS, not a recursion), ONE signature per method
+    *    name: the shallowest declaration wins (own methods beat
+    *    embedded ones — Go interfaces reject own/embedded duplicates
+    *    outright, so own-wins is the faithful resolution), min doc_id
+    *    breaking depth ties (the min-id convention);
     *  - concrete type = each `table` symbol; its method set is its doc's
-    *    function names; implements iff resolved(iface) ⊆ methods(doc) —
-    *    set containment checked by match-count equality, the division-
-    *    via-counting formulation;
+    *    function signatures; implements iff resolved(iface) ⊆
+    *    sigs(doc) — a same-name/different-arity method does NOT
+    *    satisfy the requirement, exactly the reference's
+    *    signaturesMatch gate — set containment checked per row by the
+    *    sorted merge scan;
     *  - the reference's "empty interface matches every type" degenerate
     *    case (implementsInterface:124) is NOT materialized as edges —
     *    at corpus scale that is a deliberate quadratic; it surfaces as
@@ -651,10 +667,32 @@ object GraphOps {
             element_at(col("ts"), (i + lit(2)).cast("int")))
             .otherwise(lit(null))),
         _.isNotNull)))
+      // fns = one `name:arity` signature per method name (last decl
+      // wins); arity = tokens between the symbol and the next keyword
+      val kws = Seq("query", "table", "batch", "stream")
+      def sig(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val pos = d.getField("pos") // 0-based symbol index
+        val nextKw = array_min(filter(col("kpos"), k => k > pos))
+        concat_ws(":", d.getField("symbol"),
+          coalesce(nextKw, size(col("ts")).cast("long")) - pos - 1)
+      }
       Tables.documents(spark, dir)
         .select(col("doc_id"), graft.functions.Tokenize.tokens(col("text")).as("ts"))
-        .select(col("doc_id"), names("query").as("fns"), names("table").as("tys"),
-          names("batch").as("imps"), names("stream").as("strs"))
+        .select(col("doc_id"), col("ts"),
+          graft.functions.ArrayFunctions
+            .keywordDecls(col("ts"), Seq("query" -> "function")).as("ds"),
+          filter(transform(col("ts"), (x, i) =>
+              when(x.isin(kws: _*), i.cast("long")).otherwise(lit(null))),
+            _.isNotNull).as("kpos"),
+          names("table").as("tys"), names("batch").as("imps"),
+          names("stream").as("strs"))
+        .select(col("doc_id"),
+          array_sort(transform(
+            filter(col("ds"), (d, i) => // last decl of a name wins
+              !exists(slice(col("ds"), i + lit(2), size(col("ds"))),
+                e => e.getField("symbol") === d.getField("symbol"))),
+            sig _)).as("fns"),
+          col("tys"), col("imps"), col("strs"))
         .filter(size(col("fns")) > 0 || size(col("tys")) > 0 || size(col("strs")) > 0)
     }
     val seed = perDoc.filter(col("doc_id") % IfaceSeedStride === 0)
@@ -680,9 +718,9 @@ object GraphOps {
       // only — `reach` stays a lazy union of already-cut frames, so the
       // plan grows linearly in rounds, not exponentially).
       var reach = ifaces.select(col("doc_id").as("root_doc"), col("symbol").as("root_sym"),
-        col("doc_id"), col("symbol"))
+        col("doc_id"), col("symbol"), lit(0).as("depth"))
       var frontier = reach
-      for (_ <- 1 to EmbedMaxDepth) {
+      for (round <- 1 to EmbedMaxDepth) {
         val next = frontier
           .join(broadcast(embed),
             frontier("doc_id") === embed("src_doc") && frontier("symbol") === embed("src_sym"))
@@ -690,15 +728,22 @@ object GraphOps {
             col("dst_doc").as("doc_id"), col("dst_sym").as("symbol"))
           .distinct()
           .join(reach, Seq("root_doc", "root_sym", "doc_id", "symbol"), "left_anti")
+          .withColumn("depth", lit(round))
           .lineageCut
         reach = reach.unionAll(next)
         frontier = next
       }
-      reach.select(col("root_doc"), col("root_sym"), col("doc_id")).distinct()
+      // one signature per (iface, method name): shallowest declaration
+      // wins (own beats embedded), min doc_id breaks depth ties
+      reach.select(col("root_doc"), col("root_sym"), col("doc_id"), col("depth"))
+        .distinct()
         .join(perDoc.select(col("doc_id"), col("fns")), "doc_id")
         .select(col("root_doc").as("iface_doc"), col("root_sym").as("iface_symbol"),
-          explode(col("fns")).as("m"))
-        .distinct()
+          col("depth"), col("doc_id"), explode(col("fns")).as("sig"))
+        .groupBy(col("iface_doc"), col("iface_symbol"),
+          substring_index(col("sig"), ":", 1).as("name"))
+        .agg(min(struct(col("depth"), col("doc_id"), col("sig"))).as("w"))
+        .select(col("iface_doc"), col("iface_symbol"), col("w.sig").as("m"))
     }
     // Division via rarest-method candidates + merge-scan verify (the
     // Jaccard prefix filter's rarest-first trick applied to set

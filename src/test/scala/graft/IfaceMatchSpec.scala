@@ -53,6 +53,39 @@ class IfaceMatchSpec extends AnyFunSuite with SparkFixture {
     assert(!out.exists(e => e._3 == 280L))
   }
 
+  test("signature-aware matching: same name, different arity does NOT match") {
+    // the reference's signaturesMatch (inferencer.go:171) compares
+    // param/return counts, not just names; here arity = tokens between
+    // the decl's symbol and the next keyword. iface `one` requires
+    // m with arity 1 (one token before the next keyword) and done:0.
+    val dir = corpus(Seq(
+      40L -> "stream one query m pad query done",   // requires {m:1, done:0}
+      80L -> "stream two query m query done",       // requires {m:0, done:0}
+      // t0 declares m with arity 0 -> implements `two` only
+      1L -> "table t0 query m query done",
+      // t1 declares m with arity 1 -> implements `one` only
+      2L -> "table t1 query m pad query done",
+      // last-decl-wins: m first declared with arity 1, then redeclared
+      // arity 0 -> the doc's m IS m:0, so it implements `two` only
+      3L -> "table t2 query m pad query m query done"))
+    val out = GraphOps.graphIfaceMatch(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(3))).toSet
+    assert(out == Set(("t0", "two"), ("t1", "one"), ("t2", "two")))
+  }
+
+  test("interface resolution: an own method signature beats an embedded one") {
+    val dir = corpus(Seq(
+      // aa's own m has arity 1 (pad before end of doc); embedding bb
+      // must NOT overwrite it, only contribute the missing z
+      40L -> "stream aa batch bb query m pad",       // requires {m:1, z:0}
+      80L -> "stream bb query m query z",            // requires {m:0, z:0}
+      1L -> "table t1 query m pad query z",          // {m:1, z:0} -> aa only
+      2L -> "table t2 query m query z"))             // {m:0, z:0} -> bb only
+    val out = GraphOps.graphIfaceMatch(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(3), r.getLong(4))).toSet
+    assert(out == Set(("t1", "aa", 2L), ("t2", "bb", 2L)))
+  }
+
   test("division is broadcast-shaped: no nested-loop struct x iface scan") {
     // the reference's InferImplementations is a struct × iface double loop;
     // the relational division must never plan that shape — iface-side
