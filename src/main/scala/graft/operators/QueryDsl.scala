@@ -103,6 +103,147 @@ object QueryDsl {
     a.round.map(n => round(base, n)).getOrElse(base).as(a.alias)
   }
 
+  /** One validation finding — the reference's ValidationError shape
+    * (internal/files/validator.go:9: field / value / message / hint). */
+  final case class ValidationError(field: String, value: String,
+      message: String, hint: String) {
+    override def toString: String =
+      s"""$field: $message (value: "$value"). $hint"""
+  }
+
+  /** Every finding at once, as the reference's ValidationErrors.Error()
+    * renders them — a tooling client fixing a query wants the FULL
+    * ledger, not the first bad field. */
+  final class ValidationException(val errors: Seq[ValidationError])
+      extends IllegalArgumentException(
+        if (errors.sizeIs == 1) errors.head.toString
+        else errors.zipWithIndex.map { case (e, i) => s"  ${i + 1}. $e" }
+          .mkString(s"${errors.size} validation errors:\n", "\n", ""))
+
+  private val JoinTypes = Set("inner", "left", "right", "full")
+  private val AggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
+  private val CmpOps = Set("=", "!=", ">", ">=", "<", "<=", "LIKE", "GLOB")
+  private val Ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  private val TableHint = "Valid tables: files, types, functions, imports, " +
+    "chunks, or any corpus parquet table"
+  private val ColumnHint = "Check the table schema for valid columns"
+
+  /** Validate `q` against the corpus schemas under `dir`, accumulating
+    * EVERY invalid field/value with a hint — the reference validator's
+    * contract (internal/files/validator.go:72 Validate: all errors
+    * collected before returning, early-out only when `from` itself is
+    * missing or unknown, since nothing else is checkable without a base
+    * schema). Schema registry = whatever [[Tables.load]] resolves, so
+    * the validator can never drift from what compile() accepts. Pure
+    * metadata work: only parquet footers are read, no job runs. */
+  def validate(spark: SparkSession, dir: String,
+      q: QuerySpec): Seq[ValidationError] = {
+    val errors = scala.collection.mutable.ArrayBuffer[ValidationError]()
+    def err(f: String, v: String, m: String, h: String): Unit =
+      errors += ValidationError(f, v, m, h)
+    def cols(name: String): Option[Set[String]] =
+      try Some(Tables.load(spark, dir, name).columns.toSet)
+      catch { case scala.util.control.NonFatal(_) => None }
+    if (q.from.isEmpty) {
+      err("from", "", "from table is required", "Specify the table to query")
+      return errors.toSeq
+    }
+    val fromCols = cols(q.from) match {
+      case None =>
+        err("from", q.from, "unknown table", TableHint)
+        return errors.toSeq
+      case Some(cs) => cs
+    }
+    // the visible column scope grows join by join, as compile's plan does
+    var scope = fromCols
+    q.joins.zipWithIndex.foreach { case (j, i) =>
+      if (!JoinTypes(j.joinType))
+        err(s"joins[$i].type", j.joinType, "invalid join type",
+          "Valid types: inner, left, right, full")
+      if (!scope(j.leftField))
+        err(s"joins[$i].leftField", j.leftField,
+          "unknown column in the join's left scope", ColumnHint)
+      cols(j.table) match {
+        case None => err(s"joins[$i].table", j.table, "unknown table", TableHint)
+        case Some(rc) =>
+          if (!rc(j.rightField))
+            err(s"joins[$i].rightField", j.rightField,
+              s"unknown column in table ${j.table}", ColumnHint)
+          scope ++= rc
+      }
+    }
+    def checkPred(p: Pred, ctx: String, avail: Set[String]): Unit = p match {
+      case Cmp(f, op, _) =>
+        if (!avail(f)) err(ctx, f, "unknown column", ColumnHint)
+        if (!CmpOps(op))
+          err(ctx, op, "unsupported operator", "Valid operators: " +
+            "=, !=, >, >=, <, <=, LIKE, NOT LIKE, GLOB, IN, NOT IN, " +
+            "BETWEEN, IS NULL, IS NOT NULL")
+      case In(f, _) => if (!avail(f)) err(ctx, f, "unknown column", ColumnHint)
+      case IsNull(f) => if (!avail(f)) err(ctx, f, "unknown column", ColumnHint)
+      case Between(f, _, _) =>
+        if (!avail(f)) err(ctx, f, "unknown column", ColumnHint)
+      case AndP(ps) => ps.foreach(checkPred(_, ctx, avail))
+      case OrP(ps)  => ps.foreach(checkPred(_, ctx, avail))
+      case NotP(s)  => checkPred(s, ctx, avail)
+    }
+    q.where.foreach(checkPred(_, "where", scope))
+    q.groupBy.foreach(g =>
+      if (!scope(g)) err("groupBy", g, "unknown column", ColumnHint))
+    q.aggregations.zipWithIndex.foreach { case (a, i) =>
+      val fn = a.function.toUpperCase
+      if (!AggFns(fn))
+        err(s"aggregations[$i].function", a.function,
+          "invalid aggregation function",
+          "Valid functions: COUNT, SUM, AVG, MIN, MAX")
+      if (fn != "COUNT" && a.field.isEmpty)
+        err(s"aggregations[$i].field", "", s"$fn requires a field",
+          "Specify the field to aggregate")
+      a.field.foreach { f =>
+        if (!scope(f))
+          err(s"aggregations[$i].field", f, "unknown column", ColumnHint)
+        else if (Ident.findFirstIn(f).isEmpty)
+          err(s"aggregations[$i].field", f, "field name contains invalid characters",
+            "Field names must start with a letter or underscore and contain " +
+              "only letters, digits, or underscores")
+      }
+      if (a.alias.isEmpty)
+        err(s"aggregations[$i].alias", "", "aggregation alias is required",
+          "Provide an alias for the aggregation result")
+      else if (Ident.findFirstIn(a.alias).isEmpty)
+        err(s"aggregations[$i].alias", a.alias, "alias contains invalid characters",
+          "Aliases must start with a letter or underscore and contain only " +
+            "letters, digits, or underscores")
+    }
+    // HAVING and ORDER BY may reference aggregation aliases and GROUP BY
+    // columns on top of the join scope, exactly as compile resolves them
+    val avail = scope ++ q.aggregations.map(_.alias) ++ q.groupBy
+    q.having.foreach(checkPred(_, "having", avail))
+    q.orderBy.zipWithIndex.foreach { case (o, i) =>
+      if (!avail(o.field) && !q.fields.contains(o.field))
+        err(s"orderBy[$i].field", o.field, "unknown column",
+          "Check the table schema for valid columns, aggregation aliases, " +
+            "or GROUP BY columns")
+    }
+    q.fields.foreach(f =>
+      if (f != "*" && !avail(f)) err("fields", f, "unknown column", ColumnHint))
+    q.limit.filter(_ < 1).foreach(n =>
+      err("limit", n.toString, "limit must be at least 1", "Adjust the limit value"))
+    if (q.offset < 0)
+      err("offset", q.offset.toString, "offset must be non-negative",
+        "Set offset to 0 or greater")
+    errors.toSeq
+  }
+
+  /** [[compile]] behind the full-ledger validation gate: a bad query
+    * fails with EVERY finding (hints included) in one exception. */
+  def compileValidated(spark: SparkSession, dir: String,
+      q: QuerySpec): DataFrame = {
+    val es = validate(spark, dir, q)
+    if (es.nonEmpty) throw new ValidationException(es)
+    compile(spark, dir, q)
+  }
+
   /** Compile a QuerySpec against the corpus tables under `dir`. */
   def compile(spark: SparkSession, dir: String, q: QuerySpec): DataFrame = {
     var df = Tables.load(spark, dir, q.from)
