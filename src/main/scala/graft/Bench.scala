@@ -77,11 +77,27 @@ object Bench {
     line(bySlowest.take(keep), bySlowest.size - keep, errKeep)
   }
 
+  /** 1-minute load average, read at bench start and end — the artifact's
+    * self-qualification: this host has noisy phases (kernel page-fault
+    * storms, docs/SCALE_NOTES.md) that swing totals ±10%, and a reader
+    * comparing rounds needs to know whether a regression ran on a quiet
+    * or a storming host. */
+  private def loadAvg(): String =
+    scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+      java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")(0))
+      .getOrElse("unknown")
+
   /** Every query's time (3-decimal, no truncation) + any errors, keyed by
-    * the sf token in the dir name (docs/bench_full_sf0.1.json etc.). */
+    * the sf token in the dir name (docs/bench_full_sf0.1.json etc.;
+    * non-sf corpus dirs key by their sanitized basename, so a skew-corpus
+    * run lands in its own file instead of clobbering sf history). */
   private def writeFullArtifact(
-      results: Seq[(String, Double, Option[String])], sfDir: String): Unit = {
-    val sfTok = "sf[0-9.]*[0-9]".r.findFirstIn(sfDir).getOrElse("sf")
+      results: Seq[(String, Double, Option[String])], sfDir: String,
+      loadStart: String, loadEnd: String, requeried: Int): Unit = {
+    val sfTok = "sf[0-9.]*[0-9]".r.findFirstIn(sfDir).getOrElse(
+      sfDir.replaceAll("/+$", "").split("/").last
+        .replaceAll("[^a-zA-Z0-9.-]", "_"))
     val entries = results.sortBy(-_._2).map { case (k, v, e) =>
       val err = e.fold("")(m => ""","err":""" + jstr(m.take(200)))
       s"""    ${jstr(k)}: {"sec": ${"%.3f".format(v)}$err}"""
@@ -91,6 +107,9 @@ object Bench {
          |  "sf": ${jstr(sfTok)},
          |  "total_sec": ${fmt(results.map(_._2).sum)},
          |  "n_queries": ${results.size},
+         |  "load_1m_start": ${jstr(loadStart)},
+         |  "load_1m_end": ${jstr(loadEnd)},
+         |  "requeried": $requeried,
          |  "queries": {
          |${entries.mkString(",\n")}
          |  }
@@ -148,11 +167,29 @@ object Bench {
         val err = run(fn)
         name -> ((System.nanoTime() - t0) / 1e9, err)
       }
+    val loadStart = loadAvg()
     val p1 = timedPass(); val p2 = timedPass()
+    // self-qualifying noise guard: a query whose two passes disagree >2x
+    // hit a host fault storm in one of them — give it a third pass so the
+    // reported min is a real steady-state time, and record how many
+    // needed it (a high count marks the whole artifact as storm-tainted)
+    def time(name: String): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err = run(queries(name))
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val flaky = queries.keys.toSeq.filter { n =>
+      val (a, b) = (p1(n)._1, p2(n)._1)
+      p1(n)._2.isEmpty && p2(n)._2.isEmpty &&
+        math.min(a, b) > 0.05 && math.max(a, b) > 2 * math.min(a, b)
+    }
+    val p3 = flaky.map(n => n -> time(n)).toMap
     val results = queries.keys.toSeq.map { name =>
       val (t1, e1) = p1(name); val (t2, e2) = p2(name)
-      (name, math.min(t1, t2), e1.orElse(e2))
+      val t3 = p3.get(name).map(_._1).getOrElse(Double.MaxValue)
+      (name, math.min(math.min(t1, t2), t3), e1.orElse(e2))
     }
+    val loadEnd = loadAvg()
     // full precision for humans reading the log; the prefix keeps the
     // tail parser from ever matching this line
     println("bench-full " + results.map { case (k, v, _) => jstr(k) + ":" + v }
@@ -162,7 +199,8 @@ object Bench {
     // so a regression in an omitted query would be invisible
     // round-over-round without this file. One file per sf so an sf1
     // stress run doesn't clobber the sf0.1 history.
-    if (only.isEmpty) writeFullArtifact(results, sfDir)
+    if (only.isEmpty)
+      writeFullArtifact(results, sfDir, loadStart, loadEnd, flaky.size)
     println(renderLine(results, sfDir))
     spark.stop()
   }

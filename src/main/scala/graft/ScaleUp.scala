@@ -21,7 +21,22 @@ import org.apache.spark.sql.functions._
   * scripts/check_oracle.py can register it in DuckDB exactly like the
   * driver corpora.
   *
-  * Usage: runMain graft.ScaleUp [baseDir] [outDir] [copies]
+  * ADVERSARIAL-SKEW mode (4th arg `skew`) applies the Zipf shapes a real
+  * corpus grows and a uniform synthetic never exercises, ON TOP of the
+  * 10× replication — each deterministic (hash-of-key), so the DuckDB
+  * oracle sees the identical corpus:
+  *   - one IVF label owns ~50% of all vectors (hot cell: the exact
+  *     per-cell KNN's cell² detonation — vec_knn_join must ABORT loudly,
+  *     vec_knn_join_auto must route the cell through bands);
+  *   - one 10-token boilerplate phrase lands in ~80% of documents
+  *     (shared 8-grams in most of the corpus: the substring census,
+  *     winnow df-caps and boilerplate detector live or die here);
+  *   - one user owns ~50% of events (hot per-user session/funnel
+  *     windows);
+  *   - one source owns ~90% of documents (hot per-source batching,
+  *     stratified sampling, shard shuffling).
+  *
+  * Usage: runMain graft.ScaleUp [baseDir] [outDir] [copies] [skew]
   */
 object ScaleUp {
 
@@ -47,6 +62,7 @@ object ScaleUp {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val skew = args.lift(3).contains("skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -59,15 +75,24 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def replicate(name: String, keyCols: Seq[String],
-        perturb: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+        perturb: (DataFrame, Int) => DataFrame = (d, _) => d,
+        skewFn: DataFrame => DataFrame = identity): Unit = {
       val t = spark.read.parquet(s"$base/$name.parquet")
       val parts = (0 until copies).map { c =>
         val shifted = keyCols.foldLeft(t)((d, k) =>
           d.withColumn(k, col(k) + lit(c.toLong * Off)))
         perturb(shifted, c)
       }
-      writeSingle(parts.reduce(_ unionAll _), s"$out/$name.parquet")
+      val all = parts.reduce(_ unionAll _)
+      writeSingle(if (skew) skewFn(all) else all, s"$out/$name.parquet")
     }
+
+    // hash-of-key skew gates: deterministic, replayable by any engine
+    def gate(key: org.apache.spark.sql.Column, salt: String, mod: Int,
+        below: Int): org.apache.spark.sql.Column =
+      pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))),
+        1, 15), 16, 10).cast("long"), lit(mod.toLong)) < below
+    val Boilerplate = "please subscribe to our newsletter for updates and offers today"
 
     // dimension tables stay as-is (every replica shares them, like a
     // real corpus shares its region/nation vocabulary)
@@ -80,17 +105,34 @@ object ScaleUp {
     replicate("part", Seq("p_partkey"))
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
-    replicate("events", Seq("event_id", "user_id"))
+    replicate("events", Seq("event_id", "user_id"),
+      skewFn = d => d.withColumn("user_id", // one user owns ~half the events
+        when(gate(col("event_id"), "#hotuser", 2, 1),
+          lit(0L).cast(d.schema("user_id").dataType))
+          .otherwise(col("user_id"))))
     replicate("documents", Seq("doc_id"), (d, c) =>
       if (c == 0) d
       else d.withColumn("text", concat(col("text"), lit(s" copymark$c")))
-        .withColumn("n_chars", length(col("text")).cast("long")))
+        .withColumn("n_chars", length(col("text")).cast("long")),
+      skewFn = d => d
+        .withColumn("text", // one boilerplate phrase in ~80% of docs
+          when(gate(col("doc_id"), "#boiler", 10, 8),
+            concat(col("text"), lit(" " + Boilerplate)))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("source", // one source owns ~90% of documents
+          when(gate(col("doc_id"), "#hotsrc", 10, 9), lit("src0"))
+            .otherwise(col("source"))))
     replicate("embeddings", Seq("vec_id"), (d, c) =>
       if (c == 0) d
       else d.withColumn("embedding",
         transform(col("embedding"), (x, i) =>
           (x + (lit(c) * (pmod(i, lit(5)) - 2)).cast("float") * 0.001f)
-            .cast("float"))))
+            .cast("float"))),
+      skewFn = d => d.withColumn("label", // one IVF cell owns ~half the vectors
+        when(gate(col("vec_id"), "#hotcell", 2, 1),
+          lit(0).cast(d.schema("label").dataType))
+          .otherwise(col("label"))))
     spark.stop()
   }
 }

@@ -113,6 +113,7 @@ object SparkEntry {
     "embed_schedule" -> ChunkOps.embedSchedule _,
     "embed_retries" -> ChunkOps.embedRetries _,
     "index_evict" -> ChunkOps.indexEvict _,
+    "watch_reload_log" -> ChunkOps.watchReloadLog _,
     "mm_binary_meta" -> MultimodalOps.mmBinaryMeta _,
     "mm_frame_sample" -> MultimodalOps.mmFrameSample _,
     "mm_frame_energy" -> MultimodalOps.mmFrameEnergy _,
@@ -1570,6 +1571,34 @@ object SparkEntry {
          |  CASE WHEN u.attempt_n <= n_fails THEN 'failed' ELSE 'ok' END
          |    AS outcome
          |FROM f, unnest(range(1, n_fails + 2)) AS u(attempt_n)""".stripMargin,
+    // lockstep with ChunkOps.watchReloadLog (ReloadRounds = 12,
+    // ReloadFailMod = 8, ReloadBaseMs = 5; metrics.go:52 RecordReload's
+    // duration/error/chunk-count ledger with running counters)
+    "watch_reload_log" ->
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+         |    FROM lineitem),
+         |r AS (SELECT (('0x' || substr(md5(src::VARCHAR || '#' ||
+         |    dst::VARCHAR), 1, 15))::BIGINT % ${ChunkOps.ReloadRounds}) + 1
+         |    AS reload_id FROM e),
+         |g AS (SELECT reload_id, count(*) AS n_new_edges FROM r GROUP BY 1),
+         |f AS (SELECT reload_id, n_new_edges,
+         |    ('0x' || substr(md5('reload#' || reload_id::VARCHAR), 1, 15))
+         |      ::BIGINT % ${ChunkOps.ReloadFailMod} = 0 AS failed
+         |  FROM g)
+         |SELECT reload_id, n_new_edges,
+         |  (floor((n_new_edges + 9) / 10)::BIGINT + ${ChunkOps.ReloadBaseMs})
+         |    * (CASE WHEN failed THEN 3 ELSE 1 END) AS duration_ms,
+         |  CASE WHEN failed THEN 0 ELSE n_new_edges END AS n_chunks,
+         |  CASE WHEN failed THEN 'reload failed: edge append aborted' END
+         |    AS error,
+         |  row_number() OVER w AS total_reloads,
+         |  (sum(CASE WHEN failed THEN 0 ELSE 1 END) OVER w)::BIGINT
+         |    AS successful_reloads,
+         |  (sum(CASE WHEN failed THEN 1 ELSE 0 END) OVER w)::BIGINT
+         |    AS failed_reloads
+         |FROM f
+         |WINDOW w AS (ORDER BY reload_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     // lockstep with ChunkOps.indexEvict (EvictMaxAgeDays = 45,
     // EvictSizeFrac = 0.6, EvictProtected = src0/src1;
     // cache/eviction.go:39-127's three-reason cascade in closed form)

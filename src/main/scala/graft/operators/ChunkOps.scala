@@ -453,6 +453,62 @@ object ChunkOps {
           lit(false).as("evict"), lit("protected").as("reason")))
   }
 
+  /** Reload cycles the [[watchReloadLog]] batch twin models, and the
+    * md5 bucket that marks a cycle failed (1-in-[[ReloadFailMod]] — a
+    * deterministic stand-in for the reference's nondeterministic reload
+    * errors, same trick as [[RetryFailMod]]). */
+  private[graft] val ReloadRounds = 12
+  private[graft] val ReloadFailMod = 8
+  private[graft] val ReloadBaseMs = 5L
+
+  /** Reload-metrics ledger as a RELATION — the batch twin of the watch
+    * loop's per-micro-batch ledger (streaming.WatchLoop.reloadLedger),
+    * modeling the reference's RecordReload observability
+    * (internal/mcp/metrics.go:52: duration, error, chunk count per index
+    * reload, folded into total/successful/failed counters). Each edge
+    * hashes into one of [[ReloadRounds]] reload cycles; a cycle's
+    * duration stand-in is base + ceil(edges/10) ms (3× when the cycle's
+    * md5 bucket marks it failed — the timeout shape), failed cycles load
+    * 0 chunks, and the running counters are one ordered window over the
+    * ≤[[ReloadRounds]]-row ledger. Real durations come from the
+    * streaming ledger; this twin pins the SHAPE under the driver hash.
+    *
+    * Plan shape: one scan → one groupBy exchange on reload_id → a
+    * single-partition window over ≤[[ReloadRounds]] rows (bounded, the
+    * 1-row-frame exception to the no-global-sort rule). */
+  def watchReloadLog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("reload_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val failed = pmod(
+      conv(substring(md5(concat(lit("reload#"),
+        col("reload_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(ReloadFailMod)) === 0
+    graft.operators.GraphOps.batchEdges(spark, dir)
+      .select((pmod(
+        conv(substring(md5(concat(col("src").cast("string"), lit("#"),
+          col("dst").cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(ReloadRounds)) + 1).as("reload_id"))
+      .groupBy(col("reload_id"))
+      .agg(count(lit(1)).as("n_new_edges"))
+      .withColumn("failed", failed)
+      .withColumn("duration_ms",
+        (floor((col("n_new_edges") + 9) / 10) + ReloadBaseMs) *
+          when(col("failed"), 3L).otherwise(1L))
+      .withColumn("n_chunks", when(col("failed"), 0L).otherwise(col("n_new_edges")))
+      .withColumn("error",
+        when(col("failed"), "reload failed: edge append aborted")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("total_reloads", row_number().over(w).cast("long"))
+      .withColumn("successful_reloads",
+        sum(when(col("failed"), 0L).otherwise(1L)).over(w))
+      .withColumn("failed_reloads",
+        sum(when(col("failed"), 1L).otherwise(0L)).over(w))
+      .select(col("reload_id"), col("n_new_edges"), col("duration_ms"),
+        col("n_chunks"), col("error"), col("total_reloads"),
+        col("successful_reloads"), col("failed_reloads"))
+  }
+
   /** Per-source corpus stats with a grand-total rollup slot. */
   def docStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -29,6 +29,51 @@ object WatchLoop {
 
   private val live = new ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** One recorded reload (= micro-batch) of a running watch loop — the
+    * reference's RecordReload arguments (internal/mcp/metrics.go:52:
+    * duration, error, chunk count) as a ledger row. `n_new_edges` is
+    * this index's chunk-count analogue (edges appended by the batch, 0
+    * for a no-op or failed reload); `total_edges` is the edge table's
+    * size after the batch (the CurrentChunkCount analogue). */
+  final case class ReloadRecord(batch_id: Long, duration_ms: Long,
+      n_new_edges: Long, total_edges: Long, error: Option[String])
+
+  /** The reference's MetricsSnapshot (internal/mcp/metrics.go:30),
+    * folded from the ledger: counters never reset while the loop runs. */
+  final case class ReloadSnapshot(totalReloads: Long, successfulReloads: Long,
+      failedReloads: Long, lastDurationMs: Long, lastError: Option[String],
+      currentEdgeCount: Long)
+
+  private val ledgers = new ConcurrentHashMap[(SparkSession, String),
+    java.util.Vector[ReloadRecord]]()
+
+  /** The per-batch reload ledger for a (session, dir) watch loop, as a
+    * relation — every micro-batch appends one row, no-op reloads
+    * included (the reference records every reload, successful or not).
+    * Empty when no loop has run. Driver-side state, never a Spark job:
+    * the ledger is observability FOR the stream, not part of it. */
+  def reloadLedger(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val s = spark
+    import s.implicits._
+    Option(ledgers.get((spark, dir)))
+      .map(_.asScala.toSeq).getOrElse(Seq.empty[ReloadRecord]).toDF()
+  }
+
+  /** Snapshot the ledger into the reference's metrics shape. */
+  def metrics(spark: SparkSession, dir: String): ReloadSnapshot = {
+    import scala.jdk.CollectionConverters._
+    val recs = Option(ledgers.get((spark, dir)))
+      .map(_.asScala.toSeq).getOrElse(Nil)
+    ReloadSnapshot(
+      totalReloads = recs.size.toLong,
+      successfulReloads = recs.count(_.error.isEmpty).toLong,
+      failedReloads = recs.count(_.error.nonEmpty).toLong,
+      lastDurationMs = recs.lastOption.map(_.duration_ms).getOrElse(0L),
+      lastError = recs.lastOption.flatMap(_.error),
+      currentEdgeCount = recs.lastOption.map(_.total_edges).getOrElse(0L))
+  }
+
   /** The live watched edge relation for (session, dir), if a watch loop
     * is running — GraphOps.edges() consults this before falling back to
     * the batch relation. distinct() collapses the append log (a
@@ -48,12 +93,18 @@ object WatchLoop {
     graft.sources.IndexStore.replaceTable(spark,
       graft.operators.GraphOps.batchEdges(spark, dir), tbl)
     live.put((spark, dir), tbl)
+    // a fresh watch = a fresh ledger (the reference's metrics live and
+    // die with the server process owning the reload loop)
+    val ledger = new java.util.Vector[ReloadRecord]()
+    ledgers.put((spark, dir), ledger)
+    val totalEdges = new java.util.concurrent.atomic.AtomicLong(
+      spark.table(tbl).count())
     // switch-over: memoized relations built from the batch path rebuild
     // through the override on next use
     graft.PlanCache.invalidate(dir)
     StreamingOps.streamingEdgeUpserts(edgeStream)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // anti-join against the table: the stream's dedup state starts
         // EMPTY while the table is seeded with the full batch relation,
         // so a watcher replaying current state at startup (the common
@@ -61,15 +112,31 @@ object WatchLoop {
         // and force a full invalidation for an unchanged graph. With the
         // anti-join, "unchanged" means unchanged vs the TABLE — the
         // no-op reload holds for replays too.
-        val fresh = batch
-          .join(batch.sparkSession.table(tbl), Seq("src", "dst"), "left_anti")
-          .persist()
+        val t0 = System.nanoTime()
+        var appended = 0L
+        var err: Option[String] = None
         try {
-          if (fresh.count() > 0) {
-            fresh.write.mode("append").format("parquet").saveAsTable(tbl)
-            graft.PlanCache.invalidate(dir)
-          }
-        } finally { fresh.unpersist(); () }
+          val fresh = batch
+            .join(batch.sparkSession.table(tbl), Seq("src", "dst"), "left_anti")
+            .persist()
+          try {
+            val n = fresh.count() // persisted: the recount below is free
+            if (n > 0) {
+              fresh.write.mode("append").format("parquet").saveAsTable(tbl)
+              totalEdges.addAndGet(n)
+              appended = n
+              graft.PlanCache.invalidate(dir)
+            }
+          } finally { fresh.unpersist(); () }
+        } catch {
+          // record-and-continue, the reference's reload posture
+          // (metrics.go:62: a failed reload bumps failedReloads and the
+          // loop keeps serving the previous index)
+          case scala.util.control.NonFatal(e) => err = Some(e.toString)
+        }
+        ledger.add(ReloadRecord(batchId, (System.nanoTime() - t0) / 1000000L,
+          if (err.isEmpty) appended else 0L, totalEdges.get(), err))
+        ()
       }
       .start()
   }
