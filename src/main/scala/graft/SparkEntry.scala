@@ -176,6 +176,41 @@ object SparkEntry {
     s"(list_inner_product($a, $b) / " +
       s"(sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
 
+  /** Hyperplane-LSH band-signature CTE chain (md5-derived planes →
+    * per-plane dots → per-band sign-bit signatures), shared by the
+    * vec_knn_join_ann and dedup_embedding oracles — both replay the
+    * SAME deterministic banding spec the Spark HyperplaneBandSigs
+    * expression computes. dedup_embedding's oracle MUST go through the
+    * bands rather than all pairs: banded recall at the 0.42 verify
+    * threshold is ~0.997 per near-threshold pair, so an all-pairs
+    * oracle only hash-matches while the corpus is too small/uniform to
+    * mint near-threshold collision misses (the adversarial-skew corpus,
+    * with half the vectors in one cell, surfaced exactly 7 of them). */
+  private def duckEmbBandCtes: String = {
+    import operators.DedupOps.{EmbSeed, EmbBands, EmbBits, EmbDim}
+    val planes = EmbBands * EmbBits
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |pl AS (SELECT p, list(w ORDER BY d) AS wl FROM (
+       |    SELECT t.p, u.d,
+       |      ((('0x' || substr(md5('${EmbSeed}_' || t.p::VARCHAR || '_'
+       |        || u.d::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0
+       |        AS w
+       |    FROM range($planes) t(p) CROSS JOIN range($EmbDim) u(d))
+       |  GROUP BY p),
+       |dots AS (SELECT e.vec_id, e.label, pl.p,
+       |    list_sum(list_transform(range($EmbDim),
+       |      i -> e.v[i+1]*pl.wl[i+1])) AS dot
+       |  FROM e CROSS JOIN pl),
+       |sg AS (SELECT vec_id, label, (p // $EmbBits) AS band,
+       |    sum(CASE WHEN dot > 0
+       |      THEN (1 << (${EmbBits - 1} - (p % $EmbBits))) ELSE 0 END) AS sig
+       |  FROM dots GROUP BY 1, 2, 3)""" // margin pipes kept: consumers
+    // interpolate this mid-template and apply stripMargin exactly ONCE
+    // (pre-stripping would let the outer strip eat the first '|' of a
+    // '||' concat that lands at start-of-line)
+  }
+
   private val duckToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
   private val duckTermScore =
     s"len(list_filter($duckToks, t -> list_contains(['data','query','table'], t)))"
@@ -1028,25 +1063,7 @@ object SparkEntry {
     // (band, label, sig) bucket, verify = exact cosine, top-3 per query
     // by (score DESC, b_id) — TopKAgg's eval order
     "vec_knn_join_ann" -> {
-      import operators.DedupOps.{EmbSeed, EmbBands, EmbBits, EmbDim}
-      val planes = EmbBands * EmbBits
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-         |  FROM embeddings),
-         |pl AS (SELECT p, list(w ORDER BY d) AS wl FROM (
-         |    SELECT t.p, u.d,
-         |      ((('0x' || substr(md5('${EmbSeed}_' || t.p::VARCHAR || '_'
-         |        || u.d::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0
-         |        AS w
-         |    FROM range($planes) t(p) CROSS JOIN range($EmbDim) u(d))
-         |  GROUP BY p),
-         |dots AS (SELECT e.vec_id, e.label, pl.p,
-         |    list_sum(list_transform(range($EmbDim),
-         |      i -> e.v[i+1]*pl.wl[i+1])) AS dot
-         |  FROM e CROSS JOIN pl),
-         |sg AS (SELECT vec_id, label, (p // $EmbBits) AS band,
-         |    sum(CASE WHEN dot > 0
-         |      THEN (1 << (${EmbBits - 1} - (p % $EmbBits))) ELSE 0 END) AS sig
-         |  FROM dots GROUP BY 1, 2, 3),
+      s"""WITH $duckEmbBandCtes,
          |cand AS (SELECT DISTINCT a.label, a.vec_id AS a_id, b.vec_id AS b_id
          |  FROM sg a JOIN sg b ON a.band = b.band AND a.label = b.label
          |    AND a.sig = b.sig AND a.vec_id <> b.vec_id),
@@ -1378,11 +1395,19 @@ object SparkEntry {
          |WHERE jac >= 0.5""".stripMargin,
     "dedup_simhash" -> duckSimhashSel,
     "dedup_clusters" -> duckClustersSel,
+    // replays the banded-LSH spec (candidates from first-band collisions
+    // within the cell, cosine-verified), NOT all pairs: the operator's
+    // contract is the deterministic Charikar banding, whose recall at
+    // the threshold is high but sub-1 — see duckEmbBandCtes
     "dedup_embedding" ->
-      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |  round(${duckCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 4) AS score
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
+      s"""WITH $duckEmbBandCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM sg a JOIN sg b ON a.band = b.band AND a.label = b.label
+         |    AND a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT c.a_id, c.b_id,
+         |  round(${duckCos("ea.v", "eb.v")}, 4) AS score
+         |FROM cand c JOIN e ea ON ea.vec_id = c.a_id
+         |  JOIN e eb ON eb.vec_id = c.b_id
          |WHERE score >= 0.42""".stripMargin,
     "dedup_winnow" ->
       s"""WITH $duckWinnow,
