@@ -289,17 +289,24 @@ object SearchOps {
     * pair — bit-identical scores (see the SumSquares scaladoc), 3× fewer
     * multiply-adds in the dominant stage.
     *
-    * Parallelism is governed by [[KnnSaltConf]] (default 1): the
-    * co-located formulation joins bucket-to-bucket with zero exchanges,
-    * but one CELL is one task. Salting >1 splits side A into that many
-    * slices and explodes side B across them — the exchanges this adds
-    * carry VECTOR-count rows (N + salt·N), never the n² pair rows. On
-    * one host it measures neutral-to-negative even with cells < cores
-    * (ScaleProbe `knn`, salt 1/4/8/16 at the sf1 stress corpus: the
-    * block join saturates memory bandwidth before it runs out of
-    * cells), so 1 is the default; the knob exists for multi-NODE
-    * clusters with few giant cells, where extra slices recruit whole
-    * machines rather than sibling cores.
+    * Parallelism is ADAPTIVE: one thin census action over the bucketed
+    * cell sizes (rows = cells, the same routing precedent as
+    * [[vecKnnJoinAuto]]) decides the plan. A balanced corpus — every
+    * cell² within [[knnPairBudget]] — takes the co-located bucket join,
+    * zero exchanges. A skewed corpus (the adversarial-skew stress puts
+    * 55% of vectors in one cell, which made the hot cell ONE task and
+    * 10.9× the uniform wall) slices each oversize cell into
+    * ceil(cell²/budget) salt slices: side A partitions by
+    * pmod(hash(a_id), slices), side B replicates per slice, and an
+    * EXPLICIT repartition on (label, slice) spreads the quadratic work
+    * across the cluster. The explicit exchange is load-bearing — the
+    * bucketed scan's HashPartitioning(label) already SATISFIES a
+    * (label, slice) join distribution (subset rule), so without it
+    * Spark happily co-locates the join back onto one bucket-task and
+    * the salt spreads nothing. The exchanges carry VECTOR-count rows
+    * (N + Σ slices·cell_n), never the n² pair rows. A fixed global
+    * override remains via [[KnnSaltConf]] > 1 for multi-node layouts
+    * where the operator should not census first.
     *
     * Guarded by [[ExactCellCap]]: an oversize cell aborts the job with a
     * routing message instead of detonating quadratically.
@@ -307,10 +314,69 @@ object SearchOps {
   def vecKnnJoin(spark: SparkSession, dir: String): DataFrame =
     vecKnnJoinCapped(spark, dir, ExactCellCap)
 
-  /** Intra-cell parallelism knob for [[vecKnnJoin]]'s block join: 1
-    * (default) = co-located bucket join, no exchange; >1 = salt side A
-    * into that many slices per cell (see the vecKnnJoin scaladoc for
-    * when that trade wins). */
+  /** Pair-work budget per task for the adaptive salt in [[vecKnnJoin]]:
+    * a cell of n vectors is n² scored pairs, and a cell whose n² exceeds
+    * this budget is sliced into ceil(n²/budget) salt slices. 8M pairs ≈
+    * 0.5G multiply-adds at d=64 — a seconds-scale task, small enough to
+    * pack a cluster, coarse enough that the per-slice replication of
+    * side B stays cheap. */
+  private[graft] val KnnPairBudgetConf = "spark.graft.knnPairBudget"
+
+  private[graft] def knnPairBudget(spark: SparkSession): Long =
+    spark.conf.getOption(KnnPairBudgetConf).map(_.toLong).getOrElse(8000000L)
+
+  /** Census-adaptive scored-pair stage: balanced cells take the
+    * exchange-free co-located join; oversize cells are sliced per the
+    * [[knnPairBudget]] rule. Result set is identical either way — the
+    * salt only partitions pair ENUMERATION, so downstream hashes and
+    * the top-k agg are unchanged. */
+  private[graft] def knnPairsAdaptive(spark: SparkSession, dir: String,
+      cellCap: Long): DataFrame = {
+    val budget = knnPairBudget(spark)
+    require(budget >= 1, s"$KnnPairBudgetConf must be >= 1, got $budget")
+    val emb = spark.table(graft.sources.IndexStore.index(spark, dir).embByLabel)
+    val maxCell = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    if (maxCell * maxCell <= budget) knnPairsScored(spark, dir, 1, cellCap)
+    else {
+      val ssq = graft.functions.VectorFunctions.sumSquares _
+      val sized = emb.groupBy(col("label")).agg(count(lit(1)).as("cell_n"))
+        .withColumn("cell_salt", least(greatest(
+          ceil(col("cell_n") * col("cell_n") / lit(budget.toDouble)),
+          lit(1L)), lit(1024L)).cast("int"))
+      val a = emb
+        .select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        .join(broadcast(sized), "label")
+        .filter(assert_true(col("cell_n") <= cellCap,
+          concat(lit("vec_knn_join: cell size "), col("cell_n"),
+            lit(s" exceeds ExactCellCap=$cellCap — exact per-cell KNN is cell² "),
+            lit("compute; route this corpus to vec_knn_join_ann"))).isNull)
+        .select(col("label"), col("a_id"), col("a_emb"),
+          ssq(col("a_emb")).as("a_ss"),
+          pmod(xxhash64(col("a_id")), col("cell_salt").cast("long"))
+            .cast("int").as("slice"))
+        .repartition(col("label"), col("slice"))
+      val b = emb
+        .select(col("label").as("b_label"), col("vec_id").as("b_id"),
+          col("embedding").as("b_emb"), ssq(col("embedding")).as("b_ss"))
+        .join(broadcast(sized.withColumnRenamed("label", "b_label")
+          .select(col("b_label"), col("cell_salt"))), "b_label")
+        .select(col("b_label"), col("b_id"), col("b_emb"), col("b_ss"),
+          explode(sequence(lit(0), col("cell_salt") - 1)).as("b_slice"))
+        .repartition(col("b_label"), col("b_slice"))
+      a.join(b, col("label") === col("b_label") &&
+          col("slice") === col("b_slice") && col("a_id") =!= col("b_id"))
+        .select(col("label"), col("a_id"),
+          scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score"),
+          col("b_id"))
+    }
+  }
+
+  /** Fixed-salt override for [[vecKnnJoin]]'s block join: 1 (default) =
+    * census-adaptive (see [[knnPairsAdaptive]]); >1 = salt EVERY cell
+    * into that many slices without the census action (see the
+    * vecKnnJoin scaladoc for when that trade wins). */
   private[graft] val KnnSaltConf = "spark.graft.knnSaltFactor"
 
   private[graft] def knnSaltFactor(spark: SparkSession): Int =
@@ -344,9 +410,16 @@ object SearchOps {
       if (salt == 1)
         a0.join(b0, col("label") === col("b_label") && col("a_id") =!= col("b_id"))
       else {
+        // the repartitions are load-bearing: the bucketed scan's
+        // HashPartitioning(label) already satisfies the (label, salt)
+        // join distribution (subset rule), so without an explicit
+        // exchange the join co-locates back onto label buckets and the
+        // salt spreads nothing
         val a = a0.withColumn("a_salt", pmod(xxhash64(col("a_id")), lit(salt.toLong)))
+          .repartition(col("label"), col("a_salt"))
         val b = b0.withColumn("b_salt",
-          explode(sequence(lit(0L), lit(salt.toLong - 1L))))
+            explode(sequence(lit(0L), lit(salt.toLong - 1L))))
+          .repartition(col("b_label"), col("b_salt"))
         a.join(b, col("label") === col("b_label") &&
           col("a_salt") === col("b_salt") && col("a_id") =!= col("b_id"))
       }
@@ -359,7 +432,10 @@ object SearchOps {
   private[graft] def vecKnnJoinCapped(spark: SparkSession, dir: String,
       cellCap: Long): DataFrame =
     graft.functions.TopKAgg.posture(spark,
-      knnPairsScored(spark, dir, knnSaltFactor(spark), cellCap)
+      (knnSaltFactor(spark) match {
+        case 1 => knnPairsAdaptive(spark, dir, cellCap)
+        case s => knnPairsScored(spark, dir, s, cellCap)
+      })
         .groupBy(col("label"), col("a_id"))
         .agg(graft.functions.TopKAgg.topK(col("score"), col("b_id"), 3).as("top"))
         .select(col("label"), col("a_id"), posexplode(col("top")))

@@ -48,6 +48,24 @@ class PostureSpec extends AnyFunSuite with SparkFixture {
       .conf.get(Key) == (4 * 1024 * 1024).toString)
   }
 
+  test("census-adaptive salt: sliced plan is result-identical and exchanges") {
+    import operators.SearchOps
+    val plain = SparkEntry.queries("vec_knn_join")(spark, SfDir)
+      .collect().map(_.toString).sorted.toSeq
+    // a 4-pair budget forces every cell oversize at any SF → salted path
+    spark.conf.set(SearchOps.KnnPairBudgetConf, "4")
+    try {
+      val df = SparkEntry.queries("vec_knn_join")(spark, SfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning(label") && plan.contains("slice"),
+        "the sliced path must EXPLICITLY exchange on (label, slice) — the " +
+          "bucketed scan's label partitioning satisfies the join without it " +
+          s"and the salt would spread nothing:\n$plan")
+      assert(df.collect().map(_.toString).sorted.toSeq == plain,
+        "slicing partitions pair enumeration only; results must be identical")
+    } finally spark.conf.unset(SearchOps.KnnPairBudgetConf)
+  }
+
   test("knnPairsScored rejects a salt factor below 1") {
     val e = intercept[IllegalArgumentException](
       operators.SearchOps.knnPairsScored(spark, SfDir, 0, Long.MaxValue))
