@@ -36,7 +36,11 @@ import org.apache.spark.sql.functions._
   *   - one source owns ~90% of documents (hot per-source batching,
   *     stratified sampling, shard shuffling).
   *
-  * Usage: runMain graft.ScaleUp [baseDir] [outDir] [copies] [skew]
+  * Usage: runMain graft.ScaleUp [baseDir] [outDir] [copies] [skew] [table...]
+  * — extra args past `copies` select: the literal `skew` turns on the
+  * adversarial-skew gates, any other token is a table-name filter (so an
+  * sf10 probe of the pair-generating heavies can replicate just
+  * `documents embeddings` instead of paying a 60M-row lineitem write).
   */
 object ScaleUp {
 
@@ -62,7 +66,8 @@ object ScaleUp {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
-    val skew = args.lift(3).contains("skew")
+    val skew = args.drop(3).contains("skew")
+    val onlyTables = args.drop(3).filterNot(_ == "skew").toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -77,6 +82,7 @@ object ScaleUp {
     def replicate(name: String, keyCols: Seq[String],
         perturb: (DataFrame, Int) => DataFrame = (d, _) => d,
         skewFn: DataFrame => DataFrame = identity): Unit = {
+      if (onlyTables.nonEmpty && !onlyTables.contains(name)) return
       val t = spark.read.parquet(s"$base/$name.parquet")
       val parts = (0 until copies).map { c =>
         val shifted = keyCols.foldLeft(t)((d, k) =>
@@ -96,10 +102,12 @@ object ScaleUp {
 
     // dimension tables stay as-is (every replica shares them, like a
     // real corpus shares its region/nation vocabulary)
-    Seq("region", "nation").foreach { name =>
-      writeSingle(spark.read.parquet(s"$base/$name.parquet"),
-        s"$out/$name.parquet")
-    }
+    Seq("region", "nation")
+      .filter(n => onlyTables.isEmpty || onlyTables.contains(n))
+      .foreach { name =>
+        writeSingle(spark.read.parquet(s"$base/$name.parquet"),
+          s"$out/$name.parquet")
+      }
     replicate("customer", Seq("c_custkey"))
     replicate("supplier", Seq("s_suppkey"))
     replicate("part", Seq("p_partkey"))
