@@ -490,22 +490,38 @@ object DedupOps {
     * through one bucketed table so the two can never silently build
     * signatures with different parameters under the same name. Bucketed
     * on (band, sig), a subset of every candidate join's equi-keys, so the
-    * self-joins read both sides co-located with no exchange. */
+    * self-joins read both sides co-located with no exchange.
+    *
+    * Band rows carry the vector's EMBEDDING (and its SumSquares norm) as
+    * riders, so consumers score collisions INSIDE the co-located join —
+    * the sf10 probe showed why: joining embeddings back onto the pair
+    * stream by id sort-merge-sorts the PAIR rows (collision count ∝
+    * Σcell²/2^bits·bands — billions at sf10), which filled the disk with
+    * spill and failed the job. Riders amplify the band table ~emb-bytes
+    * × bands on disk (linear in the corpus, parquet-dictionary-friendly:
+    * all 32 rows of a vector repeat the same arrays); pair rows never
+    * exchange at all — they stream from the collision join straight into
+    * the bounded partial top-k / the verify filter. The v2 tag keeps a
+    * warehouse with the old narrow layout from answering for the new
+    * schema. */
   private[operators] def embBands(spark: SparkSession, dir: String): DataFrame =
     spark.table(graft.sources.IndexStore.derivedBucketed(spark, dir,
-      "emb_bands", Seq("band", "cell_sig")) {
-      import graft.functions.VectorFunctions.bandSigs
+      "emb_bands_v2", Seq("band", "cell_sig")) {
+      import graft.functions.VectorFunctions.{bandSigs, sumSquares}
       Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("label"),
+        .select(col("vec_id"), col("label"), col("embedding").as("emb"),
+          sumSquares(col("embedding")).as("ss"),
           bandSigs(col("embedding"), EmbSeed, EmbBands, EmbBits, EmbDim).as("sigs"))
         // every band row carries the vector's FULL signature array too:
         // consumers emit a colliding pair from its first matching band
         // only ([[firstBandMatch]]) — local arithmetic in the collision
         // join replaces a corpus-scale distinct exchange over pair rows
-        .select(col("vec_id"), col("label"), col("sigs"), posexplode(col("sigs")))
+        .select(col("vec_id"), col("label"), col("emb"), col("ss"),
+          col("sigs"), posexplode(col("sigs")))
         // the IVF cell folds into the signature (cell_sig = label:sig) so
         // both band self-joins key exactly on the bucket cols
-        .select(col("vec_id"), col("label"), col("sigs"), col("pos").as("band"),
+        .select(col("vec_id"), col("label"), col("emb"), col("ss"),
+          col("sigs"), col("pos").as("band"),
           concat_ws(":", col("label"), col("col")).as("cell_sig"))
     })
 
@@ -719,20 +735,20 @@ object DedupOps {
   }
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
     val bands = embBands(spark, dir)
     // first-match-band discipline: each colliding pair is emitted by
-    // exactly one band, so no (a_id, b_id) distinct exchange is needed
-    val cand = bands
+    // exactly one band, so no (a_id, b_id) distinct exchange is needed;
+    // embeddings RIDE the band rows (see embBands), so the verify cosine
+    // runs inside the co-located join and pair rows never exchange
+    bands
+      .select(col("vec_id").as("a_id"), col("sigs"), col("band"),
+        col("cell_sig"), col("emb").as("a_emb"))
       .join(bands.select(col("vec_id").as("b_id"), col("sigs").as("b_sigs"),
-          col("band").as("b_band"), col("cell_sig").as("b_cell_sig")),
+          col("band").as("b_band"), col("cell_sig").as("b_cell_sig"),
+          col("emb").as("b_emb")),
         col("band") === col("b_band") && col("cell_sig") === col("b_cell_sig") &&
-          col("vec_id") < col("b_id") &&
+          col("a_id") < col("b_id") &&
           firstBandMatch(col("sigs"), col("b_sigs"), col("band")))
-      .select(col("vec_id").as("a_id"), col("b_id"))
-    cand
-      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
-      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
       .select(col("a_id"), col("b_id"),
         fastRound(cosineSim(col("a_emb"), col("b_emb")), 4).as("score"))
       .filter(col("score") >= 0.42)

@@ -777,32 +777,26 @@ object SearchOps {
     */
   def vecKnnJoinAnn(spark: SparkSession, dir: String): DataFrame = {
     // Every unordered pair is generated ONCE (a < b) inside the
-    // co-located band-bucket join, scored once, and only then mirrored
-    // into both directions by a narrow explode — candidate collisions,
-    // the dedup exchange, and both embedding joins run at HALF the rows
-    // of the both-directions formulation (measured 89M → 44.5M collision
-    // rows at the sf1 stress scale), with an identical result set. The
-    // dedup key is the thin (a_id, b_id) pair; `label` rides back in on
-    // the bucketed embById join instead of widening the dedup shuffle
-    // (a and b share a cell by construction — cell_sig folds the label).
-    val emb = spark.table(graft.sources.IndexStore.index(spark, dir).embById)
+    // co-located band-bucket join, scored ONCE IN PLACE, and only then
+    // mirrored into both directions by a narrow explode. Embeddings and
+    // SumSquares norms RIDE the band rows (see DedupOps.embBands): the
+    // previous formulation joined embeddings back onto the pair stream
+    // by id, which sort-merge-sorted the PAIR rows — at the sf10 probe
+    // (~4G collisions) that sort spilled past the host's disk and failed
+    // the job; no pair-row exchange exists in this shape at any scale.
+    // Scoring pays one dot per pair — bit-identical to cosine
+    // (SumSquares scaladoc); a and b share a cell by construction
+    // (cell_sig folds the label), so label rides side A.
     val bands = DedupOps.embBands(spark, dir)
-    val cand = bands
+    val scored = bands
+      .select(col("vec_id").as("a_id"), col("label"), col("sigs"),
+        col("band"), col("cell_sig"), col("emb").as("a_emb"), col("ss").as("a_ss"))
       .join(bands.select(col("vec_id").as("b_id"), col("sigs").as("b_sigs"),
-          col("band").as("b_band"), col("cell_sig").as("b_cell_sig")),
+          col("band").as("b_band"), col("cell_sig").as("b_cell_sig"),
+          col("emb").as("b_emb"), col("ss").as("b_ss")),
         col("band") === col("b_band") && col("cell_sig") === col("b_cell_sig") &&
-          col("vec_id") < col("b_id") &&
+          col("a_id") < col("b_id") &&
           DedupOps.firstBandMatch(col("sigs"), col("b_sigs"), col("band")))
-      .select(col("vec_id").as("a_id"), col("b_id"))
-    // each side's squared norm computes once per VECTOR under the join
-    // (an 8-byte rider on the pair rows), so collision scoring pays one
-    // dot per pair — bit-identical to cosine (SumSquares scaladoc)
-    val ssq = graft.functions.VectorFunctions.sumSquares _
-    val scored = cand
-      .join(emb.select(col("vec_id").as("a_id"), col("label"),
-        col("embedding").as("a_emb"), ssq(col("embedding")).as("a_ss")), "a_id")
-      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        ssq(col("embedding")).as("b_ss")), "b_id")
       .select(col("label"), col("a_id"), col("b_id"),
         scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score"))
     graft.functions.TopKAgg.posture(spark, scored
@@ -874,18 +868,18 @@ object SearchOps {
     // through collision/dedup/scoring, directions restored by a narrow
     // explode — half the rows through the heavy middle, same result set
     val bands = DedupOps.embBands(spark, dir).join(broadcast(big), "label")
-    val cand = bands
+    // embeddings ride the band rows (see DedupOps.embBands) so collision
+    // scoring happens inside the co-located join — pair rows never
+    // exchange (the sf10 lesson vecKnnJoinAnn documents)
+    val routedPairs = bands
+      .select(col("vec_id").as("a_id"), col("label"), col("sigs"),
+        col("band"), col("cell_sig"), col("emb").as("a_emb"), col("ss").as("a_ss"))
       .join(bands.select(col("vec_id").as("b_id"), col("sigs").as("b_sigs"),
-          col("band").as("b_band"), col("cell_sig").as("b_cell_sig")),
+          col("band").as("b_band"), col("cell_sig").as("b_cell_sig"),
+          col("emb").as("b_emb"), col("ss").as("b_ss")),
         col("band") === col("b_band") && col("cell_sig") === col("b_cell_sig") &&
-          col("vec_id") < col("b_id") &&
+          col("a_id") < col("b_id") &&
           DedupOps.firstBandMatch(col("sigs"), col("b_sigs"), col("band")))
-      .select(col("vec_id").as("a_id"), col("b_id"))
-    val routedPairs = cand
-      .join(emb.select(col("vec_id").as("a_id"), col("label"),
-        col("embedding").as("a_emb"), ssq(col("embedding")).as("a_ss")), "a_id")
-      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        ssq(col("embedding")).as("b_ss")), "b_id")
       .select(col("label"), col("a_id"), col("b_id"),
         scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score"))
       .select(col("label"), col("score"), explode(array(
