@@ -139,6 +139,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config(GraftConf.fromEnv())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop write, NOT count(): under count() Catalyst prunes every column,

@@ -21,6 +21,7 @@ object Verify {
       // (nanos since epoch) under this flag — Tables.events normalizes.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config(GraftConf.fromEnv())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
