@@ -544,10 +544,11 @@ object DedupOps {
     * from the codegen'd HyperplaneBandSigs expression, candidates
     * materialize only where a full band matches within the label cell,
     * and the codegen'd CosineSimilarity verify keeps exactly the pairs the
-    * all-pairs formulation would. Band rows are thin (id, label, band,
-    * sig) — embeddings join back onto the surviving candidate ids only —
-    * so a cell of millions of vectors costs signature collisions, not
-    * cell², in pair comparisons.
+    * all-pairs formulation would. Embeddings RIDE the band rows (see
+    * [[embBands]]) so the verify runs inside the co-located collision
+    * join — fetching them back by id would sort the PAIR stream, the
+    * sf10 detonation SCALE_NOTES documents. A cell of millions of
+    * vectors costs signature collisions, not cell², in pair comparisons.
     */
   /** Exact duplicated-substring coverage (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): the fraction of each
