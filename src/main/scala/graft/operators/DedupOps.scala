@@ -485,6 +485,25 @@ object DedupOps {
   private[graft] val EmbSeed = 0
   private[graft] val EmbDim = 64
 
+  /** Deploy-time LSH geometry knobs. The defaults ([[EmbBands]]×
+    * [[EmbBits]]) are the recall geometry the driver oracle replays —
+    * contract queries run with the confs UNSET and stay hash-stable. A
+    * deployment sizes them to its threshold and cell sizes: enumerated
+    * collisions scale as Σcell² · bands / 2^bits (the sf10 probe's
+    * SCALE_NOTES section), so 8-bit sigs cut collision work 16× at the
+    * same band count while recall for a pair at per-bit agreement p
+    * stays 1-(1-p^bits)^bands. */
+  private[graft] val LshBandsConf = "spark.graft.lshBands"
+  private[graft] val LshBitsConf = "spark.graft.lshBits"
+
+  private[graft] def lshGeometry(spark: SparkSession): (Int, Int) = {
+    val bands = spark.conf.getOption(LshBandsConf).map(_.toInt).getOrElse(EmbBands)
+    val bits = spark.conf.getOption(LshBitsConf).map(_.toInt).getOrElse(EmbBits)
+    require(bands >= 1 && bands <= 512, s"$LshBandsConf out of range: $bands")
+    require(bits >= 1 && bits <= 32, s"$LshBitsConf out of range: $bits")
+    (bands, bits)
+  }
+
   /** THE hyperplane band relation for a corpus dir — the single source of
     * the LSH geometry, shared by dedup_embedding and vec_knn_join_ann
     * through one bucketed table so the two can never silently build
@@ -504,14 +523,20 @@ object DedupOps {
     * the bounded partial top-k / the verify filter. The v2 tag keeps a
     * warehouse with the old narrow layout from answering for the new
     * schema. */
-  private[operators] def embBands(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def embBands(spark: SparkSession, dir: String): DataFrame = {
+    val (bands, bits) = lshGeometry(spark)
+    // the geometry folds into the table identity the same way the bucket
+    // count does — a warehouse can hold one table per geometry, and a
+    // conf flip can never silently reuse signatures built another way
+    val tag = if (bands == EmbBands && bits == EmbBits) "emb_bands_v2"
+      else s"emb_bands_v2_g${bands}x$bits"
     spark.table(graft.sources.IndexStore.derivedBucketed(spark, dir,
-      "emb_bands_v2", Seq("band", "cell_sig")) {
+      tag, Seq("band", "cell_sig")) {
       import graft.functions.VectorFunctions.{bandSigs, sumSquares}
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"), col("embedding").as("emb"),
           sumSquares(col("embedding")).as("ss"),
-          bandSigs(col("embedding"), EmbSeed, EmbBands, EmbBits, EmbDim).as("sigs"))
+          bandSigs(col("embedding"), EmbSeed, bands, bits, EmbDim).as("sigs"))
         // every band row carries the vector's FULL signature array too:
         // consumers emit a colliding pair from its first matching band
         // only ([[firstBandMatch]]) — local arithmetic in the collision
@@ -524,6 +549,7 @@ object DedupOps {
           col("sigs"), col("pos").as("band"),
           concat_ws(":", col("label"), col("col")).as("cell_sig"))
     })
+  }
 
   /** True when `band` is the FIRST index where the two signature arrays
     * agree — the dedup-free collision discipline: a pair sharing k bands
@@ -702,8 +728,9 @@ object DedupOps {
     // oversize cells: candidates only where a full hyperplane band agrees
     // WITHIN the cell (cluster folds into the join key) — the
     // dedupEmbedding blocking geometry applied to the cell's own members
+    val (lshBands, lshBits) = lshGeometry(spark)
     val bands = big.select(col("cluster"), col("vec_id"), col("v"),
-        posexplode(bandSigs(col("v"), EmbSeed, EmbBands, EmbBits, EmbDim)))
+        posexplode(bandSigs(col("v"), EmbSeed, lshBands, lshBits, EmbDim)))
       .select(col("cluster"), col("vec_id"), col("v"),
         col("pos").as("band"), col("col").as("sig"))
     val bandPairs = bands
