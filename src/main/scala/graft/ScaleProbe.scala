@@ -267,6 +267,32 @@ object ScaleProbe {
       f"edges(exact=$nE, routed=$nR) recall=$recall%.3f")
   }
 
+  /** LSH-geometry recall/speed curve on a REAL corpus dir: for each bit
+    * width, time vec_knn_join_ann under spark.graft.lshBits=bits and
+    * measure its top-3 edge recall against the exact vec_knn_join on the
+    * same corpus — the honesty companion to the geometry deploy knob
+    * (collisions scale 1/2^bits; recall for a pair at per-bit agreement
+    * p is 1-(1-p^bits)^bands, so wider sigs trade tail-similarity edges
+    * for quadratic-work relief). Precision is 1 by construction (exact
+    * verify inside the join), so recall is the only axis to watch. */
+  private def geometryProbe(spark: SparkSession, dir: String,
+      bitWidths: Seq[Int]): Unit = {
+    val exact = operators.SearchOps.vecKnnJoin(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    bitWidths.foreach { bits =>
+      spark.conf.set(operators.DedupOps.LshBitsConf, bits.toString)
+      try {
+        operators.SearchOps.vecKnnJoinAnn(spark, dir).count() // warm build
+        val (t, _) = time(operators.SearchOps.vecKnnJoinAnn(spark, dir).count())
+        val routed = operators.SearchOps.vecKnnJoinAnn(spark, dir).collect()
+          .map(r => (r.getLong(1), r.getLong(2))).toSet
+        val recall = exact.count(routed).toDouble / exact.size
+        println(f"GEOMETRY bits=$bits%2d ann=$t%6.2fs " +
+          f"edges(exact=${exact.size}, routed=${routed.size}) recall=$recall%.3f")
+      } finally spark.conf.unset(operators.DedupOps.LshBitsConf)
+    }
+  }
+
   /** dedup_substring at N×: the synth marker tokens land at the END of
     * each copy, so for N ≥ 2 every document's whole 8-gram body is
     * duplicated across copies — TOTAL SATURATION, the adversarial case
@@ -450,6 +476,14 @@ object ScaleProbe {
     }
     if (args.headOption.contains("auto")) {
       args.drop(1).map(_.toInt).foreach(c => autoProbe(spark, base, c))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("geometry")) {
+      geometryProbe(spark, args.lift(1).getOrElse(base),
+        args.drop(2).map(_.toInt).toSeq match {
+          case Nil => Seq(4, 8, 12); case s => s
+        })
       spark.stop()
       return
     }
