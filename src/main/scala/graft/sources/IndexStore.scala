@@ -19,25 +19,80 @@ object IndexStore {
   /** Deploy-time bucket-count knob for every index and derived table.
     * The co-located joins' parallelism IS the bucket count (a bucketed
     * read is one task per bucket), so the sizing rule at scale is
-    * buckets ≈ ceil(largest bucketed relation / target per-task scan):
-    * a 10 TB embedding table at a ~1 GB task budget wants ~10k buckets,
-    * while the local test corpus is fine at the default 8. The count is
-    * folded into every table's IDENTITY (a `_b<n>` name suffix), so
-    * changing the conf builds fresh tables instead of silently reusing
-    * a differently-bucketed layout. */
+    * buckets ≈ ceil(largest bucketed relation / target per-task scan).
+    * The count is folded into every table's IDENTITY (a `_b<n>` name
+    * suffix), so changing it builds fresh tables instead of silently
+    * reusing a differently-bucketed layout.
+    *
+    * Default since round 9 is `auto`: the count SELF-SIZES from the
+    * corpus dir's on-disk bytes — pow2ceil(bytes / [[TargetBytesConf]])
+    * clamped to [8, 4096] — because the round-8 sf10 probe measured the
+    * fixed 8 as the collision joins' parallelism ceiling (8 tasks on 32
+    * cores; 32 buckets halved the banded-ANN wall). Corpus bytes are a
+    * deterministic, scan-free proxy every resolver (builders, probes,
+    * tests) can compute identically; an integer conf value pins the
+    * count exactly as before (the deployment's choice — e.g. a 10 TB
+    * corpus at the default 256 MB target self-sizes to the 4096 clamp,
+    * where an operator may want 10k+). Bucketing is layout only: query
+    * results are identical at any count (BucketConfSpec). */
   val BucketsConf = "spark.graft.indexBuckets"
-  private val BucketsDefault = 8
 
-  /** The configured bucket count (see [[BucketsConf]]). */
-  def buckets(spark: SparkSession): Int = {
-    val n = spark.conf.getOption(BucketsConf).map(_.toInt)
-      .getOrElse(BucketsDefault)
-    require(n >= 1, s"$BucketsConf must be >= 1, got $n")
-    n
+  /** Auto-sizing target: corpus bytes per bucket (see [[BucketsConf]]). */
+  val TargetBytesConf = "spark.graft.bucketTargetBytes"
+  private val TargetBytesDefault = 256L * 1024 * 1024
+  private val BucketsMin = 8
+  private val BucketsMax = 4096
+
+  /** The pinned bucket count when [[BucketsConf]] is an integer; the
+    * local floor (8) when unset or `auto` and no corpus dir is in play.
+    * Sizing that should track corpus scale goes through the (spark, dir)
+    * overload. */
+  def buckets(spark: SparkSession): Int =
+    pinned(spark).getOrElse(BucketsMin)
+
+  private def pinned(spark: SparkSession): Option[Int] =
+    spark.conf.getOption(BucketsConf).filterNot(_ == "auto").map { s =>
+      val n = s.toInt
+      require(n >= 1, s"$BucketsConf must be >= 1, got $n")
+      n
+    }
+
+  /** memoized per-dir corpus bytes: one FS listing, stable for a corpus */
+  private val dirBytes = new ConcurrentHashMap[String, java.lang.Long]()
+
+  private def corpusBytes(spark: SparkSession, dir: String): Long =
+    dirBytes.computeIfAbsent(dir, { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sum =
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p).iterator.map { st =>
+          if (st.isDirectory) // dir-shaped parquet outputs: one level down
+            fs.listStatus(st.getPath).iterator.map(_.getLen).sum
+          else st.getLen
+        }.sum
+      java.lang.Long.valueOf(sum)
+    })
+
+  private def pow2ceil(n: Long): Int = {
+    var p = 1
+    while (p < n && p < BucketsMax) p <<= 1
+    p
   }
 
+  /** The bucket count for `dir`'s index/derived tables: the pinned conf
+    * if set, else auto-sized from the corpus bytes (see [[BucketsConf]]). */
+  def buckets(spark: SparkSession, dir: String): Int =
+    pinned(spark).getOrElse {
+      val target = spark.conf.getOption(TargetBytesConf).map(_.toLong)
+        .getOrElse(TargetBytesDefault)
+      require(target >= 1, s"$TargetBytesConf must be >= 1, got $target")
+      val want = (corpusBytes(spark, dir) + target - 1) / target
+      math.max(BucketsMin, pow2ceil(want))
+    }
+
   /** Write `df` as a bucketed, per-bucket-sorted parquet table, with
-    * the bucket count from [[BucketsConf]]. */
+    * the pinned-conf/local-floor bucket count (no corpus dir in play). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String): Unit =
     writeBucketedMulti(df, table, Seq(bucketCol), buckets(df.sparkSession))
 
@@ -105,7 +160,7 @@ object IndexStore {
   /** [[derivedTableName]] with the bucket-count decoration the builder
     * applies — the name derivedBucketed(spark, dir, tag, …) produced. */
   def derivedTableName(spark: SparkSession, dir: String, tag: String): String =
-    derivedTableName(dir, s"${tag}_b${buckets(spark)}")
+    derivedTableName(dir, s"${tag}_b${buckets(spark, dir)}")
 
   /** Materialize a derived relation (a signature/band/prefix index) ONCE
     * per (session, dir) as a bucketed table and return its name. The
@@ -123,7 +178,7 @@ object IndexStore {
   def derivedBucketed(spark: SparkSession, dir: String, tag: String,
       bucketCols: Seq[String])
       (build: => DataFrame): String = {
-    val n = buckets(spark)
+    val n = buckets(spark, dir)
     val btag = s"${tag}_b$n" // bucket count is part of the table identity
     derived.keySet.removeIf(k => k._1.sparkContext.isStopped)
     // get + putIfAbsent, NOT computeIfAbsent: build closures may resolve
@@ -210,7 +265,7 @@ object IndexStore {
     // crash (the PlanCache rule), while a bare get+putIfAbsent would let
     // two threads race the DROP + delete + write sequence — the monitor
     // serializes same-key builds and stays reentrant across keys.
-    val n = buckets(spark)
+    val n = buckets(spark, dir)
     val key = (spark, dir, n)
     val existing = built.get(key)
     if (existing != null) existing

@@ -56,4 +56,34 @@ class BucketConfSpec extends AnyFunSuite with SparkFixture {
     try intercept[IllegalArgumentException](IndexStore.buckets(spark))
     finally spark.conf.unset(IndexStore.BucketsConf)
   }
+
+  test("auto mode self-sizes from corpus bytes; pinned conf still wins") {
+    // the default: no conf (or the literal `auto`) sizes from dir bytes.
+    // The local corpus is tiny, so the default target lands on the floor.
+    assert(IndexStore.buckets(spark, SfDir) == 8)
+    // shrink the per-bucket target until the corpus spans >16 targets —
+    // auto must pick the next pow2 ABOVE the floor, identically from
+    // every resolver (the identity rule: builders and name-resolvers
+    // must never disagree on the count)
+    val bytes = {
+      val p = new org.apache.hadoop.fs.Path(SfDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getLen).sum
+    }
+    spark.conf.set(IndexStore.TargetBytesConf, (bytes / 20).toString)
+    try {
+      val n = IndexStore.buckets(spark, SfDir)
+      assert(n == 32, s"ceil(20 targets) -> pow2 32, got $n") // 20 < 32 <= 4096
+      assert(IndexStore.index(spark, SfDir).docs.endsWith(s"_b$n"),
+        "auto-sized count must be part of the table identity")
+      assert(IndexStore.derivedTableName(spark, SfDir, "simhash_bands")
+        .contains(s"_b${n}_"))
+      // a pinned integer conf overrides auto at any target
+      spark.conf.set(IndexStore.BucketsConf, "4")
+      assert(IndexStore.buckets(spark, SfDir) == 4)
+    } finally {
+      spark.conf.unset(IndexStore.TargetBytesConf)
+      spark.conf.unset(IndexStore.BucketsConf)
+    }
+  }
 }
