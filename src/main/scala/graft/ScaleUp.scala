@@ -11,11 +11,21 @@ import org.apache.spark.sql.functions._
   * (joins never match across copies, so join and group cardinalities
   * scale linearly — the shape a real 10× corpus has).
   *
-  * Texts get a per-copy marker token and embeddings a per-copy ±0.1%
-  * component nudge so the near-dup/semantic structure stays sparse
-  * instead of minting 10-way true-duplicate groups (which would grow
+  * Texts get a per-copy marker token INTERLEAVED every 4 words (plus a
+  * trailing one) and embeddings a per-(copy, dim) deterministic sign
+  * flip so the near-dup/semantic structure stays sparse instead of
+  * minting `copies`-way true-duplicate groups (which would grow
   * quadratic pair counts no real corpus growth produces — same reasoning
-  * as ScaleProbe.synth). Copy 0 is byte-identical to sf0.1.
+  * as ScaleProbe.synth). The earlier APPENDED-only marker failed that
+  * intent: one extra token leaves 3-gram Jaccard of a ~50-word doc at
+  * ~0.93 ≫ τ=0.5, so 100 copies minted C(100,2)-pair cliques (24.8M
+  * true pairs at sf10 — measured in round 8); interleaving changes ~3/4
+  * of the shingles (cross-copy Jaccard ≈ 0.29, winnow 4-gram
+  * containment ≈ 0.25 — both below their 0.5 gates), and the sign flip
+  * makes cross-copy cosines ≈ 0 (a sign pattern preserves norms and all
+  * WITHIN-copy inner products exactly, so each replica reproduces the
+  * base corpus's own near-dup structure — pair counts scale linearly,
+  * the shape a real corpus has). Copy 0 is byte-identical to sf0.1.
   *
   * Each table lands as ONE parquet file (<name>.parquet) so
   * scripts/check_oracle.py can register it in DuckDB exactly like the
@@ -120,7 +130,9 @@ object ScaleUp {
           .otherwise(col("user_id"))))
     replicate("documents", Seq("doc_id"), (d, c) =>
       if (c == 0) d
-      else d.withColumn("text", concat(col("text"), lit(s" copymark$c")))
+      else d.withColumn("text", // marker every 4 words + trailing marker
+          concat(regexp_replace(col("text"),
+            "((?:\\S+\\s+){4})", s"$$1copymark$c "), lit(s" copymark$c")))
         .withColumn("n_chars", length(col("text")).cast("long")),
       skewFn = d => d
         .withColumn("text", // one boilerplate phrase in ~80% of docs
@@ -133,10 +145,11 @@ object ScaleUp {
             .otherwise(col("source"))))
     replicate("embeddings", Seq("vec_id"), (d, c) =>
       if (c == 0) d
-      else d.withColumn("embedding",
+      else d.withColumn("embedding", // per-(copy, dim) sign flip: norms and
+        // within-copy inner products exact, cross-copy cosines ~ 0
         transform(col("embedding"), (x, i) =>
-          (x + (lit(c) * (pmod(i, lit(5)) - 2)).cast("float") * 0.001f)
-            .cast("float"))),
+          (x * when(pmod(xxhash64(lit(c), i), lit(2)) === 0, lit(1.0f))
+            .otherwise(lit(-1.0f))).cast("float"))),
       skewFn = d => d.withColumn("label", // one IVF cell owns ~half the vectors
         when(gate(col("vec_id"), "#hotcell", 2, 1),
           lit(0).cast(d.schema("label").dataType))

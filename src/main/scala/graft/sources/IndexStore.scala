@@ -25,21 +25,27 @@ object IndexStore {
     * reusing a differently-bucketed layout.
     *
     * Default since round 9 is `auto`: the count SELF-SIZES from the
-    * corpus dir's on-disk bytes — pow2ceil(bytes / [[TargetBytesConf]])
+    * corpus dir's documents+embeddings on-disk bytes (the two relations
+    * every bucketed index/derived table is built from — the TPC-H fact
+    * tables never land in one) — pow2ceil(bytes / [[TargetBytesConf]])
     * clamped to [8, 4096] — because the round-8 sf10 probe measured the
     * fixed 8 as the collision joins' parallelism ceiling (8 tasks on 32
-    * cores; 32 buckets halved the banded-ANN wall). Corpus bytes are a
+    * cores; 32 buckets halved the banded-ANN wall). Source bytes are a
     * deterministic, scan-free proxy every resolver (builders, probes,
-    * tests) can compute identically; an integer conf value pins the
-    * count exactly as before (the deployment's choice — e.g. a 10 TB
-    * corpus at the default 256 MB target self-sizes to the 4096 clamp,
-    * where an operator may want 10k+). Bucketing is layout only: query
-    * results are identical at any count (BucketConfSpec). */
+    * tests) can compute identically; the 4 MB default target is tuned to
+    * that measurement (sf10's ~140 MB of docs+emb → 64 buckets; the
+    * verify SFs stay on the floor of 8), deliberately byte-dense because
+    * the joins reading these tables do COLLISION work that grows faster
+    * than the bytes. An integer conf value pins the count exactly as
+    * before (the deployment's choice — a corpus past ~16 GB of docs+emb
+    * hits the 4096 clamp, where an operator sizes by its own pair-work
+    * budget). Bucketing is layout only: query results are identical at
+    * any count (BucketConfSpec). */
   val BucketsConf = "spark.graft.indexBuckets"
 
-  /** Auto-sizing target: corpus bytes per bucket (see [[BucketsConf]]). */
+  /** Auto-sizing target: docs+emb bytes per bucket (see [[BucketsConf]]). */
   val TargetBytesConf = "spark.graft.bucketTargetBytes"
-  private val TargetBytesDefault = 256L * 1024 * 1024
+  private val TargetBytesDefault = 4L * 1024 * 1024
   private val BucketsMin = 8
   private val BucketsMax = 4096
 
@@ -57,20 +63,25 @@ object IndexStore {
       n
     }
 
-  /** memoized per-dir corpus bytes: one FS listing, stable for a corpus */
+  /** memoized per-dir source bytes: one FS listing, stable for a corpus.
+    * Counts documents.parquet + embeddings.parquet (file- or dir-shaped)
+    * — the relations the bucketed tables derive from. */
   private val dirBytes = new ConcurrentHashMap[String, java.lang.Long]()
 
   private def corpusBytes(spark: SparkSession, dir: String): Long =
     dirBytes.computeIfAbsent(dir, { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val sum =
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sum = Seq("documents.parquet", "embeddings.parquet").map { name =>
+        val p = new org.apache.hadoop.fs.Path(d, name)
         if (!fs.exists(p)) 0L
-        else fs.listStatus(p).iterator.map { st =>
+        else {
+          val st = fs.getFileStatus(p)
           if (st.isDirectory) // dir-shaped parquet outputs: one level down
-            fs.listStatus(st.getPath).iterator.map(_.getLen).sum
+            fs.listStatus(p).iterator.map(_.getLen).sum
           else st.getLen
-        }.sum
+        }
+      }.sum
       java.lang.Long.valueOf(sum)
     })
 

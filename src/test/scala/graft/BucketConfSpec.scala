@@ -65,10 +65,14 @@ class BucketConfSpec extends AnyFunSuite with SparkFixture {
     // auto must pick the next pow2 ABOVE the floor, identically from
     // every resolver (the identity rule: builders and name-resolvers
     // must never disagree on the count)
+    // the sizing rule reads docs+emb bytes only (the relations the
+    // bucketed tables derive from)
     val bytes = {
       val p = new org.apache.hadoop.fs.Path(SfDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).map(_.getLen).sum
+      Seq("documents.parquet", "embeddings.parquet")
+        .map(n => fs.getFileStatus(new org.apache.hadoop.fs.Path(p, n)).getLen)
+        .sum
     }
     spark.conf.set(IndexStore.TargetBytesConf, (bytes / 20).toString)
     try {
