@@ -1,12 +1,14 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: check_oracle.py <sf_dir> <verify_out_dir>
+Usage: check_oracle.py <sf_dir> <verify_out_dir> [timeout_s]
 Reads each <name>/ parquet dir written by graft.Verify plus oracle_sql.json,
 runs the oracle SQL in DuckDB over the same tables, sorts columns by name and
-rows by all values, and diffs. Prints PASS/FAIL per query.
+rows by all values, and diffs. Prints PASS/FAIL per query. The optional
+per-query timeout interrupts a pathological oracle replay (large-SF probes)
+and records ORACLE-TIMEOUT instead of hanging the sweep.
 """
-import sys, os, json, glob
+import sys, os, json, glob, threading
 import duckdb
 import pandas as pd
 
@@ -22,6 +24,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    timeout = float(sys.argv[3]) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -38,12 +41,24 @@ def main():
         if name not in oracles:
             print(f"{name}: NO-ORACLE rows={len(got)}")
             continue
+        timed_out = []
+        timer = None
+        if timeout:
+            timer = threading.Timer(timeout,
+                lambda: (timed_out.append(True), con.interrupt()))
+            timer.start()
         try:
             want = con.sql(oracles[name]).df()
         except Exception as e:
-            print(f"{name}: ORACLE-ERROR {e}")
+            if timed_out:
+                print(f"{name}: ORACLE-TIMEOUT after {timeout}s (rows={len(got)})")
+            else:
+                print(f"{name}: ORACLE-ERROR {e}")
             n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         g, w = canon(got), canon(want)
         if list(g.columns) != list(w.columns):
             print(f"{name}: FAIL cols got={list(g.columns)} want={list(w.columns)}")
