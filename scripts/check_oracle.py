@@ -2,6 +2,7 @@
 """Local stand-in for the driver's DuckDB-oracle compare.
 
 Usage: check_oracle.py <sf_dir> <verify_out_dir> [timeout_s]
+       check_oracle.py --selftest
 Reads each <name>/ parquet dir written by graft.Verify plus oracle_sql.json,
 runs the oracle SQL in DuckDB over the same tables, sorts columns by name and
 rows by all values, and diffs. Prints PASS/FAIL per query. The optional
@@ -15,6 +16,69 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def connect(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def run_oracle(con, sql, timeout, reconnect):
+    """Run one oracle query under an optional wall timeout.
+
+    Returns (df_or_None, timed_out, con). The timer only interrupts while
+    the query is still running (`done` flag) — a timer firing between
+    query completion and cancel() must NOT interrupt the connection, or
+    the stray interrupt poisons the NEXT query's replay. If the timer DID
+    fire (whether or not the interrupt landed before completion), the
+    connection is rebuilt from scratch so no half-delivered interrupt can
+    bleed into a later query.
+    """
+    timed_out = []
+    done = threading.Event()
+    timer = None
+    if timeout:
+        def fire():
+            if not done.is_set():
+                timed_out.append(True)
+                con.interrupt()
+        timer = threading.Timer(timeout, fire)
+        timer.start()
+    try:
+        df = con.sql(sql).df()
+        done.set()
+        return df, bool(timed_out), (reconnect() if timed_out else con)
+    except Exception:
+        done.set()
+        if timed_out:
+            return None, True, reconnect()
+        raise
+    finally:
+        if timer:
+            timer.cancel()
+
+def selftest():
+    """Deliberate-timeout exercise: a slow query must record a timeout and
+    the NEXT query on the (rebuilt) connection must run unpoisoned."""
+    con = duckdb.connect()
+    slow = ("SELECT count(*) FROM range(100000000) a, range(100000) b "
+            "WHERE (a.range * b.range) % 1000003 = 7")
+    df, timed_out, con = run_oracle(con, slow, 0.2, duckdb.connect)
+    assert timed_out and df is None, "slow query must time out"
+    df, timed_out, con = run_oracle(con, "SELECT 41 + 1 AS v", 30.0,
+                                    duckdb.connect)
+    assert not timed_out and df["v"][0] == 42, "follow-up query poisoned"
+    # a timer racing a COMPLETING query: near-zero timeout on a fast query
+    # either times out cleanly or passes cleanly — never corrupts state
+    for _ in range(20):
+        df, timed_out, con = run_oracle(con, "SELECT 1 AS v", 0.001,
+                                        duckdb.connect)
+    df, timed_out, con = run_oracle(con, "SELECT 7 AS v", 30.0,
+                                    duckdb.connect)
+    assert df["v"][0] == 7, "racing timer poisoned a later query"
+    print("selftest: PASS")
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # stringify to avoid dtype mismatches (int32 vs int64 etc.)
@@ -23,13 +87,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def main():
+    if sys.argv[1:2] == ["--selftest"]:
+        selftest()
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else None
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con = connect(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
@@ -41,24 +104,17 @@ def main():
         if name not in oracles:
             print(f"{name}: NO-ORACLE rows={len(got)}")
             continue
-        timed_out = []
-        timer = None
-        if timeout:
-            timer = threading.Timer(timeout,
-                lambda: (timed_out.append(True), con.interrupt()))
-            timer.start()
         try:
-            want = con.sql(oracles[name]).df()
+            want, timed_out, con = run_oracle(
+                con, oracles[name], timeout, lambda: connect(sf_dir))
         except Exception as e:
-            if timed_out:
-                print(f"{name}: ORACLE-TIMEOUT after {timeout}s (rows={len(got)})")
-            else:
-                print(f"{name}: ORACLE-ERROR {e}")
+            print(f"{name}: ORACLE-ERROR {e}")
             n_fail += 1
             continue
-        finally:
-            if timer:
-                timer.cancel()
+        if want is None:
+            print(f"{name}: ORACLE-TIMEOUT after {timeout}s (rows={len(got)})")
+            n_fail += 1
+            continue
         g, w = canon(got), canon(want)
         if list(g.columns) != list(w.columns):
             print(f"{name}: FAIL cols got={list(g.columns)} want={list(w.columns)}")

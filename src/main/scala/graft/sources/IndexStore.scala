@@ -65,7 +65,11 @@ object IndexStore {
 
   /** memoized per-dir source bytes: one FS listing, stable for a corpus.
     * Counts documents.parquet + embeddings.parquet (file- or dir-shaped)
-    * — the relations the bucketed tables derive from. */
+    * — the relations the bucketed tables derive from. Swept by the
+    * data-changed invalidation hook (see the `locally` block below), so a
+    * corpus rewritten in place re-sizes from its CURRENT bytes on the
+    * next build instead of keeping the first-seen count for the JVM's
+    * lifetime. */
   private val dirBytes = new ConcurrentHashMap[String, java.lang.Long]()
 
   private def corpusBytes(spark: SparkSession, dir: String): Long =
@@ -77,13 +81,28 @@ object IndexStore {
         if (!fs.exists(p)) 0L
         else {
           val st = fs.getFileStatus(p)
-          if (st.isDirectory) // dir-shaped parquet outputs: one level down
-            fs.listStatus(p).iterator.map(_.getLen).sum
+          // dir-shaped parquet outputs: recursive — a partitioned/nested
+          // layout (partitionBy subdirectories) must count its leaves,
+          // not the ~0 bytes of its first listing level
+          if (st.isDirectory) fs.getContentSummary(p).getLength
           else st.getLen
         }
       }.sum
       java.lang.Long.valueOf(sum)
     })
+
+  locally {
+    // data-changed hook: PlanCache.invalidate(dir) means "the data under
+    // dir changed on disk" (the watch loop's per-micro-batch sweep), so
+    // every per-dir sizing memo re-derives from current bytes next use.
+    // Cheap to rebuild (one FS listing / one thin aggregate), so the
+    // sweep is unconditional — unlike the derived TABLES, which only
+    // invalidateDerived drops (an explicit, session-carrying call).
+    graft.PlanCache.onInvalidate {
+      case Some(d) => dirBytes.remove(d); ()
+      case None    => dirBytes.clear()
+    }
+  }
 
   private def pow2ceil(n: Long): Int = {
     var p = 1
@@ -236,6 +255,7 @@ object IndexStore {
     * watch loop invalidates per micro-batch, so the staleness horizon is
     * one batch; full closure would need the PlanCache epoch scheme. */
   def invalidateDerived(spark: SparkSession, dir: String): Unit = {
+    dirBytes.remove(dir) // re-size auto buckets from the corpus's new bytes
     val it = derived.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

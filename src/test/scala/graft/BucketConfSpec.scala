@@ -90,4 +90,51 @@ class BucketConfSpec extends AnyFunSuite with SparkFixture {
       spark.conf.unset(IndexStore.BucketsConf)
     }
   }
+
+  test("invalidation re-sizes auto buckets from the corpus's new bytes") {
+    // a corpus rewritten IN PLACE (watch-loop growth) must not keep its
+    // first-seen byte count for the JVM's lifetime: the data-changed
+    // invalidation sweeps the sizing memo, so the next resolve sees the
+    // grown corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-grow").toString
+    val docs = Tables.documents(spark, SfDir)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val small = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    }
+    // target = small bytes: the initial corpus spans ~1 target -> floor 8
+    spark.conf.set(IndexStore.TargetBytesConf, small.toString)
+    try {
+      assert(IndexStore.buckets(spark, dir) == 8)
+      // grow the corpus ~20x in place; the memo still answers 8 ...
+      docs.unionAll(docs).unionAll(docs).unionAll(docs).unionAll(docs)
+        .unionAll(docs).unionAll(docs).unionAll(docs).unionAll(docs)
+        .unionAll(docs).unionAll(docs).unionAll(docs).unionAll(docs)
+        .unionAll(docs).unionAll(docs).unionAll(docs).unionAll(docs)
+        .unionAll(docs).unionAll(docs).unionAll(docs)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(IndexStore.buckets(spark, dir) == 8,
+        "memo must answer until the data-changed hook fires")
+      // ... until the data-changed hook fires, then auto re-sizes
+      graft.PlanCache.invalidate(dir)
+      assert(IndexStore.buckets(spark, dir) > 8,
+        "post-invalidation resolve must see the grown corpus")
+    } finally spark.conf.unset(IndexStore.TargetBytesConf)
+  }
+
+  test("dir-shaped corpus bytes count nested (partitioned) leaves") {
+    // a partitionBy layout nests data files one level deeper — sizing
+    // must count the leaves, not the ~0 bytes of the top listing level
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.documents(spark, SfDir).write.mode("overwrite")
+      .partitionBy("lang").parquet(s"$dir/documents.parquet")
+    // target 1 byte: any nonzero corpus overflows the floor to the max
+    // clamp; a 0-byte reading would stay on the floor of 8
+    spark.conf.set(IndexStore.TargetBytesConf, "1")
+    try assert(IndexStore.buckets(spark, dir) > 8,
+      "nested layout must contribute its real bytes")
+    finally spark.conf.unset(IndexStore.TargetBytesConf)
+  }
 }
