@@ -439,6 +439,57 @@ object ScaleProbe {
     }
   }
 
+  /** Every BroadcastExchange in an executed plan, including the ones AQE
+    * hides inside query stages and subqueries; ReusedExchange is skipped
+    * (it shares the original's buffer — no extra driver/executor memory). */
+  private def broadcastsIn(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec        => Seq(s.plan)
+      case _: ReusedExchangeExec    => Nil
+      case other                    => other.children
+    }
+    val here = p match { case b: BroadcastExchangeExec => Seq(b); case _ => Nil }
+    here ++ (kids ++ p.subqueries).flatMap(broadcastsIn)
+  }
+
+  /** Driver-memory audit of the broadcast inventory: run every registered
+    * query against `dir`, read each BroadcastExchange's actual dataSize
+    * metric from the executed plan, and print the top spenders. The plans
+    * broadcast centroid tables, PQ LUTs, df/rate stats, high-df line sets
+    * and the decontamination gram set — each ARGUED small in its
+    * operator's scaladoc; this mode measures them at probe scale so the
+    * argument has a number (any broadcast approaching the 8 GiB hard cap
+    * or executor memory needs a documented cap or a re-plan). Queries
+    * whose tables are absent from a partial probe corpus are skipped. */
+  private def broadcastProbe(spark: SparkSession, dir: String): Unit = {
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, f) =>
+        try {
+          val df = f(spark, dir)
+          df.count()
+          val sizes = broadcastsIn(df.queryExecution.executedPlan)
+            .map(_.metrics("dataSize").value)
+          Some((name, sizes.size, sizes.sum,
+            if (sizes.isEmpty) 0L else sizes.max))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            println(s"BROADCAST $name SKIP ${e.getClass.getSimpleName}")
+            None
+        }
+    }
+    rows.sortBy(-_._4).take(10).foreach { case (n, c, tot, mx) =>
+      println(f"BROADCAST $n%-28s n=$c%2d total=${tot / 1048576.0}%9.3f MiB " +
+        f"max=${mx / 1048576.0}%9.3f MiB")
+    }
+    if (rows.nonEmpty)
+      println(f"BROADCAST-MAX ${rows.map(_._4).max / 1048576.0}%.3f MiB " +
+        s"over ${rows.size} queries (skipped ${SparkEntry.queries.size - rows.size})")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -476,6 +527,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("auto")) {
       args.drop(1).map(_.toInt).foreach(c => autoProbe(spark, base, c))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("broadcast")) {
+      broadcastProbe(spark, args.lift(1).getOrElse(base))
       spark.stop()
       return
     }

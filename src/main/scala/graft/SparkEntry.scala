@@ -187,24 +187,38 @@ object SparkEntry {
     * mint near-threshold collision misses (the adversarial-skew corpus,
     * with half the vectors in one cell, surfaced exactly 7 of them). */
   private def duckEmbBandCtes: String = {
-    import operators.DedupOps.{EmbSeed, EmbBands, EmbBits, EmbDim}
-    val planes = EmbBands * EmbBits
+    import operators.DedupOps.{EmbSeed, EmbBands, EmbBits, EmbDim,
+      LshTargetBucketDefault, LshBitsAutoMax}
+    // geo replays DedupOps.autoBits: the signature width is the smallest
+    // bits in [EmbBits, LshBitsAutoMax] whose expected per-band bucket in
+    // the HOTTEST cell (max cell size / 2^bits) fits the target — integer
+    // shift comparison on both engines, so power-of-two boundaries can
+    // never drift. Planes are generated to the max width and filtered to
+    // the derived plane count (plane p's weights depend only on p, so the
+    // prefix is the same plane set any width uses).
+    val maxPlanes = EmbBands * LshBitsAutoMax
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
        |  FROM embeddings),
+       |geo AS (SELECT coalesce((SELECT min(b)::INT
+       |    FROM range($EmbBits, ${LshBitsAutoMax + 1}) t(b)
+       |    WHERE (SELECT max(n) FROM (SELECT count(*) AS n FROM e GROUP BY label))
+       |      <= $LshTargetBucketDefault * (1::BIGINT << b)),
+       |  $LshBitsAutoMax) AS bits),
        |pl AS (SELECT p, list(w ORDER BY d) AS wl FROM (
        |    SELECT t.p, u.d,
        |      ((('0x' || substr(md5('${EmbSeed}_' || t.p::VARCHAR || '_'
        |        || u.d::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0
        |        AS w
-       |    FROM range($planes) t(p) CROSS JOIN range($EmbDim) u(d))
+       |    FROM range($maxPlanes) t(p) CROSS JOIN range($EmbDim) u(d))
        |  GROUP BY p),
-       |dots AS (SELECT e.vec_id, e.label, pl.p,
+       |dots AS (SELECT e.vec_id, e.label, pl.p, g.bits,
        |    list_sum(list_transform(range($EmbDim),
        |      i -> e.v[i+1]*pl.wl[i+1])) AS dot
-       |  FROM e CROSS JOIN pl),
-       |sg AS (SELECT vec_id, label, (p // $EmbBits) AS band,
+       |  FROM e CROSS JOIN pl CROSS JOIN geo g
+       |  WHERE pl.p < $EmbBands * g.bits),
+       |sg AS (SELECT vec_id, label, (p // bits) AS band,
        |    sum(CASE WHEN dot > 0
-       |      THEN (1 << (${EmbBits - 1} - (p % $EmbBits))) ELSE 0 END) AS sig
+       |      THEN (1::BIGINT << (bits - 1 - (p % bits))) ELSE 0 END) AS sig
        |  FROM dots GROUP BY 1, 2, 3)""" // margin pipes kept: consumers
     // interpolate this mid-template and apply stripMargin exactly ONCE
     // (pre-stripping would let the outer strip eat the first '|' of a
@@ -860,36 +874,17 @@ object SparkEntry {
     // cap, the vec_knn_join_ann sig CTEs), and must agree with the
     // engine on which label took which path — the ROUTER is under test
     "vec_knn_join_auto" -> {
-      import operators.DedupOps.{EmbSeed, EmbBands, EmbBits, EmbDim}
       import operators.SearchOps.AutoCapDefault
-      val planes = EmbBands * EmbBits
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-         |  FROM embeddings),
+      s"""WITH $duckEmbBandCtes,
          |cs AS (SELECT label, count(*) AS cell_n FROM e GROUP BY 1),
          |ex AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
          |    round(${duckCos("a.v", "b.v")}, 4) AS score, FALSE AS routed
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
          |  JOIN cs ON cs.label = a.label AND cs.cell_n <= $AutoCapDefault),
-         |pl AS (SELECT p, list(w ORDER BY d) AS wl FROM (
-         |    SELECT t.p, u.d,
-         |      ((('0x' || substr(md5('${EmbSeed}_' || t.p::VARCHAR || '_'
-         |        || u.d::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0
-         |        AS w
-         |    FROM range($planes) t(p) CROSS JOIN range($EmbDim) u(d))
-         |  GROUP BY p),
-         |bige AS (SELECT e.* FROM e JOIN cs ON cs.label = e.label
-         |  AND cs.cell_n > $AutoCapDefault),
-         |dots AS (SELECT e.vec_id, e.label, pl.p,
-         |    list_sum(list_transform(range($EmbDim),
-         |      i -> e.v[i+1]*pl.wl[i+1])) AS dot
-         |  FROM bige e CROSS JOIN pl),
-         |sg AS (SELECT vec_id, label, (p // $EmbBits) AS band,
-         |    sum(CASE WHEN dot > 0
-         |      THEN (1 << (${EmbBits - 1} - (p % $EmbBits))) ELSE 0 END) AS sig
-         |  FROM dots GROUP BY 1, 2, 3),
          |cand AS (SELECT DISTINCT a.label, a.vec_id AS a_id, b.vec_id AS b_id
          |  FROM sg a JOIN sg b ON a.band = b.band AND a.label = b.label
-         |    AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |    AND a.sig = b.sig AND a.vec_id <> b.vec_id
+         |  JOIN cs ON cs.label = a.label AND cs.cell_n > $AutoCapDefault),
          |rt AS (SELECT c.label, c.a_id, c.b_id,
          |    round(${duckCos("ea.v", "eb.v")}, 4) AS score, TRUE AS routed
          |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id
@@ -1059,7 +1054,7 @@ object SparkEntry {
     // lockstep with SearchOps.vecKnnJoinAnn over DedupOps.embBands:
     // the hyperplanes are md5-derived ((md5("seed_p_d")[:15hex] % 2001
     // - 1000)/1000 — engine-reproducible by construction), signatures
-    // fold sign bits MSB-first per 4-bit band, candidates share a
+    // fold sign bits MSB-first per census-width band, candidates share a
     // (band, label, sig) bucket, verify = exact cosine, top-3 per query
     // by (score DESC, b_id) — TopKAgg's eval order
     "vec_knn_join_ann" -> {

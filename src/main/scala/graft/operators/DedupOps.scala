@@ -485,20 +485,60 @@ object DedupOps {
   private[graft] val EmbSeed = 0
   private[graft] val EmbDim = 64
 
-  /** Deploy-time LSH geometry knobs. The defaults ([[EmbBands]]×
-    * [[EmbBits]]) are the recall geometry the driver oracle replays —
-    * contract queries run with the confs UNSET and stay hash-stable. A
-    * deployment sizes them to its threshold and cell sizes: enumerated
-    * collisions scale as Σcell² · bands / 2^bits (the sf10 probe's
-    * SCALE_NOTES section), so 8-bit sigs cut collision work 16× at the
-    * same band count while recall for a pair at per-bit agreement p
-    * stays 1-(1-p^bits)^bands. */
+  /** Deploy-time LSH geometry knobs. Enumerated collisions scale as
+    * Σcell² · bands / 2^bits (the sf10 probe's SCALE_NOTES section), so
+    * wider signatures cut collision work 2× per bit at the same band
+    * count while recall for a pair at per-bit agreement p stays
+    * 1-(1-p^bits)^bands.
+    *
+    * Since round 10 the signature WIDTH self-sizes from the hottest IVF
+    * cell (the same census posture as the auto bucket count): bits is
+    * the smallest width in [[[EmbBits]], 16] whose expected per-band
+    * bucket within the hottest cell (maxCell / 2^bits) fits
+    * [[LshTargetBucketConf]]. The round-8 sf10 measurement is the
+    * motivation: at 20k-vector cells the pinned 4-bit default made
+    * banded-ANN collision work ≈ 2× the exact join's Σcell² (203.8 s,
+    * WORSE than exact's 150.3 s) while 8-bit signatures — exactly what
+    * the rule derives at maxCell ≈ 21.8k / target 128 — ran it in
+    * 21.5 s. The derivation is a deterministic function of the corpus
+    * (one thin census), so the DuckDB oracle replays it
+    * (SparkEntry.duckEmbBandCtes) and hashes stay green at EVERY scale,
+    * not just where the census lands on the floor. At the verify SFs
+    * (maxCell ≤ 218) the rule sits on the [[EmbBits]] floor, so the
+    * historical artifacts are unchanged. An integer conf pins either
+    * knob exactly as before; the geometry — derived or pinned — folds
+    * into the band table's identity (see [[embBands]]). */
   private[graft] val LshBandsConf = "spark.graft.lshBands"
   private[graft] val LshBitsConf = "spark.graft.lshBits"
 
-  private[graft] def lshGeometry(spark: SparkSession): (Int, Int) = {
+  /** Auto-width target: expected hottest-cell per-band bucket size (see
+    * [[LshBandsConf]] doc). Per-band collision work in a cell of n is
+    * n²/2^bits = n · bucket, so the target bounds per-vector collision
+    * candidates per band. MUST stay in lockstep with the oracle's geo
+    * CTE (SparkEntry.duckEmbBandCtes) — the derived width is part of
+    * the cross-engine contract. */
+  private[graft] val LshTargetBucketConf = "spark.graft.lshTargetBucket"
+  private[graft] val LshTargetBucketDefault = 128L
+  private[graft] val LshBitsAutoMax = 16
+
+  /** The census-derived signature width when [[LshBitsConf]] is unset:
+    * smallest bits in [EmbBits, 16] with maxCell <= target · 2^bits.
+    * Integer arithmetic only — the DuckDB replay must agree on exact
+    * power-of-two boundaries, so no float log2 on either side. */
+  private[graft] def autoBits(spark: SparkSession, dir: String): Int = {
+    val target = spark.conf.getOption(LshTargetBucketConf).map(_.toLong)
+      .getOrElse(LshTargetBucketDefault)
+    require(target >= 1, s"$LshTargetBucketConf must be >= 1, got $target")
+    val maxCell = graft.sources.IndexStore.maxCellSize(spark, dir)
+    var b = EmbBits
+    while (b < LshBitsAutoMax && maxCell > (target << b)) b += 1
+    b
+  }
+
+  private[graft] def lshGeometry(spark: SparkSession, dir: String): (Int, Int) = {
     val bands = spark.conf.getOption(LshBandsConf).map(_.toInt).getOrElse(EmbBands)
-    val bits = spark.conf.getOption(LshBitsConf).map(_.toInt).getOrElse(EmbBits)
+    val bits = spark.conf.getOption(LshBitsConf).map(_.toInt)
+      .getOrElse(autoBits(spark, dir))
     require(bands >= 1 && bands <= 512, s"$LshBandsConf out of range: $bands")
     require(bits >= 1 && bits <= 32, s"$LshBitsConf out of range: $bits")
     (bands, bits)
@@ -524,7 +564,7 @@ object DedupOps {
     * warehouse with the old narrow layout from answering for the new
     * schema. */
   private[operators] def embBands(spark: SparkSession, dir: String): DataFrame = {
-    val (bands, bits) = lshGeometry(spark)
+    val (bands, bits) = lshGeometry(spark, dir)
     // the geometry folds into the table identity the same way the bucket
     // count does — a warehouse can hold one table per geometry, and a
     // conf flip can never silently reuse signatures built another way
@@ -728,7 +768,7 @@ object DedupOps {
     // oversize cells: candidates only where a full hyperplane band agrees
     // WITHIN the cell (cluster folds into the join key) — the
     // dedupEmbedding blocking geometry applied to the cell's own members
-    val (lshBands, lshBits) = lshGeometry(spark)
+    val (lshBands, lshBits) = lshGeometry(spark, dir)
     val bands = big.select(col("cluster"), col("vec_id"), col("v"),
         posexplode(bandSigs(col("v"), EmbSeed, lshBands, lshBits, EmbDim)))
       .select(col("cluster"), col("vec_id"), col("v"),

@@ -764,7 +764,8 @@ object SearchOps {
   /** Approximate batch KNN — the 100 TB scale path for [[vecKnnJoin]]:
     * instead of comparing every pair inside a label cell (cell² work,
     * detonates when a cell holds millions of vectors), candidates come
-    * from the hyperplane-LSH band join (32×4-bit signatures, shared with
+    * from the hyperplane-LSH band join (32 bands × census-sized bits,
+    * shared with
     * dedup_embedding via PlanCache) and only collisions get scored +
     * heap-ranked. Recall is probabilistic — P[candidate] = 1-(1-p^4)^32
     * with p the per-bit agreement — rising with similarity, so the TRUE

@@ -91,6 +91,23 @@ object IndexStore {
       java.lang.Long.valueOf(sum)
     })
 
+  /** memoized per-dir hottest-IVF-cell size — the census the auto LSH
+    * geometry derives its signature width from (see
+    * [[graft.operators.DedupOps.lshGeometry]]). One thin aggregate over
+    * the embeddings table, collected as a driver-side scalar (a sizing
+    * decision, not data), then stable for the corpus until the
+    * data-changed invalidation sweeps it. */
+  private val dirMaxCell = new ConcurrentHashMap[String, java.lang.Long]()
+
+  def maxCellSize(spark: SparkSession, dir: String): Long =
+    dirMaxCell.computeIfAbsent(dir, { d =>
+      val rows = graft.Tables.embeddings(spark, d)
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect()
+      java.lang.Long.valueOf(
+        if (rows.isEmpty || rows(0).isNullAt(0)) 0L else rows(0).getLong(0))
+    })
+
   locally {
     // data-changed hook: PlanCache.invalidate(dir) means "the data under
     // dir changed on disk" (the watch loop's per-micro-batch sweep), so
@@ -99,8 +116,8 @@ object IndexStore {
     // sweep is unconditional — unlike the derived TABLES, which only
     // invalidateDerived drops (an explicit, session-carrying call).
     graft.PlanCache.onInvalidate {
-      case Some(d) => dirBytes.remove(d); ()
-      case None    => dirBytes.clear()
+      case Some(d) => dirBytes.remove(d); dirMaxCell.remove(d); ()
+      case None    => dirBytes.clear(); dirMaxCell.clear()
     }
   }
 
@@ -255,7 +272,9 @@ object IndexStore {
     * watch loop invalidates per micro-batch, so the staleness horizon is
     * one batch; full closure would need the PlanCache epoch scheme. */
   def invalidateDerived(spark: SparkSession, dir: String): Unit = {
-    dirBytes.remove(dir) // re-size auto buckets from the corpus's new bytes
+    // re-derive auto sizing (buckets, LSH width) from the corpus's new state
+    dirBytes.remove(dir)
+    dirMaxCell.remove(dir)
     val it = derived.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

@@ -132,7 +132,18 @@ object WatchLoop {
           // record-and-continue, the reference's reload posture
           // (metrics.go:62: a failed reload bumps failedReloads and the
           // loop keeps serving the previous index)
-          case scala.util.control.NonFatal(e) => err = Some(e.toString)
+          case scala.util.control.NonFatal(e) =>
+            err = Some(e.toString)
+            // Spark's state-store commit validation requires foreachBatch
+            // to consume every partition: a build failure that left the
+            // batch untouched (e.g. the edge table yanked from under the
+            // anti-join) would otherwise fail batch commit and kill the
+            // STREAM — the opposite of record-and-continue. Drain the
+            // batch so its dedup-state commits land; the consumed edges
+            // are already in the stream's state (the same edges a
+            // successful retry would have deduped away).
+            try { batch.count(); () }
+            catch { case scala.util.control.NonFatal(_) => () }
         }
         ledger.add(ReloadRecord(batchId, (System.nanoTime() - t0) / 1000000L,
           if (err.isEmpty) appended else 0L, totalEdges.get(), err))

@@ -71,8 +71,91 @@ class LshGeometrySpec extends AnyFunSuite with SparkFixture {
 
   test("out-of-range geometry fails loudly") {
     intercept[IllegalArgumentException](
-      withGeometry(0, 4)(operators.DedupOps.lshGeometry(spark)))
+      withGeometry(0, 4)(operators.DedupOps.lshGeometry(spark, SfDir)))
     intercept[IllegalArgumentException](
-      withGeometry(32, 40)(operators.DedupOps.lshGeometry(spark)))
+      withGeometry(32, 40)(operators.DedupOps.lshGeometry(spark, SfDir)))
+  }
+
+  /** A corpus dir whose hottest cell holds `hot` vectors: the sf0.001
+    * embeddings replicated with shifted ids, all forced into label 0. */
+  private def hotCellCorpus(hot: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotcell").toString
+    val base = Tables.embeddings(spark, SfDir)
+    val n = base.count()
+    val copies = (hot + n - 1) / n
+    (0L until copies).map(c => base
+        .withColumn("vec_id", col("vec_id") + lit(c * 1000000L))
+        .withColumn("label", lit(0)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("signature width self-sizes from the hottest cell; pinned conf wins") {
+    import operators.DedupOps
+    // verify corpora sit on the floor: hottest cell (63 at sf0.001) is
+    // far under target<<4 = 2048, so the derived geometry IS the
+    // historical default and every artifact stays byte-identical
+    assert(DedupOps.lshGeometry(spark, SfDir) == (32, 4))
+    // a hot cell past target<<4 escalates the width by exactly the
+    // doubling rule: 2500 vectors in one cell -> 2048 < 2500 <= 4096 -> 5
+    val dir = hotCellCorpus(2500)
+    assert(DedupOps.autoBits(spark, dir) == 5)
+    // the derived geometry folds into the band-table identity like a
+    // pinned one (no silent reuse of signatures built another way)
+    assert(operators.DedupOps.dedupEmbedding(spark, dir).count() >= 0)
+    assert(spark.catalog.tableExists(
+      IndexStore.derivedTableName(spark, dir, "emb_bands_v2_g32x5")))
+    // pinned bits beat the census
+    spark.conf.set(DedupOps.LshBitsConf, "4")
+    try assert(DedupOps.lshGeometry(spark, dir) == (32, 4))
+    finally spark.conf.unset(DedupOps.LshBitsConf)
+    // a smaller target escalates harder; must be >= 1
+    spark.conf.set(DedupOps.LshTargetBucketConf, "64")
+    try assert(DedupOps.autoBits(spark, dir) == 6)
+    finally spark.conf.unset(DedupOps.LshTargetBucketConf)
+    spark.conf.set(DedupOps.LshTargetBucketConf, "0")
+    try intercept[IllegalArgumentException](DedupOps.autoBits(spark, dir))
+    finally spark.conf.unset(DedupOps.LshTargetBucketConf)
+  }
+
+  test("escalated auto width stays precision-1 on its corpus") {
+    // the census-derived geometry changes candidate RECALL only — every
+    // emitted pair is still exact-cosine-verified on the hot corpus
+    val dir = hotCellCorpus(2500)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), col("embedding"))
+    val truth = emb.join(emb.select(col("label").as("bl"),
+        col("vec_id").as("b_id"), col("embedding").as("b_emb")),
+        col("label") === col("bl") && col("vec_id") < col("b_id"))
+      .select(col("vec_id"), col("b_id"),
+        functions.VectorFunctions.fastRound(
+          functions.VectorFunctions.cosineSim(col("embedding"), col("b_emb")), 4)
+          .as("score"))
+      .filter(col("score") >= 0.42)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = operators.DedupOps.dedupEmbedding(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), s"non-true pair: ${got.diff(truth).take(3)}")
+    assert(got.nonEmpty, "replicated corpus must surface near-dup pairs")
+  }
+
+  test("auto width re-derives after a data-changed invalidation") {
+    import operators.DedupOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-grow-lsh").toString
+    val base = Tables.embeddings(spark, SfDir)
+    base.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(DedupOps.autoBits(spark, dir) == 4)
+    // the corpus's hottest cell grows past the escalation boundary ...
+    (0L until 5L).map(c => base
+        .withColumn("vec_id", col("vec_id") + lit(c * 1000000L))
+        .withColumn("label", lit(0)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(DedupOps.autoBits(spark, dir) == 4,
+      "census memo must answer until the data-changed hook fires")
+    graft.PlanCache.invalidate(dir)
+    assert(DedupOps.autoBits(spark, dir) == 5,
+      "post-invalidation the census must see the grown cell")
   }
 }

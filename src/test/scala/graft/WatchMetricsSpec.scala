@@ -46,6 +46,50 @@ class WatchMetricsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("a failing micro-batch is ledgered and the loop keeps serving") {
+    // the reference's RecordReload(err) posture (metrics.go:62): a reload
+    // whose index build throws bumps failedReloads and the loop keeps
+    // serving the previous index — injected here by yanking the edge
+    // table out from under one micro-batch (the "index files deleted on
+    // disk" failure), then restoring it for the next
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = WatchLoop.start(spark, SfDir, mem.toDF().toDF("src", "dst"))
+    try {
+      mem.addData((0L, 555555L))
+      q.processAllAvailable()
+      assert(WatchLoop.metrics(spark, SfDir).failedReloads == 0L)
+      val tbl = "graft_watch_edges" + SfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      val saved = spark.table(tbl).collect()
+      val schema = spark.table(tbl).schema
+      spark.sql(s"DROP TABLE $tbl")
+      mem.addData((0L, 444444L))
+      q.processAllAvailable()
+      val m = WatchLoop.metrics(spark, SfDir)
+      assert(m.failedReloads == 1L, "the broken batch must be ledgered")
+      assert(m.lastError.exists(_.nonEmpty), "with its error recorded")
+      assert(m.currentEdgeCount > 0L,
+        "the snapshot keeps serving the pre-failure counters")
+      // record-and-continue: after the table is repaired, the NEXT batch
+      // lands normally — the loop never died
+      graft.sources.IndexStore.replaceTable(spark,
+        spark.createDataFrame(java.util.Arrays.asList(saved: _*), schema), tbl)
+      mem.addData((0L, 333333L))
+      q.processAllAvailable()
+      val m2 = WatchLoop.metrics(spark, SfDir)
+      assert(m2.totalReloads == m.totalReloads + 1)
+      assert(m2.failedReloads == 1L && m2.lastError.isEmpty,
+        "post-repair batches succeed and the failure stays a ledger row")
+      assert(m2.currentEdgeCount == m.currentEdgeCount + 1,
+        "the repaired loop appends the new edge")
+    } finally {
+      q.stop()
+      WatchLoop.stop(spark, SfDir)
+    }
+  }
+
   test("batch twin: counters reconcile and both outcomes are covered") {
     val rows = operators.ChunkOps.watchReloadLog(spark, SfDir)
       .orderBy("reload_id").collect()
