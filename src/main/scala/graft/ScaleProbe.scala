@@ -497,8 +497,16 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // probe corpora are ONE parquet file per table (check_oracle.py's
+      // registration contract), so the default 128 MB split leaves a
+      // CPU-bound raw scan over a 60 MB sf10 file on a single core —
+      // size splits so single-file probe tables still fan out (the same
+      // files.maxPartitionBytes sizing the 100 TB brief calls out; a
+      // real corpus has many files and never hits this)
+      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(GraftConf.fromEnv())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = "/root/testdata/sf0.1"
