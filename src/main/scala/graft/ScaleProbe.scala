@@ -469,9 +469,12 @@ object ScaleProbe {
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, f) =>
         try {
-          val df = f(spark, dir)
-          df.count()
-          val sizes = broadcastsIn(df.queryExecution.executedPlan)
+          // execute THIS dataframe's own QueryExecution: df.count() would
+          // plan a separate groupBy().count() execution, leaving the plan
+          // instance traversed below unexecuted and every metric unset
+          val qe = f(spark, dir).queryExecution
+          qe.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+          val sizes = broadcastsIn(qe.executedPlan)
             .map(_.metrics("dataSize").value)
           Some((name, sizes.size, sizes.sum,
             if (sizes.isEmpty) 0L else sizes.max))
