@@ -240,19 +240,41 @@ object DedupOps {
     * are the batch's own dedup problem (the minhash self-join or the
     * streaming ingest dedup twin cover it) and are deliberately not
     * re-reported here. */
+  /** Broadcast cap for the incremental probe side, in NEW-BATCH DOCS.
+    * The probe broadcast scales with CHURN, not the corpus — but this
+    * operator's stand-in churn is a fixed 1/[[IncrMod]] corpus slice, so
+    * the sf10 broadcast audit measured it at 160 MiB (50k churn docs ≈
+    * 3 MiB per 1k docs hashed) — the ONLY corpus-scaling broadcast in the
+    * inventory. Above the cap the probe side takes one churn-sized
+    * shuffle into the corpus table's own (band, sig) bucketing instead
+    * (the corpus side stays co-located either way); a churn that large
+    * is a reindex, not an increment, and must not ride the broadcast bus
+    * toward the 8 GiB hard cap. Default 200k docs ≈ 600 MiB hashed. */
+  private[graft] val IncrBroadcastDocsConf = "spark.graft.incrBroadcastDocs"
+  private[graft] val IncrBroadcastDocsDefault = 200000L
+
   /** The pre-verify candidate join — exposed so the plan suite asserts
-    * the corpus band table is probed in place (broadcast new-batch side,
-    * no exchange of the corpus rows). */
+    * the corpus band table is probed in place (broadcast new-batch side
+    * up to [[IncrBroadcastDocsConf]], churn-sized shuffle above it; no
+    * exchange of the corpus rows either way). */
   private[graft] def incrementalCandidates(spark: SparkSession,
       dir: String): DataFrame = {
     val ng = shingled(spark, dir)
     val newBands = minhashBandsOf(ng.filter(col("doc_id") % IncrMod === IncrRes))
     val corpus = minhashBands(spark, dir)
       .filter(col("doc_id") % IncrMod =!= IncrRes)
+    val cap = spark.conf.getOption(IncrBroadcastDocsConf).map(_.toLong)
+      .getOrElse(IncrBroadcastDocsDefault)
+    require(cap >= 0, s"$IncrBroadcastDocsConf must be >= 0, got $cap")
+    // churn census: one pushed-filter count over the doc_id column — the
+    // routing scalar, same posture as vec_knn_join_auto's cell census
+    val churnDocs = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % IncrMod === IncrRes).count()
+    val probe = newBands.select(col("doc_id").as("a_id"),
+      col("sigs").as("a_sigs"), col("band").as("a_band"),
+      col("sig").as("a_sig"))
     corpus
-      .join(broadcast(newBands.select(col("doc_id").as("a_id"),
-          col("sigs").as("a_sigs"), col("band").as("a_band"),
-          col("sig").as("a_sig"))),
+      .join(if (churnDocs <= cap) broadcast(probe) else probe,
         col("band") === col("a_band") && col("sig") === col("a_sig") &&
           firstBandMatch(col("a_sigs"), col("sigs"), col("band")))
       .select(col("a_id"), col("doc_id").as("b_id"))

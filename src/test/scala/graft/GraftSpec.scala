@@ -2127,6 +2127,22 @@ class IndexStoreSpec extends AnyFunSuite with SparkFixture {
         .findAllIn(plan).size
       assert(corpusShuffles == 0,
         s"corpus band rows must not repartition:\n$plan")
+      // above the churn cap the probe side takes its own churn-sized
+      // shuffle instead of the broadcast (the broadcast grows with the
+      // new batch — the sf10 audit's one corpus-scaling broadcast), the
+      // corpus rows STILL never repartition, and results are identical
+      val base = df.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(operators.DedupOps.IncrBroadcastDocsConf, "0")
+      try {
+        val routed = operators.DedupOps.incrementalCandidates(spark, SfDir)
+        assert(routed.collect().map(_.toString).sorted.toSeq == base,
+          "the churn route is a plan knob, not a semantics knob")
+        val rplan = routed.queryExecution.executedPlan.toString
+        assert(!rplan.contains("BroadcastHashJoin"),
+          s"above the cap the probe side must not broadcast:\n$rplan")
+        assert("Exchange hashpartitioning\\(band".r.findAllIn(rplan).isEmpty,
+          s"corpus band rows must not repartition on the routed path:\n$rplan")
+      } finally spark.conf.unset(operators.DedupOps.IncrBroadcastDocsConf)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
