@@ -140,6 +140,27 @@ class LshGeometrySpec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty, "replicated corpus must surface near-dup pairs")
   }
 
+  test("width escalation boundary is integer-exact") {
+    // maxCell == target<<bits must NOT escalate (the <= boundary), one
+    // more row must — the exact power-of-two edges are where a float
+    // log2 on either engine would drift from the DuckDB geo CTE's
+    // integer-shift replay, so they are pinned here
+    val base = Tables.embeddings(spark, SfDir).withColumn("label", lit(0))
+    def corpusOf(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-edge").toString
+      (0L until 5L).map(c => base
+          .withColumn("vec_id", col("vec_id") + lit(c * 1000000L)))
+        .reduce(_ unionAll _)
+        .limit(n)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    assert(operators.DedupOps.autoBits(spark, corpusOf(2048)) == 4,
+      "maxCell == 128<<4 sits ON the boundary and stays at the floor")
+    assert(operators.DedupOps.autoBits(spark, corpusOf(2049)) == 5,
+      "one past the boundary escalates")
+  }
+
   test("auto width re-derives after a data-changed invalidation") {
     import operators.DedupOps
     val dir = java.nio.file.Files.createTempDirectory("graft-grow-lsh").toString
