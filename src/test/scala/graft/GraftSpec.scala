@@ -2146,6 +2146,28 @@ class IndexStoreSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("the churn broadcast cap is integer-exact: == broadcasts, -1 routes") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val churn = Tables.documents(spark, SfDir)
+      .filter(col("doc_id") % operators.DedupOps.IncrMod ===
+        operators.DedupOps.IncrRes).count()
+    def planAt(cap: Long): String = {
+      spark.conf.set(operators.DedupOps.IncrBroadcastDocsConf, cap.toString)
+      try {
+        val df = operators.DedupOps.incrementalCandidates(spark, SfDir)
+        df.count()
+        df.queryExecution.executedPlan.toString
+      } finally spark.conf.unset(operators.DedupOps.IncrBroadcastDocsConf)
+    }
+    try {
+      assert(planAt(churn).contains("BroadcastHashJoin"),
+        s"cap == churn ($churn docs) must still ride the broadcast bus")
+      assert(!planAt(churn - 1).contains("BroadcastHashJoin"),
+        s"cap == churn - 1 must take the routed shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("phash pairs equal a direct 32-frame average-hash recount") {
     val docs = Tables.documents(spark, SfDir)
       .filter(col("n_chars") >= 32)
