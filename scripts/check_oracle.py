@@ -27,36 +27,46 @@ def connect(sf_dir):
 def run_oracle(con, sql, timeout, reconnect):
     """Run one oracle query under an optional wall timeout.
 
-    Returns (df_or_None, timed_out, con). The timer only interrupts while
-    the query is still running (`done` flag) — a timer firing between
-    query completion and cancel() must NOT interrupt the connection, or
-    the stray interrupt poisons the NEXT query's replay. If the timer DID
-    fire (whether or not the interrupt landed before completion), the
-    connection is rebuilt from scratch so no half-delivered interrupt can
-    bleed into a later query.
+    Returns (df_or_None, timed_out, con). Check-and-interrupt is ATOMIC
+    with completion: fire() holds `lock` across its done-check AND the
+    interrupt, and the main thread marks done under the same lock — so
+    once finish() returns, no interrupt can land afterwards. The
+    reconnect decision is computed only AFTER timer.cancel() + a join of
+    the timer thread, i.e. after `timed_out` is final: if the timer fired
+    at all (even racing a completing query), the connection is rebuilt
+    from scratch so a half-delivered interrupt can never poison the NEXT
+    query's replay.
     """
     timed_out = []
-    done = threading.Event()
+    lock = threading.Lock()
+    done = [False]
     timer = None
     if timeout:
         def fire():
-            if not done.is_set():
-                timed_out.append(True)
-                con.interrupt()
+            with lock:
+                if not done[0]:
+                    timed_out.append(True)
+                    con.interrupt()
         timer = threading.Timer(timeout, fire)
         timer.start()
+
+    def finish():
+        with lock:
+            done[0] = True
+        if timer:
+            timer.cancel()
+            timer.join()  # after this, timed_out can no longer change
     try:
         df = con.sql(sql).df()
-        done.set()
+        finish()
+        # a timer that fired while the query was completing interrupted a
+        # live connection — hand back a fresh one even though df is good
         return df, bool(timed_out), (reconnect() if timed_out else con)
     except Exception:
-        done.set()
+        finish()
         if timed_out:
             return None, True, reconnect()
         raise
-    finally:
-        if timer:
-            timer.cancel()
 
 def selftest():
     """Deliberate-timeout exercise: a slow query must record a timeout and

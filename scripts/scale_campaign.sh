@@ -1,17 +1,22 @@
 #!/bin/bash
 # Regenerate the full scale-evidence artifact set at HEAD:
-#   docs/bench_full_sf0.1.json   (Bench writes it itself)
-#   docs/sf1_correctness.json    + docs/bench_full_sf1.json
-#   docs/skew_correctness.json   + docs/bench_full_skew.json
-#   sf10 targeted-heavies bench line + broadcast audit (fold into
-#   docs/bench_probe_sf10.json / SCALE_NOTES by hand — they carry prose)
+#   docs/bench_full_sf0.1.json     (Bench writes it itself)
+#   docs/sf1_correctness.json      + docs/bench_full_sf1.json
+#   docs/skew_correctness.json     + docs/bench_full_skew.json
+#   docs/sf10_correctness.json     + docs/bench_full_sf10.json   (round 11+:
+#     the FULL 129-query sweep at sf10 — all tables x100, not just the
+#     7 heavies the round-10 probe covered)
+#   docs/bench_full_skew10-heavies.json (tagged targeted run at skew sf10)
+#   SKETCH/ZORDER/INCR/CHECKPOINT probe lines (fold into SCALE_NOTES —
+#     they carry prose)
 #
 # Run this WHENEVER the corpus generator (ScaleUp), the bucket/width
 # auto-sizing (IndexStore), or a banded-join plan (DedupOps/SearchOps)
 # changes: the judge checks that the docs/ artifacts describe HEAD.
-# Each full sweep is ~10-25 min at local[32]; oracle replay at sf1/skew
-# is another ~10-20 min. Sequential on purpose — parallel sbt runs fight
-# over CPU and poison the wall-clock numbers.
+# Each full sweep is ~10-25 min at local[32] (sf10 is ~1h); oracle replay
+# at sf1/skew is ~10-20 min, at sf10 up to a few hours. Sequential on
+# purpose — parallel sbt runs fight over CPU and poison the wall-clock
+# numbers.
 set -x
 cd "$(dirname "$0")/.."
 export SPARK_GRAFT_CPUS=32
@@ -26,8 +31,9 @@ python3 scripts/check_oracle.py /tmp/graft-sf1 /tmp/verify_sf1 600 | tee /tmp/sf
   python3 scripts/correctness_artifact.py 1 "10x sf0.1 via graft.ScaleUp (sparse perturbation; auto buckets + auto LSH width at HEAD)" docs/sf1_correctness.json
 tail -2 /tmp/sf1_oracle.log
 
-echo "=== STEP 2b: sf1 full bench ==="
+echo "=== STEP 2b: sf1 full bench + sketch accuracy contracts ==="
 SPARK_GRAFT_SF_DIR=/tmp/graft-sf1 sbt -batch "runMain graft.Bench" 2>&1 | grep -E "bench-vs-baseline|\"metric\"" | tail -3
+sbt -batch "runMain graft.ScaleProbe sketch /tmp/graft-sf1" 2>&1 | grep SKETCH
 
 echo "=== STEP 3a: skew corpus ==="
 sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft-skew 10 skew" 2>&1 | grep scaleup | tail -2
@@ -41,18 +47,30 @@ tail -2 /tmp/skew_oracle.log
 echo "=== STEP 3c: skew full bench ==="
 SPARK_GRAFT_SF_DIR=/tmp/graft-skew sbt -batch "runMain graft.Bench" 2>&1 | grep -E "bench-vs-baseline|\"metric\"" | tail -3
 
-echo "=== STEP 4a: sf10 corpus (documents+embeddings) ==="
-sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft-sf10 100 documents embeddings" 2>&1 | grep scaleup
+echo "=== STEP 4a: sf10 FULL corpus (all tables x100) ==="
+sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft-sf10full 100" 2>&1 | grep scaleup
 
-echo "=== STEP 4b: sf10 targeted bench (heavies, min-of-two) ==="
-SPARK_GRAFT_SF_DIR=/tmp/graft-sf10 sbt -batch "runMain graft.Bench vec_knn_join_ann vec_knn_join_auto dedup_embedding dedup_ngram_jaccard dedup_substring graph_iface_match vec_knn_join" 2>&1 | grep "bench-full" | tail -1 > /tmp/sf10_bench.log
-cat /tmp/sf10_bench.log
+echo "=== STEP 4b: sf10 full verify + oracle (the round-11 correctness gate at scale) ==="
+sbt -batch "runMain graft.Verify /tmp/graft-sf10full /tmp/verify_sf10" 2>&1 | tail -2
+python3 scripts/check_oracle.py /tmp/graft-sf10full /tmp/verify_sf10 1800 | tee /tmp/sf10_oracle.log | \
+  python3 scripts/correctness_artifact.py 1 "100x sf0.1 via graft.ScaleUp, ALL tables (sparse perturbation; auto buckets + auto LSH width at HEAD)" docs/sf10_correctness.json
+tail -2 /tmp/sf10_oracle.log
 
-echo "=== STEP 4c: sf10 broadcast audit ==="
-sbt -batch "runMain graft.ScaleProbe broadcast /tmp/graft-sf10" 2>&1 | grep BROADCAST | tee /tmp/sf10_broadcast.log
+echo "=== STEP 4c: sf10 full bench (writes docs/bench_full_sf10.json) ==="
+SPARK_GRAFT_SF_DIR=/tmp/graft-sf10full sbt -batch "runMain graft.Bench" 2>&1 | grep -E "\"metric\"" | tail -1
 
-echo "=== STEP 4d (optional, hot-cell detonation probe): sf10 skew ==="
-# sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft-sf10skew 100 skew documents embeddings"
-# SPARK_GRAFT_SF_DIR=/tmp/graft-sf10skew sbt -batch "runMain graft.Bench vec_knn_join_ann vec_knn_join_auto dedup_embedding" 2>&1 | grep "bench-full" | tail -1
+echo "=== STEP 4d: sf10 probes — sketch contracts, zorder scan-cut, incremental routing, checkpoint cost ==="
+sbt -batch "runMain graft.ScaleProbe sketch /tmp/graft-sf10full" 2>&1 | grep SKETCH
+sbt -batch "runMain graft.ScaleProbe zorder /tmp/graft-sf10full" 2>&1 | grep ZORDER
+sbt -batch "runMain graft.ScaleProbe incr /tmp/graft-sf10full" 2>&1 | grep INCR
+sbt -batch "runMain graft.ScaleProbe checkpoint /tmp/graft-sf10full /tmp/graft_ckpt_sf10" 2>&1 | grep CHECKPOINT
+
+echo "=== STEP 4e: sf10 broadcast audit ==="
+sbt -batch "runMain graft.ScaleProbe broadcast /tmp/graft-sf10full" 2>&1 | grep BROADCAST | tee /tmp/sf10_broadcast.log
+
+echo "=== STEP 5: sf10 skew heavies (tagged artifact docs/bench_full_skew10-heavies.json) ==="
+sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft-sf10skew 100 skew documents embeddings" 2>&1 | grep scaleup
+SPARK_GRAFT_BENCH_TAG=skew10-heavies SPARK_GRAFT_SF_DIR=/tmp/graft-sf10skew \
+  sbt -batch "runMain graft.Bench vec_knn_join_ann vec_knn_join_auto dedup_embedding dedup_ngram_jaccard dedup_substring dedup_incremental graph_iface_match" 2>&1 | grep "bench-full" | tail -1
 
 echo "=== CAMPAIGN DONE ==="

@@ -105,11 +105,16 @@ object Bench {
   /** Every query's time (3-decimal, no truncation) + any errors, keyed by
     * the sf token in the dir name (docs/bench_full_sf0.1.json etc.;
     * non-sf corpus dirs key by their sanitized basename, so a skew-corpus
-    * run lands in its own file instead of clobbering sf history). */
+    * run lands in its own file instead of clobbering sf history).
+    * `tagOverride` (env SPARK_GRAFT_BENCH_TAG) keys a TARGETED run's
+    * artifact under its own name — the scale campaign's
+    * heavies-at-skew-sf10 probes commit their full timing map instead of
+    * leaving it stranded in a stdout line. */
   private def writeFullArtifact(
       results: Seq[(String, Double, Option[String])], sfDir: String,
-      loadStart: String, loadEnd: String, requeried: Int): Unit = {
-    val sfTok = sfToken(sfDir)
+      loadStart: String, loadEnd: String, requeried: Int,
+      tagOverride: Option[String]): Unit = {
+    val sfTok = tagOverride.getOrElse(sfToken(sfDir))
     val baseline = LocalBaselineSec.get(sfTok).fold("") { b =>
       s"""  "vs_local_baseline": ${fmt(results.map(_._2).sum / b)},
          |  "local_baseline_sec": ${fmt(b)},
@@ -216,9 +221,14 @@ object Bench {
     // drops the fastest queries to fit the collector window ("omitted"),
     // so a regression in an omitted query would be invisible
     // round-over-round without this file. One file per sf so an sf1
-    // stress run doesn't clobber the sf0.1 history.
-    if (only.isEmpty)
-      writeFullArtifact(results, sfDir, loadStart, loadEnd, flaky.size)
+    // stress run doesn't clobber the sf0.1 history. A FILTERED run only
+    // writes when tagged (SPARK_GRAFT_BENCH_TAG): a partial map must
+    // never overwrite full round history, but a tagged probe (the skew10
+    // heavies) deserves a committed artifact of its own.
+    val benchTag = sys.env.get("SPARK_GRAFT_BENCH_TAG")
+    if (only.isEmpty || benchTag.isDefined)
+      writeFullArtifact(results, sfDir, loadStart, loadEnd, flaky.size,
+        benchTag)
     // the 2x-of-baseline criterion, against the pinned local wall (see
     // LocalBaselineSec / docs/BASELINE_LOCAL.md); prefixed so the tail
     // parser never matches it. Full sweeps only — a filtered run's

@@ -439,6 +439,90 @@ object ScaleProbe {
     }
   }
 
+  /** Accuracy contracts for the two rows-only sketch operators, walked at
+    * ANY corpus dir (the verify-SF contracts live in the test suite; this
+    * mode re-pins them at sf1/sf10 inside the scale campaign so the
+    * rows-only pair stays honest as the data grows): q9b's HLL++ counts
+    * must sit within 10% of q9's exact distincts per group, q13b's
+    * percentile_approx within 2% of q13's exact interpolated percentiles.
+    * require()s the contract — a drifting sketch FAILS the campaign run
+    * instead of printing a bad number quietly. */
+  private def sketchProbe(spark: SparkSession, dir: String): Unit = {
+    val exactD = operators.Relational.q9DistinctAgg(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val hll = operators.Relational.q9bApproxDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val hllDrift = exactD.map { case (k, ex) =>
+      math.abs(hll(k) - ex) / ex }.max
+    val exactP = operators.Relational.q13Percentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val apxP = operators.Relational.q13bApproxPercentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val pDrift = exactP.map { case (k, (p50, p95)) =>
+      math.max(math.abs(apxP(k)._1 - p50) / p50,
+        math.abs(apxP(k)._2 - p95) / p95) }.max
+    println(f"SKETCH dir=$dir groups=${exactD.size} " +
+      f"hll_max_drift=$hllDrift%.4f (contract 0.10) " +
+      f"pctl_max_drift=$pDrift%.5f (contract 0.02)")
+    require(hllDrift <= 0.10,
+      f"q9b HLL++ drift $hllDrift%.4f breaks the 10%% accuracy contract")
+    require(pDrift <= 0.02,
+      f"q13b percentile_approx drift $pDrift%.5f breaks the 2%% contract")
+  }
+
+  /** Lineage-cut cost at scale: each iterative heavy (BFS closure, label
+    * propagation, BPE merge rounds) runs warm-then-timed under the
+    * default localCheckpoint AND under spark.graft.checkpointDir pointed
+    * at a real on-disk store — the measured price of the fault-tolerant
+    * path SCALE_NOTES argues a 1000-executor deployment pays. PlanCache
+    * is invalidated between variants so each rebuilds its cuts instead of
+    * answering from the other's memoized relations. */
+  private def checkpointProbe(spark: SparkSession, dir: String,
+      ckptDir: String): Unit = {
+    val heavies = Seq("dedup_clusters", "graph_path_find_deep", "text_bpe_train")
+    def timed(name: String): Double = {
+      PlanCache.invalidate()
+      val f = SparkEntry.queries(name)
+      f(spark, dir).write.format("noop").mode("overwrite").save() // warm
+      PlanCache.invalidate()
+      val t0 = System.nanoTime()
+      f(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    heavies.foreach { name =>
+      spark.conf.unset(Checkpoints.DirConf)
+      val tLocal = timed(name)
+      spark.conf.set(Checkpoints.DirConf, ckptDir)
+      val tReliable = try timed(name)
+      finally spark.conf.unset(Checkpoints.DirConf)
+      println(f"CHECKPOINT $name%-22s local=$tLocal%6.2fs " +
+        f"reliable=$tReliable%6.2fs overhead=${tReliable / tLocal}%5.2fx")
+    }
+  }
+
+  /** dedup_incremental's broadcast-vs-bucketed-shuffle routing, measured
+    * at the corpus's own churn size: the same probe runs once with the
+    * cap ABOVE the churn census (broadcast branch) and once with cap 0
+    * (bucketed shuffle branch), result counts must agree — the routing is
+    * a plan choice, not a semantics choice. */
+  private def incrProbe(spark: SparkSession, dir: String): Unit = {
+    import operators.DedupOps
+    val churn = sources.IndexStore.churnDocs(spark, dir, 10, 7)
+    def runAt(cap: Long): (Double, Long) = {
+      spark.conf.set(DedupOps.IncrBroadcastDocsConf, cap.toString)
+      try {
+        DedupOps.dedupIncremental(spark, dir).count() // warm
+        time(DedupOps.dedupIncremental(spark, dir).count())
+      } finally spark.conf.unset(DedupOps.IncrBroadcastDocsConf)
+    }
+    val (tB, nB) = runAt(Long.MaxValue)
+    val (tS, nS) = runAt(0L)
+    println(f"INCR dir=$dir churn_docs=$churn " +
+      f"broadcast=$tB%6.2fs shuffle=$tS%6.2fs ratio=${tS / tB}%5.2fx " +
+      f"dups(broadcast=$nB, shuffle=$nS)")
+    require(nB == nS, s"routing changed the result: $nB vs $nS")
+  }
+
   /** Every BroadcastExchange in an executed plan, including the ones AQE
     * hides inside query stages and subqueries; ReusedExchange is skipped
     * (it shares the original's buffer — no extra driver/executor memory). */
@@ -560,7 +644,23 @@ object ScaleProbe {
       return
     }
     if (args.headOption.contains("zorder")) {
-      zorderProbe(spark, base)
+      zorderProbe(spark, args.lift(1).getOrElse(base))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("sketch")) {
+      sketchProbe(spark, args.lift(1).getOrElse(base))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("checkpoint")) {
+      checkpointProbe(spark, args.lift(1).getOrElse(base),
+        args.lift(2).getOrElse("/tmp/graft_ckpt"))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("incr")) {
+      incrProbe(spark, args.lift(1).getOrElse(base))
       spark.stop()
       return
     }

@@ -188,7 +188,7 @@ object SparkEntry {
     * with half the vectors in one cell, surfaced exactly 7 of them). */
   private def duckEmbBandCtes: String = {
     import operators.DedupOps.{EmbSeed, EmbBands, EmbBits, EmbDim,
-      LshTargetBucketDefault, LshBitsAutoMax}
+      LshTargetBucketConf, LshTargetBucketDefault, LshBitsAutoMax}
     // geo replays DedupOps.autoBits: the signature width is the smallest
     // bits in [EmbBits, LshBitsAutoMax] whose expected per-band bucket in
     // the HOTTEST cell (max cell size / 2^bits) fits the target — integer
@@ -196,14 +196,47 @@ object SparkEntry {
     // never drift. Planes are generated to the max width and filtered to
     // the derived plane count (plane p's weights depend only on p, so the
     // prefix is the same plane set any width uses).
-    val maxPlanes = EmbBands * LshBitsAutoMax
-    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+    //
+    // The target is resolved from the ACTIVE session's conf at oracle-
+    // generation time (Verify generates the SQL in the session that runs
+    // the queries), not the compile-time default: a session that sets
+    // spark.graft.lshTargetBucket must hand the oracle the same target
+    // autoBits reads at runtime, or the two engines derive different
+    // widths and every banded hash spuriously FAILs.
+    //
+    // The census coalesces to 0 on an EMPTY embeddings table so the
+    // min(b) filter keeps every candidate width and picks the EmbBits
+    // floor — in lockstep with Scala's maxCellSize returning 0 and
+    // autoBits staying on the floor (without it the max(n) subquery is
+    // NULL, the WHERE filters every width, and the fallback lands on the
+    // 16-bit CEILING instead).
+    val sess = org.apache.spark.sql.SparkSession.getActiveSession
+    val lshTarget = sess.flatMap(_.conf.getOption(LshTargetBucketConf))
+      .map(_.toLong).getOrElse(LshTargetBucketDefault)
+    // pinned geometry resolves the same way (DedupOps.lshGeometry reads
+    // both confs before falling back to the census): a session pinning
+    // bands/bits must hand the oracle the pinned values, or the replay
+    // derives the auto geometry against pinned signatures
+    val bands = sess.flatMap(_.conf.getOption(operators.DedupOps.LshBandsConf))
+      .map(_.toInt).getOrElse(EmbBands)
+    val pinnedBits = sess
+      .flatMap(_.conf.getOption(operators.DedupOps.LshBitsConf)).map(_.toInt)
+    val maxPlanes = bands * math.max(LshBitsAutoMax, pinnedBits.getOrElse(0))
+    val geoCte = pinnedBits match {
+      case Some(b) => s"geo AS (SELECT $b AS bits)"
+      case None =>
+        s"""geo AS (SELECT coalesce((SELECT min(b)::INT
+           |    FROM range($EmbBits, ${LshBitsAutoMax + 1}) t(b)
+           |    WHERE coalesce((SELECT max(n)
+           |        FROM (SELECT count(*) AS n FROM e GROUP BY label)), 0)
+           |      <= $lshTarget * (1::BIGINT << b)),
+           |  $LshBitsAutoMax) AS bits)""".stripMargin
+    }
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       |      AS nrm
        |  FROM embeddings),
-       |geo AS (SELECT coalesce((SELECT min(b)::INT
-       |    FROM range($EmbBits, ${LshBitsAutoMax + 1}) t(b)
-       |    WHERE (SELECT max(n) FROM (SELECT count(*) AS n FROM e GROUP BY label))
-       |      <= $LshTargetBucketDefault * (1::BIGINT << b)),
-       |  $LshBitsAutoMax) AS bits),
+       |$geoCte,
        |pl AS (SELECT p, list(w ORDER BY d) AS wl FROM (
        |    SELECT t.p, u.d,
        |      ((('0x' || substr(md5('${EmbSeed}_' || t.p::VARCHAR || '_'
@@ -215,7 +248,7 @@ object SparkEntry {
        |    list_sum(list_transform(range($EmbDim),
        |      i -> e.v[i+1]*pl.wl[i+1])) AS dot
        |  FROM e CROSS JOIN pl CROSS JOIN geo g
-       |  WHERE pl.p < $EmbBands * g.bits),
+       |  WHERE pl.p < $bands * g.bits),
        |sg AS (SELECT vec_id, label, (p // bits) AS band,
        |    sum(CASE WHEN dot > 0
        |      THEN (1::BIGINT << (bits - 1 - (p % bits))) ELSE 0 END) AS sig
@@ -223,6 +256,58 @@ object SparkEntry {
     // interpolate this mid-template and apply stripMargin exactly ONCE
     // (pre-stripping would let the outer strip eat the first '|' of a
     // '||' concat that lands at start-of-line)
+  }
+
+  /** The exact-cell cap the dedup_semantic oracle's `routed` flag
+    * replays, resolved from the ACTIVE session at oracle-generation time
+    * (Verify generates the SQL in the session that runs the queries) so
+    * a session that tunes spark.graft.knnPairBudget keeps the oracle in
+    * lockstep with the engine's derived cap; sessionless contexts (unit
+    * tests stringifying the map) fall back to the default-budget cap. */
+  private def resolvedExactCellCap: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(operators.SearchOps.exactCellCap)
+      .getOrElse(operators.SearchOps.isqrt(
+        operators.SearchOps.KnnPairBudgetDefault *
+          operators.SearchOps.KnnMaxSaltSlices))
+
+  /** Exact top-3-per-vector ranking WITHOUT a window: the row_number
+    * formulation sorts the ENTIRE scored-pair stream (Σcell² rows — at
+    * sf10 that is ~5e9 rows ≈ 240 GB of window-sort spill, which killed
+    * the replay box before the window ever finished), while this 3-pass
+    * max/arg_max cascade streams the same pair relation three times with
+    * memory ∝ distinct a_id. The sort key packs (score desc, b_id asc)
+    * into ONE BIGINT — score is already rounded to 4 decimals so
+    * round(score·10⁴) is integer-exact, and b_id < 2^40 at every
+    * ScaleUp offset — so max(key) IS the engine's (score DESC, b_id)
+    * ordering and ties cannot exist (b_id is unique per a_id). Each pass
+    * takes strictly-below the previous pass's max, so t1/t2/t3 are
+    * ranks 1/2/3; vectors with fewer candidates fall out naturally.
+    * `payload` lists the struct fields to carry (b_id/score, plus
+    * `routed` for the self-routing join); `srcCols` must expose
+    * (label, a_id, b_id, score[, routed]). */
+  private def duckTop3(src: String, routed: Boolean): String = {
+    val pay = "b := %s.b_id, s := %s.score" +
+      (if (routed) ", r := %s.routed" else "")
+    def pk(t: String) = pay.replace("%s", t)
+    val rsel = if (routed) ", v.r AS routed" else ""
+    s"""kk AS (SELECT *,
+       |    (round(score * 10000))::BIGINT * 1099511627776 - b_id AS key
+       |  FROM $src),
+       |t1 AS (SELECT label, a_id, max(key) AS k,
+       |    arg_max(struct_pack(${pk("kk")}), key) AS v
+       |  FROM kk GROUP BY 1, 2),
+       |t2 AS (SELECT kk.label, kk.a_id, max(kk.key) AS k,
+       |    arg_max(struct_pack(${pk("kk")}), kk.key) AS v
+       |  FROM kk JOIN t1 ON kk.a_id = t1.a_id AND kk.key < t1.k
+       |  GROUP BY 1, 2),
+       |t3 AS (SELECT kk.label, kk.a_id, max(kk.key) AS k,
+       |    arg_max(struct_pack(${pk("kk")}), kk.key) AS v
+       |  FROM kk JOIN t2 ON kk.a_id = t2.a_id AND kk.key < t2.k
+       |  GROUP BY 1, 2)
+       |SELECT label, a_id, v.b AS b_id, v.s AS score, 1 AS rk$rsel FROM t1
+       |UNION ALL SELECT label, a_id, v.b, v.s, 2$rsel FROM t2
+       |UNION ALL SELECT label, a_id, v.b, v.s, 3$rsel FROM t3""".stripMargin
   }
 
   private val duckToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -807,7 +892,7 @@ object SparkEntry {
          |cn AS (SELECT cluster, count(*) AS cell_n FROM a2 GROUP BY 1)
          |SELECT a2.vec_id, a2.cluster,
          |  (a2.vec_id NOT IN (SELECT b_id FROM pr)) AS keep,
-         |  (cn.cell_n > ${operators.SearchOps.ExactCellCap}) AS routed
+         |  (cn.cell_n > $resolvedExactCellCap) AS routed
          |FROM a2 JOIN cn USING (cluster)""".stripMargin,
     // lockstep with CurateOps.curateD4 (D4DropFrac, SemTau, the shared
     // k-means CTE chain and the dedup_semantic drop CTE)
@@ -858,44 +943,51 @@ object SparkEntry {
          |FROM embeddings JOIN probe USING (label), q
          |WHERE vec_id <> 0
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    // norms are precomputed per VECTOR (en CTE) so the Σcell² pair loop
+    // pays one inner product, not three — the same split-scoring trade
+    // the engine's SumSquares riders make; ranking is the 3-pass cascade
+    // (see duckTop3) because the window sort detonates at sf10
     "vec_knn_join" ->
-      s"""WITH pairs AS (
+      s"""WITH en AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         |      AS nrm
+         |  FROM embeddings),
+         |pairs AS (
          |  SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
-         |    round(${duckCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 4) AS score
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id <> b.vec_id)
-         |SELECT label, a_id, b_id, score, rk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY a_id
-         |                               ORDER BY score DESC, b_id) AS rk
-         |  FROM pairs) WHERE rk <= 3""".stripMargin,
+         |    round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
+         |  FROM en a JOIN en b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |${duckTop3("pairs", routed = false)}""".stripMargin,
     // lockstep with SearchOps.vecKnnJoinAuto: the oracle replays the cell
     // size census, routes each label through the exact block join
     // (cell_n <= cap) or the hyperplane-band candidate join (cell_n >
     // cap, the vec_knn_join_ann sig CTEs), and must agree with the
     // engine on which label took which path — the ROUTER is under test
     "vec_knn_join_auto" -> {
-      import operators.SearchOps.AutoCapDefault
+      // resolved from the ACTIVE session like the geo CTE's width target:
+      // a session tuning spark.graft.knnAutoCellCap must hand the oracle
+      // the same routing threshold the engine reads at runtime
+      val autoCap = org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption(operators.SearchOps.AutoCapConf))
+        .map(_.toLong).getOrElse(operators.SearchOps.AutoCapDefault)
       s"""WITH $duckEmbBandCtes,
          |cs AS (SELECT label, count(*) AS cell_n FROM e GROUP BY 1),
          |ex AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
-         |    round(${duckCos("a.v", "b.v")}, 4) AS score, FALSE AS routed
+         |    round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score,
+         |    FALSE AS routed
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
-         |  JOIN cs ON cs.label = a.label AND cs.cell_n <= $AutoCapDefault),
+         |  JOIN cs ON cs.label = a.label AND cs.cell_n <= $autoCap),
          |cand AS (SELECT DISTINCT a.label, a.vec_id AS a_id, b.vec_id AS b_id
          |  FROM sg a JOIN sg b ON a.band = b.band AND a.label = b.label
          |    AND a.sig = b.sig AND a.vec_id <> b.vec_id
-         |  JOIN cs ON cs.label = a.label AND cs.cell_n > $AutoCapDefault),
+         |  JOIN cs ON cs.label = a.label AND cs.cell_n > $autoCap),
          |rt AS (SELECT c.label, c.a_id, c.b_id,
-         |    round(${duckCos("ea.v", "eb.v")}, 4) AS score, TRUE AS routed
+         |    round(list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 4)
+         |      AS score, TRUE AS routed
          |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id
          |    JOIN e eb ON eb.vec_id = c.b_id),
          |un AS (SELECT * FROM ex UNION ALL SELECT * FROM rt),
-         |rkd AS (SELECT label, a_id, b_id, score, routed,
-         |    row_number() OVER (PARTITION BY label, a_id
-         |      ORDER BY score DESC, b_id) AS rk
-         |  FROM un)
-         |SELECT label, a_id, b_id, score, rk::INT AS rk, routed
-         |FROM rkd WHERE rk <= 3""".stripMargin
+         |${duckTop3("un", routed = true)}""".stripMargin
     },
     "fts_term_score" ->
       s"""SELECT doc_id, $duckTermScore AS score FROM documents
@@ -1063,15 +1155,11 @@ object SparkEntry {
          |  FROM sg a JOIN sg b ON a.band = b.band AND a.label = b.label
          |    AND a.sig = b.sig AND a.vec_id <> b.vec_id),
          |sc AS (SELECT c.label, c.a_id, c.b_id,
-         |    round(${duckCos("ea.v", "eb.v")}, 4) AS score
+         |    round(list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 4)
+         |      AS score
          |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id
          |    JOIN e eb ON eb.vec_id = c.b_id),
-         |rk AS (SELECT label, a_id, b_id, score,
-         |    row_number() OVER (PARTITION BY label, a_id
-         |      ORDER BY score DESC, b_id) AS rk
-         |  FROM sc)
-         |SELECT label, a_id, b_id, score, rk::INT AS rk
-         |FROM rk WHERE rk <= 3""".stripMargin
+         |${duckTop3("sc", routed = false)}""".stripMargin
     },
     // lockstep with SearchOps.vecKnnPq (ADC over the generated PQ chain:
     // per-subspace query·centroid LUT, approx sum in fixed m order —

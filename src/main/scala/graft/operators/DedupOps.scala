@@ -267,9 +267,12 @@ object DedupOps {
       .getOrElse(IncrBroadcastDocsDefault)
     require(cap >= 0, s"$IncrBroadcastDocsConf must be >= 0, got $cap")
     // churn census: one pushed-filter count over the doc_id column — the
-    // routing scalar, same posture as vec_knn_join_auto's cell census
-    val churnDocs = graft.Tables.documents(spark, dir)
-      .filter(col("doc_id") % IncrMod === IncrRes).count()
+    // routing scalar, same posture as vec_knn_join_auto's cell census.
+    // Memoized per dir in IndexStore (next to maxCellSize, swept by the
+    // same data-changed hook): plan construction must stay lazy, and the
+    // census is a property of the corpus, not of this call.
+    val churnDocs =
+      graft.sources.IndexStore.churnDocs(spark, dir, IncrMod, IncrRes)
     val probe = newBands.select(col("doc_id").as("a_id"),
       col("sigs").as("a_sigs"), col("band").as("a_band"),
       col("sig").as("a_sig"))
@@ -756,7 +759,7 @@ object DedupOps {
     *
     * Scale shape: the self-join key is the cluster id — cardinality k,
     * which SCALES WITH THE CORPUS (k ∝ n / target-cell-size), so the
-    * exchange fans out; a cell that outgrows [[SearchOps.ExactCellCap]]
+    * exchange fans out; a cell that outgrows [[SearchOps.exactCellCap]]
     * (a detonating Σcell² term) is ROUTED through the same
     * random-hyperplane band blocking [[dedupEmbedding]] uses — exact
     * all-pairs inside cap-bounded cells, band-collision candidates (still
@@ -769,7 +772,7 @@ object DedupOps {
     // top of its own pruning pass — without the memo it re-runs the
     // within-cell pair join. Capped variants (spec-only) stay unmemoized.
     graft.PlanCache.getOrBuild(spark, dir, "dedup:semantic") {
-      dedupSemanticCapped(spark, dir, SearchOps.ExactCellCap)
+      dedupSemanticCapped(spark, dir, SearchOps.exactCellCap(spark))
     }
 
   private[graft] def dedupSemanticCapped(spark: SparkSession, dir: String,

@@ -269,11 +269,38 @@ object SearchOps {
     * task's bucket. Past this cap the exact formulation is the wrong tool
     * and the job FAILS LOUDLY (a plan-embedded assert, no driver action)
     * with a pointer to vec_knn_join_ann, whose banded-LSH candidates cost
-    * collisions instead of cell². The cap is a deploy-time knob: size it
-    * so cap² comparisons fit one executor's task budget (100k ≈ 10¹⁰
-    * float-ops ≈ tens of seconds — the edge of acceptable).
-    */
-  private[graft] val ExactCellCap = 100000L
+    * collisions instead of cell².
+    *
+    * DERIVED, not hand-set (since round 11): the cap and the salt slicer
+    * share ONE budget — [[knnPairBudget]]. The slicer spreads a cell of n
+    * into ceil(n²/budget) slices but clamps at [[KnnMaxSaltSlices]], so
+    * the largest cell whose per-slice pair work still fits the budget is
+    * exactly isqrt(budget × maxSlices); past it even the fully-sliced
+    * cell blows the per-task budget and the exact op must abort toward
+    * the ANN route. At the default budget (8M pairs) the cap is 90,509
+    * (≈ 8.2e9 pairs per cell fully sliced — the same order as the old
+    * hand-set 100k). Integer-exact: the boundary is a floor square root
+    * verified by multiplication, never a float-rounded constant, so the
+    * oracle replay (which interpolates the resolved value) can never
+    * drift at the boundary. */
+  private[graft] def exactCellCap(spark: SparkSession): Long = {
+    val budget = knnPairBudget(spark)
+    require(budget >= 1, s"$KnnPairBudgetConf must be >= 1, got $budget")
+    val prod =
+      if (budget > Long.MaxValue / KnnMaxSaltSlices) Long.MaxValue
+      else budget * KnnMaxSaltSlices
+    isqrt(prod)
+  }
+
+  /** Floor integer square root, exact at boundaries: seeded from the
+    * float sqrt, then corrected by Long multiplication (BigInt guards the
+    * square against overflow near Long.MaxValue). */
+  private[graft] def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of negative $n")
+    var x = math.max(0L, math.sqrt(n.toDouble).toLong + 2L)
+    while (x > 0 && BigInt(x) * BigInt(x) > BigInt(n)) x -= 1
+    x
+  }
 
   /** Batch KNN: top-3 neighbours for every vector, pairing only within the
     * same coarse cell (a per-cell block join).
@@ -308,22 +335,32 @@ object SearchOps {
     * override remains via [[KnnSaltConf]] > 1 for multi-node layouts
     * where the operator should not census first.
     *
-    * Guarded by [[ExactCellCap]]: an oversize cell aborts the job with a
+    * Guarded by [[exactCellCap]]: an oversize cell aborts the job with a
     * routing message instead of detonating quadratically.
     */
   def vecKnnJoin(spark: SparkSession, dir: String): DataFrame =
-    vecKnnJoinCapped(spark, dir, ExactCellCap)
+    vecKnnJoinCapped(spark, dir, exactCellCap(spark))
 
   /** Pair-work budget per task for the adaptive salt in [[vecKnnJoin]]:
     * a cell of n vectors is n² scored pairs, and a cell whose n² exceeds
     * this budget is sliced into ceil(n²/budget) salt slices. 8M pairs ≈
     * 0.5G multiply-adds at d=64 — a seconds-scale task, small enough to
     * pack a cluster, coarse enough that the per-slice replication of
-    * side B stays cheap. */
+    * side B stays cheap. Also the root of [[exactCellCap]]: one budget
+    * governs both the slicer and the detonation guard. */
   private[graft] val KnnPairBudgetConf = "spark.graft.knnPairBudget"
+  private[graft] val KnnPairBudgetDefault = 8000000L
+
+  /** Slice-count clamp for the adaptive salt: side B replicates once per
+    * slice, so unbounded slicing would turn one pathological cell into an
+    * unbounded replication factor. 1024 slices × the pair budget bounds a
+    * single cell's total enumerable work; a cell needing more is past
+    * [[exactCellCap]] by construction. */
+  private[graft] val KnnMaxSaltSlices = 1024L
 
   private[graft] def knnPairBudget(spark: SparkSession): Long =
-    spark.conf.getOption(KnnPairBudgetConf).map(_.toLong).getOrElse(8000000L)
+    spark.conf.getOption(KnnPairBudgetConf).map(_.toLong)
+      .getOrElse(KnnPairBudgetDefault)
 
   /** Census-adaptive scored-pair stage: balanced cells take the
     * exchange-free co-located join; oversize cells are sliced per the
@@ -344,13 +381,13 @@ object SearchOps {
       val sized = emb.groupBy(col("label")).agg(count(lit(1)).as("cell_n"))
         .withColumn("cell_salt", least(greatest(
           ceil(col("cell_n") * col("cell_n") / lit(budget.toDouble)),
-          lit(1L)), lit(1024L)).cast("int"))
+          lit(1L)), lit(KnnMaxSaltSlices)).cast("int"))
       val a = emb
         .select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
         .join(broadcast(sized), "label")
         .filter(assert_true(col("cell_n") <= cellCap,
           concat(lit("vec_knn_join: cell size "), col("cell_n"),
-            lit(s" exceeds ExactCellCap=$cellCap — exact per-cell KNN is cell² "),
+            lit(s" exceeds the exact-cell cap $cellCap (isqrt(knnPairBudget × maxSaltSlices)) — exact per-cell KNN is cell² "),
             lit("compute; route this corpus to vec_knn_join_ann"))).isNull)
         .select(col("label"), col("a_id"), col("a_emb"),
           ssq(col("a_emb")).as("a_ss"),
@@ -401,7 +438,7 @@ object SearchOps {
       .join(broadcast(cellSizes), "label")
       .filter(assert_true(col("cell_n") <= cellCap,
         concat(lit("vec_knn_join: cell size "), col("cell_n"),
-          lit(s" exceeds ExactCellCap=$cellCap — exact per-cell KNN is cell² "),
+          lit(s" exceeds the exact-cell cap $cellCap (isqrt(knnPairBudget × maxSaltSlices)) — exact per-cell KNN is cell² "),
           lit("compute; route this corpus to vec_knn_join_ann"))).isNull)
       .select(col("label"), col("a_id"), col("a_emb"), ssq(col("a_emb")).as("a_ss"))
     val b0 = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"),
@@ -816,7 +853,7 @@ object SearchOps {
     * Default 50 is sized to the TEST corpus (cells of 42-63 at the
     * driver's verify SF, so BOTH paths run under the oracle hash); a
     * deployment sets it to its executor task budget the way
-    * [[ExactCellCap]] documents (~100k). */
+    * [[exactCellCap]] documents (~90k at the default pair budget). */
   private[graft] val AutoCapConf = "spark.graft.knnAutoCellCap"
 
   /** Default for [[AutoCapConf]] — shared with the oracle replay. */

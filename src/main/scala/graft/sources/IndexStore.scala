@@ -108,6 +108,22 @@ object IndexStore {
         if (rows.isEmpty || rows(0).isNullAt(0)) 0L else rows(0).getLong(0))
     })
 
+  /** memoized per-(dir, mod, res) churn-slice doc count — the routing
+    * scalar dedup_incremental's broadcast-vs-shuffle decision reads (see
+    * [[graft.operators.DedupOps.incrementalCandidates]]). Memoized here,
+    * not computed per plan construction: the count is one pushed-filter
+    * scan of the doc_id column, but an EAGER action inside a
+    * plan-building call would otherwise re-run it every time a test or
+    * plan inspection rebuilds the candidates. Same lifecycle as
+    * [[maxCellSize]]: swept by the data-changed invalidation hook. */
+  private val dirChurn = new ConcurrentHashMap[(String, Int, Int), java.lang.Long]()
+
+  def churnDocs(spark: SparkSession, dir: String, mod: Int, res: Int): Long =
+    dirChurn.computeIfAbsent((dir, mod, res), { k =>
+      java.lang.Long.valueOf(graft.Tables.documents(spark, k._1)
+        .filter(col("doc_id") % mod === res).count())
+    })
+
   locally {
     // data-changed hook: PlanCache.invalidate(dir) means "the data under
     // dir changed on disk" (the watch loop's per-micro-batch sweep), so
@@ -116,8 +132,11 @@ object IndexStore {
     // sweep is unconditional — unlike the derived TABLES, which only
     // invalidateDerived drops (an explicit, session-carrying call).
     graft.PlanCache.onInvalidate {
-      case Some(d) => dirBytes.remove(d); dirMaxCell.remove(d); ()
-      case None    => dirBytes.clear(); dirMaxCell.clear()
+      case Some(d) =>
+        dirBytes.remove(d); dirMaxCell.remove(d)
+        dirChurn.keySet.removeIf(_._1 == d); ()
+      case None =>
+        dirBytes.clear(); dirMaxCell.clear(); dirChurn.clear()
     }
   }
 
@@ -166,17 +185,24 @@ object IndexStore {
       .partitionBy(partCol)
       .saveAsTable(table)
 
-  /** Replace `table` with `df`'s contents, clearing both the catalog
-    * entry and any lingering physical location from a previous process
-    * (saveAsTable fails with LOCATION_ALREADY_EXISTS otherwise — the
-    * warehouse dir outlives the in-memory catalog). */
-  def replaceTable(spark: SparkSession, df: DataFrame, table: String): Unit = {
+  /** Drop `table` from the catalog AND clear its physical warehouse
+    * location — a later saveAsTable under the same name must not fail
+    * with LOCATION_ALREADY_EXISTS against a dir that outlived a previous
+    * process's in-memory catalog. */
+  def dropTable(spark: SparkSession, table: String): Unit = {
     val wh = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
     if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  /** Replace `table` with `df`'s contents (see [[dropTable]] for why the
+    * physical location is cleared first). */
+  def replaceTable(spark: SparkSession, df: DataFrame, table: String): Unit = {
+    dropTable(spark, table)
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
@@ -272,9 +298,11 @@ object IndexStore {
     * watch loop invalidates per micro-batch, so the staleness horizon is
     * one batch; full closure would need the PlanCache epoch scheme. */
   def invalidateDerived(spark: SparkSession, dir: String): Unit = {
-    // re-derive auto sizing (buckets, LSH width) from the corpus's new state
+    // re-derive auto sizing (buckets, LSH width, churn) from the corpus's
+    // new state
     dirBytes.remove(dir)
     dirMaxCell.remove(dir)
+    dirChurn.keySet.removeIf(_._1 == dir)
     val it = derived.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

@@ -24,6 +24,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the watch-mode property), the read path collapses the append log with
   * one distinct(), and invalidation is scoped to the changed dir so other
   * corpora's persisted relations stay live.
+  *
+  * Failure posture: consuming a micro-batch COMMITS its edges into the
+  * stream's dropDuplicates state, so a batch whose index build throws
+  * must not simply be drained — the state would suppress every future
+  * re-notification of those edges and a transient failure would become
+  * permanent data loss. Failed batches are stashed to a per-dir retry
+  * table (the stash write itself consumes the batch, satisfying Spark's
+  * state-store commit validation) and re-applied by the next successful
+  * batch; only if the stash write ALSO fails is the batch drained, with
+  * the loss recorded in the ledger row's error. The reference never hits
+  * this because its reload re-reads storage from scratch each time
+  * (internal/mcp/loader.go) — the stash gives the incremental stream the
+  * same nothing-lost-on-transient-failure guarantee.
   */
 object WatchLoop {
 
@@ -90,6 +103,14 @@ object WatchLoop {
       edgeStream: DataFrame): StreamingQuery = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val tbl = s"graft_watch_edges$tag"
+    // failed-batch stash: a micro-batch whose index build throws has
+    // already consumed its edges from the stream's dedup state, so
+    // without a stash those edges are PERMANENTLY lost (the state
+    // suppresses any re-notification). A fresh watch starts with a
+    // fresh, empty stash — a leftover from a previous loop must not
+    // replay into this one's edge table.
+    val retryTbl = s"graft_watch_retry$tag"
+    graft.sources.IndexStore.dropTable(spark, retryTbl)
     graft.sources.IndexStore.replaceTable(spark,
       graft.operators.GraphOps.batchEdges(spark, dir), tbl)
     live.put((spark, dir), tbl)
@@ -115,9 +136,18 @@ object WatchLoop {
         val t0 = System.nanoTime()
         var appended = 0L
         var err: Option[String] = None
+        val sess = batch.sparkSession
         try {
-          val fresh = batch
-            .join(batch.sparkSession.table(tbl), Seq("src", "dst"), "left_anti")
+          // previously-failed batches re-apply here: their edges are in
+          // the retry stash (committed into the stream's dedup state by
+          // the failed batch, so they can never arrive again) and ride
+          // the next successful batch's anti-join + append
+          val hasRetry = sess.catalog.tableExists(retryTbl)
+          val input =
+            if (hasRetry) batch.unionByName(sess.table(retryTbl).distinct())
+            else batch
+          val fresh = input
+            .join(sess.table(tbl), Seq("src", "dst"), "left_anti")
             .persist()
           try {
             val n = fresh.count() // persisted: the recount below is free
@@ -128,6 +158,8 @@ object WatchLoop {
               graft.PlanCache.invalidate(dir)
             }
           } finally { fresh.unpersist(); () }
+          // the stash landed (or deduped away) with this batch — clear it
+          if (hasRetry) graft.sources.IndexStore.dropTable(sess, retryTbl)
         } catch {
           // record-and-continue, the reference's reload posture
           // (metrics.go:62: a failed reload bumps failedReloads and the
@@ -138,12 +170,28 @@ object WatchLoop {
             // to consume every partition: a build failure that left the
             // batch untouched (e.g. the edge table yanked from under the
             // anti-join) would otherwise fail batch commit and kill the
-            // STREAM — the opposite of record-and-continue. Drain the
-            // batch so its dedup-state commits land; the consumed edges
-            // are already in the stream's state (the same edges a
-            // successful retry would have deduped away).
-            try { batch.count(); () }
-            catch { case scala.util.control.NonFatal(_) => () }
+            // STREAM — the opposite of record-and-continue. Consuming the
+            // batch COMMITS its edges into the stream's dedup state, so a
+            // plain drain would permanently lose them (a re-notification
+            // is suppressed forever after). Instead the batch is STASHED
+            // to the retry table — the write consumes every partition,
+            // satisfying the commit — and the next successful batch
+            // re-applies it. Retry rows already stashed by an earlier
+            // failure are NOT re-written (they're still in the stash).
+            try {
+              batch.write.mode("append").format("parquet").saveAsTable(retryTbl)
+              ()
+            } catch {
+              case scala.util.control.NonFatal(e2) =>
+                // stash unreachable too (e.g. FS down): drain so the
+                // stream survives, and record that THIS failure dropped
+                // the batch's edges — re-seeding the watch is the repair
+                err = Some(e.toString + "; retry stash failed (" +
+                  e2.toString.take(120) + ") — batch edges dropped, re-seed " +
+                  "the watch to recover")
+                try { batch.count(); () }
+                catch { case scala.util.control.NonFatal(_) => () }
+            }
         }
         ledger.add(ReloadRecord(batchId, (System.nanoTime() - t0) / 1000000L,
           if (err.isEmpty) appended else 0L, totalEdges.get(), err))

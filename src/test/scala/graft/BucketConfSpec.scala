@@ -124,6 +124,26 @@ class BucketConfSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset(IndexStore.TargetBytesConf)
   }
 
+  test("churn census is memoized per dir and swept by invalidation") {
+    // the routing scalar dedup_incremental reads must be a property of
+    // the corpus (one count, then memo hits — plan construction stays
+    // lazy), re-derived only when the data-changed hook fires
+    val dir = java.nio.file.Files.createTempDirectory("graft-churn").toString
+    val docs = Tables.documents(spark, SfDir)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expect = docs.filter(col("doc_id") % 10 === 7).count()
+    assert(IndexStore.churnDocs(spark, dir, 10, 7) == expect)
+    // grow the corpus in place; the memo still answers the old census ...
+    docs.unionAll(docs).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    assert(IndexStore.churnDocs(spark, dir, 10, 7) == expect,
+      "memo must answer until the data-changed hook fires")
+    // ... until invalidation sweeps it
+    graft.PlanCache.invalidate(dir)
+    assert(IndexStore.churnDocs(spark, dir, 10, 7) == 2 * expect,
+      "post-invalidation census must see the grown corpus")
+  }
+
   test("dir-shaped corpus bytes count nested (partitioned) leaves") {
     // a partitionBy layout nests data files one level deeper — sizing
     // must count the leaves, not the ~0 bytes of the top listing level

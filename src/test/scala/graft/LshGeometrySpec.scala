@@ -161,6 +161,39 @@ class LshGeometrySpec extends AnyFunSuite with SparkFixture {
       "one past the boundary escalates")
   }
 
+  test("oracle geo CTE resolves the width target from the SESSION conf") {
+    import operators.DedupOps
+    // Verify generates the oracle SQL in the session that runs the
+    // queries: a session that tunes spark.graft.lshTargetBucket must
+    // hand the oracle the SAME target autoBits reads at runtime, or the
+    // two engines derive different signature widths and every banded
+    // hash spuriously FAILs (the round-10 lockstep gap)
+    val target = "<= (\\d+) \\* \\(1::BIGINT <<".r
+    spark.conf.set(DedupOps.LshTargetBucketConf, "64")
+    try assert(target.findFirstMatchIn(SparkEntry.oracleSql("dedup_embedding"))
+      .exists(_.group(1) == "64"),
+      "oracle must interpolate the session's width target")
+    finally spark.conf.unset(DedupOps.LshTargetBucketConf)
+    assert(target.findFirstMatchIn(SparkEntry.oracleSql("dedup_embedding"))
+      .exists(_.group(1) == DedupOps.LshTargetBucketDefault.toString))
+  }
+
+  test("empty corpus: both engines derive the floor width") {
+    import operators.DedupOps
+    // Scala: maxCellSize of an empty embeddings table is 0, autoBits
+    // stays on the EmbBits floor. The oracle's geo CTE coalesces its
+    // max(n) census to 0 so the min(b) filter keeps every width and
+    // picks the same floor (an uncoalesced NULL census would filter
+    // every candidate and fall back to the 16-bit CEILING).
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Tables.embeddings(spark, SfDir).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(DedupOps.autoBits(spark, dir) == DedupOps.EmbBits)
+    assert(SparkEntry.oracleSql("dedup_embedding").contains(
+      "coalesce((SELECT max(n)"),
+      "geo CTE must coalesce the census to 0 for the empty-corpus edge")
+  }
+
   test("auto width re-derives after a data-changed invalidation") {
     import operators.DedupOps
     val dir = java.nio.file.Files.createTempDirectory("graft-grow-lsh").toString

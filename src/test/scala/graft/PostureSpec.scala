@@ -52,8 +52,12 @@ class PostureSpec extends AnyFunSuite with SparkFixture {
     import operators.SearchOps
     val plain = SparkEntry.queries("vec_knn_join")(spark, SfDir)
       .collect().map(_.toString).sorted.toSeq
-    // a 4-pair budget forces every cell oversize at any SF → salted path
-    spark.conf.set(SearchOps.KnnPairBudgetConf, "4")
+    // a 64-pair budget forces every cell oversize (cells here are 40-63,
+    // so cell² ≫ 64 → salted path) while the DERIVED exact-cell cap,
+    // isqrt(64·1024) = 256, stays above the largest cell — the cap and
+    // the slicer share the budget, and this test wants slicing, not the
+    // past-the-cap abort
+    spark.conf.set(SearchOps.KnnPairBudgetConf, "64")
     try {
       val df = SparkEntry.queries("vec_knn_join")(spark, SfDir)
       val plan = df.queryExecution.executedPlan.toString

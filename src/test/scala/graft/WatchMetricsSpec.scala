@@ -72,8 +72,14 @@ class WatchMetricsSpec extends AnyFunSuite with SparkFixture {
       assert(m.lastError.exists(_.nonEmpty), "with its error recorded")
       assert(m.currentEdgeCount > 0L,
         "the snapshot keeps serving the pre-failure counters")
+      // the failed batch's edge is STASHED, not lost: its edge is already
+      // committed into the stream's dedup state (a re-notification would
+      // be suppressed forever), so the retry table is the only road back
+      val retryTbl = "graft_watch_retry" + SfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      assert(spark.table(retryTbl).filter(col("dst") === 444444L).count() == 1L,
+        "the failed batch's edges land in the retry stash")
       // record-and-continue: after the table is repaired, the NEXT batch
-      // lands normally — the loop never died
+      // lands normally — the loop never died — and RE-APPLIES the stash
       graft.sources.IndexStore.replaceTable(spark,
         spark.createDataFrame(java.util.Arrays.asList(saved: _*), schema), tbl)
       mem.addData((0L, 333333L))
@@ -82,8 +88,12 @@ class WatchMetricsSpec extends AnyFunSuite with SparkFixture {
       assert(m2.totalReloads == m.totalReloads + 1)
       assert(m2.failedReloads == 1L && m2.lastError.isEmpty,
         "post-repair batches succeed and the failure stays a ledger row")
-      assert(m2.currentEdgeCount == m.currentEdgeCount + 1,
-        "the repaired loop appends the new edge")
+      assert(m2.currentEdgeCount == m.currentEdgeCount + 2,
+        "the repaired loop appends the new edge AND the stashed one")
+      assert(spark.table(tbl).filter(col("dst") === 444444L).count() == 1L,
+        "a transient failure loses nothing: the stashed edge is in the table")
+      assert(!spark.catalog.tableExists(retryTbl),
+        "a successful batch clears the re-applied stash")
     } finally {
       q.stop()
       WatchLoop.stop(spark, SfDir)
