@@ -18,6 +18,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def connect(sf_dir):
     con = duckdb.connect()
+    # DuckDB's default memory_limit is 80% of RAM; alongside a residual
+    # Spark JVM that invites the OS OOM-killer (observed: exit 137 on the
+    # skew replay). A fixed cap keeps the replay spilling instead of dying.
+    con.execute(f"SET memory_limit = '{os.environ.get('ORACLE_MEM', '60GB')}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):

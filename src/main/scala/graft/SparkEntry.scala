@@ -271,43 +271,51 @@ object SparkEntry {
         operators.SearchOps.KnnPairBudgetDefault *
           operators.SearchOps.KnnMaxSaltSlices))
 
-  /** Exact top-3-per-vector ranking WITHOUT a window: the row_number
-    * formulation sorts the ENTIRE scored-pair stream (Σcell² rows — at
-    * sf10 that is ~5e9 rows ≈ 240 GB of window-sort spill, which killed
-    * the replay box before the window ever finished), while this 3-pass
-    * max/arg_max cascade streams the same pair relation three times with
-    * memory ∝ distinct a_id. The sort key packs (score desc, b_id asc)
-    * into ONE BIGINT — score is already rounded to 4 decimals so
-    * round(score·10⁴) is integer-exact, and b_id < 2^40 at every
-    * ScaleUp offset — so max(key) IS the engine's (score DESC, b_id)
-    * ordering and ties cannot exist (b_id is unique per a_id). Each pass
-    * takes strictly-below the previous pass's max, so t1/t2/t3 are
-    * ranks 1/2/3; vectors with fewer candidates fall out naturally.
-    * `payload` lists the struct fields to carry (b_id/score, plus
-    * `routed` for the self-routing join); `srcCols` must expose
-    * (label, a_id, b_id, score[, routed]). */
+  /** Exact top-3-per-vector ranking WITHOUT a global window sort: the
+    * row_number-over-everything formulation sorts the ENTIRE scored-pair
+    * stream (Σcell² rows — at sf10 that is ~5e9 rows ≈ 240 GB of
+    * window-sort spill, which kills the replay box before the window
+    * ever finishes). This is the exact BOUND-AND-FILTER shape instead:
+    *
+    *  1. Pack (score desc, b_id asc) into ONE BIGINT key — score is
+    *     already rounded to 4 decimals so round(score·10⁴) is
+    *     integer-exact, and b_id < 2^40 at every ScaleUp offset — so
+    *     key order IS the engine's ordering and ties cannot exist
+    *     (b_id is unique per a_id).
+    *  2. One streaming aggregate computes per (a_id, b_id%4 bucket) the
+    *     max key (≤4 rows per vector), and the 3rd-largest of those ≤4
+    *     maxes is a PROVEN lower bound on the true 3rd-best key: if it
+    *     exceeded k3, three distinct buckets would each hold a key
+    *     above k3 — three distinct pairs above the 3rd-best,
+    *     contradiction. (Fewer than 3 buckets → the min of all maxes,
+    *     which keeps everything.)
+    *  3. A second streaming pass keeps only pairs at-or-above the
+    *     bound — a handful per vector — and a row_number window ranks
+    *     that TINY relation.
+    *
+    * Two streaming evaluations of the pair relation (DuckDB inlines
+    * CTEs — verified: no CTE node in the plan), memory ∝ vectors, no
+    * materialization anywhere. A MATERIALIZED-CTE variant of the same
+    * idea was measured WORSE (the materialization de-optimizes the
+    * upstream join into a 70 GB spill); the 3-pass max/arg_max cascade
+    * it replaced paid a third full evaluation.
+    * `src` must expose (label, a_id, b_id, score[, routed]). */
   private def duckTop3(src: String, routed: Boolean): String = {
-    val pay = "b := %s.b_id, s := %s.score" +
-      (if (routed) ", r := %s.routed" else "")
-    def pk(t: String) = pay.replace("%s", t)
-    val rsel = if (routed) ", v.r AS routed" else ""
+    val rcol = if (routed) ", routed" else ""
     s"""kk AS (SELECT *,
        |    (round(score * 10000))::BIGINT * 1099511627776 - b_id AS key
        |  FROM $src),
-       |t1 AS (SELECT label, a_id, max(key) AS k,
-       |    arg_max(struct_pack(${pk("kk")}), key) AS v
-       |  FROM kk GROUP BY 1, 2),
-       |t2 AS (SELECT kk.label, kk.a_id, max(kk.key) AS k,
-       |    arg_max(struct_pack(${pk("kk")}), kk.key) AS v
-       |  FROM kk JOIN t1 ON kk.a_id = t1.a_id AND kk.key < t1.k
-       |  GROUP BY 1, 2),
-       |t3 AS (SELECT kk.label, kk.a_id, max(kk.key) AS k,
-       |    arg_max(struct_pack(${pk("kk")}), kk.key) AS v
-       |  FROM kk JOIN t2 ON kk.a_id = t2.a_id AND kk.key < t2.k
-       |  GROUP BY 1, 2)
-       |SELECT label, a_id, v.b AS b_id, v.s AS score, 1 AS rk$rsel FROM t1
-       |UNION ALL SELECT label, a_id, v.b, v.s, 2$rsel FROM t2
-       |UNION ALL SELECT label, a_id, v.b, v.s, 3$rsel FROM t3""".stripMargin
+       |bm AS (SELECT a_id, max(key) AS m FROM kk GROUP BY a_id, b_id % 4),
+       |bnd AS (SELECT a_id, min(m) AS thr FROM (
+       |    SELECT a_id, m,
+       |      row_number() OVER (PARTITION BY a_id ORDER BY m DESC) AS r
+       |    FROM bm) WHERE r <= 3 GROUP BY a_id),
+       |sml AS (SELECT kk.* FROM kk
+       |  JOIN bnd ON kk.a_id = bnd.a_id AND kk.key >= bnd.thr)
+       |SELECT label, a_id, b_id, score, rk::INT AS rk$rcol FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id
+       |    ORDER BY key DESC) AS rk FROM sml)
+       |WHERE rk <= 3""".stripMargin
   }
 
   private val duckToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
