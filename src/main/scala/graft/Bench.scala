@@ -158,6 +158,9 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // single-file corpus tables must still fan out at sf10 — see the
+      // identical sizing (and why) in Verify/ScaleProbe
+      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

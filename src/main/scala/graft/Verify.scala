@@ -16,6 +16,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // corpus tables are ONE parquet file each (the oracle-registration
+      // contract), so the default 128 MB split leaves a whole sf10 scan
+      // on a single core — an interpreted transform/aggregate chain over
+      // 500k docs then runs 30+ min on one task (observed round 11).
+      // Size splits so single-file tables still fan out; a real corpus
+      // has many files and never hits this.
+      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); Spark reads it as a long
       // (nanos since epoch) under this flag — Tables.events normalizes.
