@@ -10,12 +10,6 @@ set -x
 cd "$(dirname "$0")/.."
 export SPARK_GRAFT_CPUS=32
 
-echo "=== RESUME A: skew oracle re-replay (Spark dumps reused, fresh oracle SQL) ==="
-cp /tmp/verify_skew2/oracle_sql.json /tmp/verify_skew/oracle_sql.json
-python3 scripts/check_oracle.py /tmp/graft-skew /tmp/verify_skew 1800 | tee /tmp/skew_oracle.log | \
-  python3 scripts/correctness_artifact.py 1 "adversarial-skew 10x sf0.1 via graft.ScaleUp skew mode (hot IVF cell ~55%, boilerplate 8-gram 80%, hot user 50%, hot source 90%; sparse replicas; auto buckets + auto LSH width at HEAD)" docs/skew_correctness.json
-tail -2 /tmp/skew_oracle.log
-
 echo "=== RESUME B: sf10 full verify + oracle (the round-11 correctness gate at scale) ==="
 sbt -batch "runMain graft.Verify /tmp/graft-sf10full /tmp/verify_sf10" 2>&1 | tail -2
 python3 scripts/check_oracle.py /tmp/graft-sf10full /tmp/verify_sf10 1800 | tee /tmp/sf10_oracle.log | \
