@@ -22,12 +22,22 @@ def main():
                            "missing_oracle": 0}
     for line in sys.stdin:
         line = line.strip()
-        m = re.match(r"^(\w+): (PASS|FAIL|NO-ORACLE|ORACLE-TIMEOUT|ORACLE-ERROR)", line)
+        m = re.match(r"^(\w+): (PASS|CONTRACT-PASS|FAIL|NO-ORACLE|"
+                     r"ORACLE-TIMEOUT|ORACLE-ERROR)", line)
         if not m:
             continue
         name, verdict = m.groups()
         if verdict == "PASS":
             queries[name] = "pass"; counts["pass"] += 1
+        elif verdict == "CONTRACT-PASS":
+            # rows+schema verified against the declared contract; only the
+            # value hash is whitelisted (engine-internal sketch bytes)
+            if name in ROWS_ONLY_BY_DESIGN:
+                queries[name] = "rows+schema pass, hash whitelisted by design"
+                counts["rows_only"] += 1
+            else:
+                queries[name] = "FAIL: contract pass outside the by-design set"
+                counts["missing_oracle"] += 1
         elif verdict == "NO-ORACLE":
             if name in ROWS_ONLY_BY_DESIGN:
                 queries[name] = "rows-only by design"; counts["rows_only"] += 1

@@ -113,7 +113,8 @@ object Bench {
   private def writeFullArtifact(
       results: Seq[(String, Double, Option[String])], sfDir: String,
       loadStart: String, loadEnd: String, requeried: Int,
-      tagOverride: Option[String]): Unit = {
+      tagOverride: Option[String], splitBytes: Long,
+      gateJson: String): Unit = {
     val sfTok = tagOverride.getOrElse(sfToken(sfDir))
     val baseline = LocalBaselineSec.get(sfTok).fold("") { b =>
       s"""  "vs_local_baseline": ${fmt(results.map(_._2).sum / b)},
@@ -131,6 +132,8 @@ object Bench {
          |  "n_queries": ${results.size},
          |$baseline  "load_1m_start": ${jstr(loadStart)},
          |  "load_1m_end": ${jstr(loadEnd)},
+         |  "max_partition_bytes": $splitBytes,
+         |  "load_gate": $gateJson,
          |  "requeried": $requeried,
          |  "queries": {
          |${entries.mkString(",\n")}
@@ -152,15 +155,51 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val splitBytes = GraftConf.splitBytes(sfDir, cpus.toInt)
+    // Quiet-host gate for ARTIFACT runs (full sweeps and tagged probes):
+    // this host has noisy phases that swing totals ±25%, and an artifact
+    // measured under external load poisons every round-over-round delta
+    // (BENCH_r11 ran at load_1m 13.6 and read as a 22% regression that
+    // mostly wasn't code). Before the JVM spins up its own threads, wait
+    // (up to SPARK_GRAFT_LOAD_WAIT_S, default 900 s) for load_1m to drop
+    // under the threshold (SPARK_GRAFT_LOAD_GATE, default cpus/4, "off"
+    // disables); if it never does, run anyway but record ok=false so the
+    // artifact self-reports as load-tainted instead of silently lying.
+    val artifactRun = only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_TAG")
+    val gateJson: String =
+      if (!artifactRun) "null"
+      else sys.env.get("SPARK_GRAFT_LOAD_GATE") match {
+        case Some("off") => """{"enabled": false}"""
+        case th0 =>
+          val th = th0.map(_.toDouble).getOrElse(cpus.toDouble / 4.0)
+          val waitMax = sys.env.get("SPARK_GRAFT_LOAD_WAIT_S")
+            .map(_.toInt).getOrElse(900)
+          val t0 = System.nanoTime()
+          def load(): Double =
+            scala.util.Try(loadAvg().toDouble).getOrElse(0.0)
+          var l = load()
+          while (l > th && (System.nanoTime() - t0) / 1e9 < waitMax) {
+            Console.err.println(
+              f"bench-load-gate waiting: load_1m=$l%.2f > $th%.2f")
+            Thread.sleep(20000)
+            l = load()
+          }
+          val waited = ((System.nanoTime() - t0) / 1e9).toInt
+          if (l > th) Console.err.println(f"bench-load-gate TIMED OUT at " +
+            f"load_1m=$l%.2f — artifact marked load-tainted")
+          s"""{"threshold": ${fmt(th)}, "waited_s": $waited, """ +
+            s""""ok": ${l <= th}, "load_at_start": ${fmt(l)}}"""
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      // single-file corpus tables must still fan out at sf10 — see the
-      // identical sizing (and why) in Verify/ScaleProbe
-      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
+      // single-file corpus tables must fan out at sf10 without shredding
+      // tiny corpora — derived from corpus bytes (GraftConf
+      // .deriveSplitBytes), recorded in the committed artifact
+      .config("spark.sql.files.maxPartitionBytes", s"$splitBytes")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -231,7 +270,7 @@ object Bench {
     val benchTag = sys.env.get("SPARK_GRAFT_BENCH_TAG")
     if (only.isEmpty || benchTag.isDefined)
       writeFullArtifact(results, sfDir, loadStart, loadEnd, flaky.size,
-        benchTag)
+        benchTag, splitBytes, gateJson)
     // the 2x-of-baseline criterion, against the pinned local wall (see
     // LocalBaselineSec / docs/BASELINE_LOCAL.md); prefixed so the tail
     // parser never matches it. Full sweeps only — a filtered run's

@@ -580,17 +580,19 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // probe corpora are ONE parquet file per table (check_oracle.py's
+    // registration contract) — size splits from corpus bytes so
+    // single-file sf10 tables fan out without shredding tiny corpora
+    // (GraftConf.deriveSplitBytes). Probe modes take the corpus dir as
+    // the arg AFTER the mode name; default sf0.1 otherwise.
+    val splitDir = args.lift(1).filter(a => !a.forall(_.isDigit))
+      .getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // probe corpora are ONE parquet file per table (check_oracle.py's
-      // registration contract), so the default 128 MB split leaves a
-      // CPU-bound raw scan over a 60 MB sf10 file on a single core —
-      // size splits so single-file probe tables still fan out (the same
-      // files.maxPartitionBytes sizing the 100 TB brief calls out; a
-      // real corpus has many files and never hits this)
-      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
+      .config("spark.sql.files.maxPartitionBytes",
+        s"${GraftConf.splitBytes(splitDir, cpus.toInt)}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(GraftConf.fromEnv())

@@ -283,12 +283,17 @@ object SparkEntry {
     *     key order IS the engine's ordering and ties cannot exist
     *     (b_id is unique per a_id).
     *  2. One streaming aggregate computes per (a_id, b_id%4 bucket) the
-    *     max key (≤4 rows per vector), and the 3rd-largest of those ≤4
-    *     maxes is a PROVEN lower bound on the true 3rd-best key: if it
-    *     exceeded k3, three distinct buckets would each hold a key
-    *     above k3 — three distinct pairs above the 3rd-best,
-    *     contradiction. (Fewer than 3 buckets → the min of all maxes,
-    *     which keeps everything.)
+    *     max key (≤4 rows per vector), and — when at least 3 buckets are
+    *     non-empty — the 3rd-largest of those ≤4 maxes is a PROVEN lower
+    *     bound on the true 3rd-best key: the 3 largest bucket maxes are
+    *     3 distinct pairs, so the true 3rd-best is ≥ the smallest of
+    *     them. With FEWER than 3 non-empty buckets no sound bound exists
+    *     from bucket maxes alone (the min of 1-2 maxes can EXCEED the
+    *     true 3rd-best and drop real rows — e.g. pairs b_id 0/4/1 put
+    *     two keys in bucket 0, and the bucket-1 max filters the smaller
+    *     of them), so the threshold falls to a sentinel below every
+    *     packable key and the vector's whole candidate set is kept —
+    *     harmless, since that is precisely the small-candidate case.
     *  3. A second streaming pass keeps only pairs at-or-above the
     *     bound — a handful per vector — and a row_number window ranks
     *     that TINY relation.
@@ -300,13 +305,14 @@ object SparkEntry {
     * upstream join into a 70 GB spill); the 3-pass max/arg_max cascade
     * it replaced paid a third full evaluation.
     * `src` must expose (label, a_id, b_id, score[, routed]). */
-  private def duckTop3(src: String, routed: Boolean): String = {
+  private[graft] def duckTop3(src: String, routed: Boolean): String = {
     val rcol = if (routed) ", routed" else ""
     s"""kk AS (SELECT *,
        |    (round(score * 10000))::BIGINT * 1099511627776 - b_id AS key
        |  FROM $src),
        |bm AS (SELECT a_id, max(key) AS m FROM kk GROUP BY a_id, b_id % 4),
-       |bnd AS (SELECT a_id, min(m) AS thr FROM (
+       |bnd AS (SELECT a_id, CASE WHEN count(*) >= 3 THEN min(m)
+       |      ELSE -9223372036854775807 END AS thr FROM (
        |    SELECT a_id, m,
        |      row_number() OVER (PARTITION BY a_id ORDER BY m DESC) AS r
        |    FROM bm) WHERE r <= 3 GROUP BY a_id),

@@ -16,13 +16,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
-      // corpus tables are ONE parquet file each (the oracle-registration
-      // contract), so the default 128 MB split leaves a whole sf10 scan
-      // on a single core — an interpreted transform/aggregate chain over
-      // 500k docs then runs 30+ min on one task (observed round 11).
-      // Size splits so single-file tables still fan out; a real corpus
-      // has many files and never hits this.
-      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
+      // single-file corpus tables must fan out at sf10 without shredding
+      // tiny corpora into per-task overhead — derived from corpus bytes,
+      // see GraftConf.deriveSplitBytes
+      .config("spark.sql.files.maxPartitionBytes",
+        s"${GraftConf.splitBytes(sfDir, cpus.toInt)}")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); Spark reads it as a long
       // (nanos since epoch) under this flag — Tables.events normalizes.

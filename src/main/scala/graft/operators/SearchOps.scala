@@ -310,11 +310,13 @@ object SearchOps {
     * trims to 3 per vector map-side, so the post-join shuffle moves at
     * most 3 rows per vector regardless of cell size.
     *
-    * Pair scoring pays ONE dot product: each side carries its
+    * Pair scoring pays ONE dot product per UNORDERED pair: candidates are
+    * enumerated once (a_id < b_id), scored once, and mirrored into both
+    * directions by a narrow explode ([[mirrorScored]]) — half the block
+    * join's multiply-adds. Each side carries its
     * [[graft.functions.SumSquares]] norm computed once per VECTOR, so the
-    * n² inner loop skips the two norm accumulations cosine would redo per
-    * pair — bit-identical scores (see the SumSquares scaladoc), 3× fewer
-    * multiply-adds in the dominant stage.
+    * inner loop also skips the two norm accumulations cosine would redo
+    * per pair — bit-identical scores (see the SumSquares scaladoc).
     *
     * Parallelism is ADAPTIVE: one thin census action over the bucketed
     * cell sizes (rows = cells, the same routing precedent as
@@ -402,11 +404,12 @@ object SearchOps {
         .select(col("b_label"), col("b_id"), col("b_emb"), col("b_ss"),
           explode(sequence(lit(0), col("cell_salt") - 1)).as("b_slice"))
         .repartition(col("b_label"), col("b_slice"))
-      a.join(b, col("label") === col("b_label") &&
-          col("slice") === col("b_slice") && col("a_id") =!= col("b_id"))
-        .select(col("label"), col("a_id"),
-          scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score"),
-          col("b_id"))
+      // a < b once per unordered pair (B replicates to every slice, so the
+      // pair matches exactly at a's slice); mirrored after the one dot
+      mirrorScored(a.join(b, col("label") === col("b_label") &&
+          col("slice") === col("b_slice") && col("a_id") < col("b_id"))
+        .select(col("label"), col("a_id"), col("b_id"),
+          scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score")))
     }
   }
 
@@ -419,9 +422,26 @@ object SearchOps {
   private[graft] def knnSaltFactor(spark: SparkSession): Int =
     spark.conf.getOption(KnnSaltConf).map(_.toInt).getOrElse(1)
 
+  /** Restore both directions of a once-per-unordered-pair scored stream:
+    * input (label, a_id, b_id, score) with a_id < b_id, output both
+    * orientations via a narrow explode — the same shape [[vecKnnJoinAnn]]
+    * uses. Mirroring AFTER scoring halves the dot products (the dominant
+    * stage of every exact KNN plan) while the row count into the top-k
+    * aggregate is unchanged, so downstream hashes are identical. */
+  private[graft] def mirrorScored(scored: DataFrame): DataFrame =
+    scored
+      .select(col("label"), col("score"), explode(array(
+        struct(col("a_id").as("s"), col("b_id").as("o")),
+        struct(col("b_id").as("s"), col("a_id").as("o")))).as("d"))
+      .select(col("label"), col("d.s").as("a_id"), col("score"),
+        col("d.o").as("b_id"))
+
   /** The scored-pair stage of [[vecKnnJoin]] with an EXPLICIT salt
     * factor — shared by the operator (salt from [[knnSaltFactor]]) and
-    * ScaleProbe's stage-attribution runs. */
+    * ScaleProbe's stage-attribution runs. Pairs are enumerated ONCE per
+    * unordered pair (a_id < b_id), scored once, and mirrored by
+    * [[mirrorScored]] — half the dot products of the ordered-pair join
+    * this replaced, same output. */
   private[graft] def knnPairsScored(spark: SparkSession, dir: String,
       salt: Int, cellCap: Long): DataFrame = {
     // salt <= 0 would NOT error: pmod(x, 0) is null and sequence(0, -1)
@@ -443,9 +463,12 @@ object SearchOps {
       .select(col("label"), col("a_id"), col("a_emb"), ssq(col("a_emb")).as("a_ss"))
     val b0 = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"),
       col("embedding").as("b_emb"), ssq(col("embedding")).as("b_ss"))
+    // a_id < b_id: each unordered pair is enumerated exactly once — under
+    // the salt too, because side B replicates to EVERY slice, so pair
+    // (x, y) with x < y matches exactly at x's slice
     val joined =
       if (salt == 1)
-        a0.join(b0, col("label") === col("b_label") && col("a_id") =!= col("b_id"))
+        a0.join(b0, col("label") === col("b_label") && col("a_id") < col("b_id"))
       else {
         // the repartitions are load-bearing: the bucketed scan's
         // HashPartitioning(label) already satisfies the (label, salt)
@@ -458,12 +481,11 @@ object SearchOps {
             explode(sequence(lit(0L), lit(salt.toLong - 1L))))
           .repartition(col("b_label"), col("b_salt"))
         a.join(b, col("label") === col("b_label") &&
-          col("a_salt") === col("b_salt") && col("a_id") =!= col("b_id"))
+          col("a_salt") === col("b_salt") && col("a_id") < col("b_id"))
       }
-    joined
-      .select(col("label"), col("a_id"),
-        scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score"),
-        col("b_id"))
+    mirrorScored(joined
+      .select(col("label"), col("a_id"), col("b_id"),
+        scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score")))
   }
 
   private[graft] def vecKnnJoinCapped(spark: SparkSession, dir: String,
@@ -895,11 +917,14 @@ object SearchOps {
         ssq(col("embedding")).as("a_ss"))
     val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"),
       col("embedding").as("b_emb"), ssq(col("embedding")).as("b_ss"))
-    val exactPairs = a
-      .join(b, col("label") === col("b_label") && col("a_id") =!= col("b_id"))
-      .select(col("label"), col("a_id"),
-        scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score"),
-        col("b_id"), lit(false).as("routed"))
+    // same once-per-unordered-pair discipline as the routed branch below:
+    // a < b through the block join, one dot per pair, directions restored
+    // by mirrorScored's narrow explode
+    val exactPairs = mirrorScored(a
+      .join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .select(col("label"), col("a_id"), col("b_id"),
+        scoreParts(dot(col("a_emb"), col("b_emb")), col("a_ss"), col("b_ss")).as("score")))
+      .withColumn("routed", lit(false))
     // routed branch: band collisions inside big cells (cell_sig already
     // folds the label, so the collision join cannot cross cells)
     // same once-per-unordered-pair discipline as vecKnnJoinAnn: a < b

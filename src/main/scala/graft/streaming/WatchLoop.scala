@@ -158,8 +158,15 @@ object WatchLoop {
               graft.PlanCache.invalidate(dir)
             }
           } finally { fresh.unpersist(); () }
-          // the stash landed (or deduped away) with this batch — clear it
-          if (hasRetry) graft.sources.IndexStore.dropTable(sess, retryTbl)
+          // the stash landed (or deduped away) with this batch — clear it.
+          // Own try: the append above already SUCCEEDED, so a failing drop
+          // must not fall into the outer catch — that would re-stash an
+          // applied batch and ledger it as failed (appended=0) when its
+          // edges actually landed. A stale stash is harmless: its rows are
+          // in the table now, so the next batch's anti-join dedupes them.
+          if (hasRetry)
+            try graft.sources.IndexStore.dropTable(sess, retryTbl)
+            catch { case scala.util.control.NonFatal(_) => () }
         } catch {
           // record-and-continue, the reference's reload posture
           // (metrics.go:62: a failed reload bumps failedReloads and the

@@ -23,4 +23,40 @@ class GraftConfSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       GraftConf.fromEnv(Map("SPARK_GRAFT_CONF" -> "graft.indexBuckets=32")))
   }
+
+  test("derived scan split: tiny corpora keep the 128 MB default") {
+    val MiB = GraftConf.MiB
+    // sf0.1 is ~17 MB and sf1 ~170 MB: both under the 1 GiB fan-out
+    // threshold, so the baseline-pinned default applies (no shredding)
+    assert(GraftConf.deriveSplitBytes(17L * MiB, 32) == 128 * MiB)
+    assert(GraftConf.deriveSplitBytes(170L * MiB, 32) == 128 * MiB)
+    assert(GraftConf.deriveSplitBytes(0L, 32) == 128 * MiB)
+  }
+
+  test("derived scan split: large corpora fan out, clamped to [4,128] MB") {
+    val MiB = GraftConf.MiB
+    // sf10 regeneration (~1.7 GiB): dirBytes/(16*32) = 3.4 MB -> 4 MB
+    // floor, the round-11 measured-good setting
+    assert(GraftConf.deriveSplitBytes(1700L * MiB, 32) == 4 * MiB)
+    // mid-range: raw value between the clamps passes through
+    assert(GraftConf.deriveSplitBytes(8192L * MiB, 32) == 16 * MiB)
+    // huge corpora sit at the ceiling: parallelism comes from file count
+    assert(GraftConf.deriveSplitBytes(1L << 50, 32) == 128 * MiB)
+  }
+
+  test("SPARK_GRAFT_SPLIT_MB overrides the derivation") {
+    assert(GraftConf.splitBytes("/nonexistent", 32,
+      Map("SPARK_GRAFT_SPLIT_MB" -> "7")) == 7 * GraftConf.MiB)
+    // no override + missing dir -> default
+    assert(GraftConf.splitBytes("/nonexistent", 32, Map.empty) ==
+      128 * GraftConf.MiB)
+  }
+
+  test("dirBytes sums regular files recursively") {
+    val d = java.nio.file.Files.createTempDirectory("graft-split")
+    val sub = java.nio.file.Files.createDirectory(d.resolve("sub"))
+    java.nio.file.Files.write(d.resolve("a.parquet"), new Array[Byte](1000))
+    java.nio.file.Files.write(sub.resolve("b.parquet"), new Array[Byte](500))
+    assert(GraftConf.dirBytes(d.toString) == 1500L)
+  }
 }
