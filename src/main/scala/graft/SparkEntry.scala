@@ -232,7 +232,14 @@ object SparkEntry {
            |      <= $lshTarget * (1::BIGINT << b)),
            |  $LshBitsAutoMax) AS bits)""".stripMargin
     }
-    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+    // e and sg are MATERIALIZED: DuckDB 1.0 inlines CTEs, so every
+    // reference re-evaluates the chain — consumers reference e 3× and sg
+    // 2× (the candidate self-join), which at sf10 re-ran the 144M-row
+    // dots pipeline per side and spilled past the replay box's disk.
+    // Both relations are vector-bounded (N rows / N·bands rows), so the
+    // materialization is ~300 MB at sf10, not the pair-stream blow-up
+    // duckTop3's scaladoc warns against.
+    s"""e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v,
        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
        |      AS nrm
        |  FROM embeddings),
@@ -249,7 +256,7 @@ object SparkEntry {
        |      i -> e.v[i+1]*pl.wl[i+1])) AS dot
        |  FROM e CROSS JOIN pl CROSS JOIN geo g
        |  WHERE pl.p < $bands * g.bits),
-       |sg AS (SELECT vec_id, label, (p // bits) AS band,
+       |sg AS MATERIALIZED (SELECT vec_id, label, (p // bits) AS band,
        |    sum(CASE WHEN dot > 0
        |      THEN (1::BIGINT << (bits - 1 - (p % bits))) ELSE 0 END) AS sig
        |  FROM dots GROUP BY 1, 2, 3)""" // margin pipes kept: consumers
@@ -377,14 +384,25 @@ object SparkEntry {
        |  len(list_filter($duckTok, t -> list_contains(['data','stream','batch'], t))) AS s_data
        |  FROM documents)""".stripMargin
 
+  // exact integer arithmetic mirroring TextOps.qualityExpr: 10⁴·quality
+  // is least(60·n, 3000) + HALF_UP((2p+q) div 2q) — DuckDB's // is floor
+  // division on BIGINT, identical to the pmod form the engine uses; the
+  // double round() it replaces disagreed with Spark's string-based
+  // rounding on 90 half-boundary docs at sf10
   private lazy val oracleSqlTextQuality: String =
     s"""SELECT doc_id, len(ts) AS n_tokens,
-       |  round(0.3 * least(len(ts)::DOUBLE / 50.0, 1.0)
-       |    + 0.4 * (len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
-       |             / greatest(n_chars, 1))
-       |    + 0.3 * (1.0 - len(list_filter(ts, t -> list_contains(['the','a'], t)))::DOUBLE
-       |             / greatest(len(ts), 1)), 4) AS quality
-       |FROM (SELECT doc_id, n_chars, text, $duckTok AS ts FROM documents)""".stripMargin
+       |  (least(60 * len(ts), 3000) + ((2*p + q) // (2*q)))::DOUBLE / 10000.0
+       |    AS quality
+       |FROM (SELECT doc_id, ts,
+       |    4000::BIGINT * alpha * ntg + 3000::BIGINT * (ntg - stops) * chg AS p,
+       |    chg * ntg AS q
+       |  FROM (SELECT doc_id, ts,
+       |      greatest(len(ts), 1)::BIGINT AS ntg,
+       |      greatest(n_chars, 1)::BIGINT AS chg,
+       |      len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT AS alpha,
+       |      len(list_filter(ts, t -> list_contains(['the','a'], t)))::BIGINT
+       |        AS stops
+       |    FROM (SELECT doc_id, n_chars, text, $duckTok AS ts FROM documents)))""".stripMargin
 
   /** The simhash pair SELECT, shared verbatim by the dedup_simhash oracle
     * and (as a CTE) the dedup_clusters oracle — one place to change the
@@ -618,13 +636,19 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
   def oracleSql: Map[String, String] = Map(
+    // exact decimal sums, mirroring Relational.q1Agg: double sums are
+    // order-dependent past ~1e11·5M-row groups and broke the 4-decimal
+    // hash at sf10; avg = exact sum / exact count in one double op
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  sum(CAST(l_quantity AS DECIMAL(30,4)))::DOUBLE AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(30,4)))::DOUBLE AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))::DOUBLE
+        |    AS sum_disc_price,
+        |  round(sum(CAST(l_quantity AS DECIMAL(30,4)))::DOUBLE / count(*), 4)
+        |    AS avg_qty,
+        |  round(sum(CAST(l_discount AS DECIMAL(30,4)))::DOUBLE / count(*), 4)
+        |    AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -962,7 +986,7 @@ object SparkEntry {
     // the engine's SumSquares riders make; ranking is the 3-pass cascade
     // (see duckTop3) because the window sort detonates at sf10
     "vec_knn_join" ->
-      s"""WITH en AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      s"""WITH en AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v,
          |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
          |      AS nrm
          |  FROM embeddings),
@@ -1813,8 +1837,16 @@ object SparkEntry {
         |FROM documents
         |CROSS JOIN unnest(range(1, least(n_chars, 701) + 1, 100)) AS u(s)""".stripMargin,
     // 32-frame average-hash: integer energy sums per equal character
-    // slice, bit = energy*32 > total, pairs at hamming <= 3 (the oracle
-    // brute-forces all pairs; Spark goes through the banded candidates)
+    // slice, bit = energy*32 > total, pairs at hamming <= 3. The oracle
+    // used to brute-force all pairs, which is 125G candidate rows at
+    // sf10 (spilled past the replay disk); it now goes through the SAME
+    // pigeonhole the engine uses — hamming <= 3 over a 32-bit hash means
+    // at least one of 4 disjoint 8-bit bands is EQUAL, so band-equality
+    // candidates then the exact hamming filter return the identical pair
+    // set with collision-proportional work. h is MATERIALIZED (DuckDB
+    // inlines CTEs; it is referenced by both join sides and its energy
+    // subquery is the expensive part); the DISTINCT runs over hamming
+    // SURVIVORS only, never the raw candidate stream.
     "mm_phash_dedup" ->
       """WITH f AS (SELECT doc_id, n_chars::INT AS nc, text FROM documents
         |  WHERE n_chars >= 32),
@@ -1824,14 +1856,18 @@ object SparkEntry {
         |     FROM unnest(range((u.f * nc) // 32 + 1,
         |                       ((u.f + 1) * nc) // 32 + 1)) AS p(p))::BIGINT AS ef
         |  FROM f CROSS JOIN unnest(range(0, 32)) AS u(f)),
-        |h AS (SELECT doc_id,
+        |h AS MATERIALIZED (SELECT doc_id,
         |    sum(CASE WHEN ef * 32 >
         |        (SELECT sum(ef) FROM e e2 WHERE e2.doc_id = e.doc_id)
         |      THEN 1::BIGINT << frame ELSE 0 END)::BIGINT AS ph
-        |  FROM e GROUP BY doc_id)
-        |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |  FROM e GROUP BY doc_id),
+        |hb AS MATERIALIZED (SELECT doc_id, ph, b.b AS band,
+        |    (ph >> (b.b * 8)::INT) & 255 AS bv
+        |  FROM h CROSS JOIN unnest(range(0, 4)) AS b(b))
+        |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
         |  bit_count(xor(x.ph, y.ph)) AS hamming
-        |FROM h x JOIN h y ON x.doc_id < y.doc_id
+        |FROM hb x JOIN hb y
+        |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.ph, y.ph)) <= 3""".stripMargin,
     "graph_khop" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
@@ -1850,10 +1886,15 @@ object SparkEntry {
         |SELECT 0 AS step, 'supplier' AS node_type, 0::BIGINT AS node_id FROM b1
         |UNION ALL SELECT 1 AS step, 'part' AS node_type, p1 AS node_id FROM b1
         |UNION ALL SELECT 2 AS step, 'supplier' AS node_type, t_id AS node_id FROM b1""".stripMargin,
+    // MATERIALIZED: DuckDB 1.0 inlines CTEs, so the multi-referenced
+    // edge relation and BFS levels re-evaluate per reference — at sf10
+    // the repeated DISTINCT-over-60M-rows hash builds compound past the
+    // replay box's spill disk. Each materialized relation is edge- or
+    // frontier-bounded (small), so this caps both compute and spill.
     "graph_path_find_deep" ->
-      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
-        |l1 AS (SELECT dst AS id, min(src) AS par FROM e WHERE src = 0 GROUP BY dst),
-        |l2 AS (SELECT e.src AS id, min(e.dst) AS par FROM e JOIN l1 ON e.dst = l1.id
+      """WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |l1 AS MATERIALIZED (SELECT dst AS id, min(src) AS par FROM e WHERE src = 0 GROUP BY dst),
+        |l2 AS MATERIALIZED (SELECT e.src AS id, min(e.dst) AS par FROM e JOIN l1 ON e.dst = l1.id
         |       WHERE e.src <> 0 GROUP BY e.src),
         |l3 AS (SELECT e.dst AS id, min(e.src) AS par FROM e JOIN l2 ON e.src = l2.id
         |       WHERE e.dst NOT IN (SELECT id FROM l1) GROUP BY e.dst),
@@ -1877,13 +1918,18 @@ object SparkEntry {
         |  'supplier' AS node_type, id AS node_id FROM impl
         |UNION ALL SELECT 'direct_caller', 'must_update', 'customer', id FROM direct
         |UNION ALL SELECT 'transitive', 'review_needed', 'customer', id FROM trans""".stripMargin,
+    // MATERIALIZED for the same reason as graph_path_find_deep: under
+    // CTE inlining the 4-hop chain re-expands e/s0/f1/f2 per reference
+    // (f4 alone re-evaluates three whole BFS levels), which detonates at
+    // the sf10 edge count; every materialized relation is a bounded
+    // frontier id-list or the distinct edge set.
     "graph_khop_deep" ->
-      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
-        |s0 AS (SELECT DISTINCT src AS id FROM e WHERE src < 10),
-        |f1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN s0 ON e.src = s0.id),
-        |f2 AS (SELECT DISTINCT e.src AS id FROM e JOIN f1 ON e.dst = f1.id
+      """WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e WHERE src < 10),
+        |f1 AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e JOIN s0 ON e.src = s0.id),
+        |f2 AS MATERIALIZED (SELECT DISTINCT e.src AS id FROM e JOIN f1 ON e.dst = f1.id
         |       WHERE e.src NOT IN (SELECT id FROM s0)),
-        |f3 AS (SELECT DISTINCT e.dst AS id FROM e JOIN f2 ON e.src = f2.id
+        |f3 AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e JOIN f2 ON e.src = f2.id
         |       WHERE e.dst NOT IN (SELECT id FROM f1)),
         |f4 AS (SELECT DISTINCT e.src AS id FROM e JOIN f3 ON e.dst = f3.id
         |       WHERE e.src NOT IN (SELECT id FROM s0)

@@ -15,19 +15,39 @@ object Relational {
 
   /** Multi-aggregate scan: TPC-H Q1 shape. Partial (map-side) aggregation
     * then a single shuffle on the low-cardinality group key.
+    *
+    * Sums aggregate EXACT decimals, not doubles: at sf10 the engines'
+    * different partial-aggregation orders drifted the 4th decimal of a
+    * 2.7e11 double sum (half-ulp is 3e-5 there and the groups hold 5M+
+    * rows), so a double sum rounded to 4 decimals is not a cross-engine
+    * (or even cross-plan) deterministic quantity. The inputs are
+    * fixed-decimal rationals — integer quantities, 2-decimal prices and
+    * discounts, hence an exact 4-decimal disc_price product — and the
+    * per-row decimal cast recovers that rational exactly on both engines
+    * (the stored double sits ~1e-11 from it, five orders inside the
+    * decimal(30,6) rounding margin), making every sum order-independent
+    * and scale-proof; this is also how money aggregation should work at
+    * 100 TB. Averages divide the exact sum by the exact count in one
+    * IEEE double op per group.
     */
-  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val qtyD = col("l_quantity").cast("decimal(30,4)")
+    val priceD = col("l_extendedprice").cast("decimal(30,4)")
+    val discD = col("l_discount").cast("decimal(30,4)")
+    val discPriceD = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(30,6)")
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sum(qtyD).cast("double").as("sum_qty"),
+        sum(priceD).cast("double").as("sum_base_price"),
+        sum(discPriceD).cast("double").as("sum_disc_price"),
+        round(sum(qtyD).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(discD).cast("double") / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   /** Pushdown filter + pruned projection: both the predicate and the
     * 3-column ReadSchema must reach the parquet scan (cortex

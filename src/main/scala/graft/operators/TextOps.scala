@@ -36,15 +36,36 @@ object TextOps {
   }
 
   /** Composite quality score over (text, n_chars) — shared by
-    * textQuality and the single-scan corpusCurate projection. */
+    * textQuality and the single-scan corpusCurate projection.
+    *
+    * Computed in EXACT integer arithmetic. The double formulation
+    * (0.3·length-score + 0.4·alpha-ratio + 0.3·(1−stopword-ratio),
+    * rounded to 4 decimals) broke cross-engine at sf10: Spark's round()
+    * rounds the shortest DECIMAL STRING of the double while DuckDB
+    * rounds the BINARY value (x·10⁴ can land exactly on …7.5), and 90 of
+    * 500k docs minted that half-boundary. All three components are
+    * rationals of small integers, so 10⁴·quality is an exact integer:
+    * the length term is least(60·n, 3000) and the two ratio terms share
+    * the exact HALF_UP division (2p+q) div (2q). The pmod subtraction
+    * makes the numerator exactly divisible, so the one double division
+    * is exact (operands ≤ 2^53, quotient ≤ 7000) — no rounding boundary
+    * exists on either engine at any corpus size. */
   private[graft] def qualityExpr: Column = {
     val t = tokens(col("text"))
-    val nTok = size(t)
+    val nTok = size(t).cast("long")
+    val nTokG = greatest(nTok, lit(1L))
+    val charsG = greatest(col("n_chars").cast("long"), lit(1L))
     val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
-      .cast("double") / greatest(col("n_chars"), lit(1))
-    val stop = tf(t, Seq("the", "a")).cast("double") / greatest(nTok, lit(1))
-    round(lit(0.3) * least(nTok.cast("double") / 50.0, lit(1.0)) +
-      lit(0.4) * alpha + lit(0.3) * (lit(1.0) - stop), 4)
+      .cast("long")
+    val stops = tf(t, Seq("the", "a")).cast("long")
+    // 10⁴·(0.4·alpha/chars + 0.3·(1 − stops/nTok)) = p/q exactly
+    val p = lit(4000L) * alpha * nTokG +
+      lit(3000L) * (nTokG - stops) * charsG
+    val q = charsG * nTokG
+    val num = lit(2L) * p + q
+    val den = lit(2L) * q
+    val rHalfUp = (num - pmod(num, den)) / den
+    (least(lit(60L) * nTok, lit(3000L)) + rHalfUp) / 10000.0
   }
 
   /** Marker-based language/register ID: argmax of three marker-set term
