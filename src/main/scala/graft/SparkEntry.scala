@@ -638,17 +638,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // exact decimal sums, mirroring Relational.q1Agg: double sums are
     // order-dependent past ~1e11·5M-row groups and broke the 4-decimal
-    // hash at sf10; avg = exact sum / exact count in one double op
+    // hash at sf10; avg = exact sum / exact count in one double op.
+    // ::VARCHAR::DOUBLE is load-bearing: DuckDB's direct DECIMAL→DOUBLE
+    // cast divides (double)hugeint by 10^scale — TWO roundings, 1 ulp
+    // below the true value at 2.7e11 — while the string parse is
+    // correctly rounded, matching Spark's decimal-to-double cast.
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(30,4)))::DOUBLE AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(30,4)))::DOUBLE AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))::DOUBLE
-        |    AS sum_disc_price,
-        |  round(sum(CAST(l_quantity AS DECIMAL(30,4)))::DOUBLE / count(*), 4)
-        |    AS avg_qty,
-        |  round(sum(CAST(l_discount AS DECIMAL(30,4)))::DOUBLE / count(*), 4)
-        |    AS avg_disc,
+        |  sum(CAST(l_quantity AS DECIMAL(30,4)))::VARCHAR::DOUBLE AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(30,4)))::VARCHAR::DOUBLE
+        |    AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+        |    ::VARCHAR::DOUBLE AS sum_disc_price,
+        |  round(sum(CAST(l_quantity AS DECIMAL(30,4)))::VARCHAR::DOUBLE
+        |    / count(*), 4) AS avg_qty,
+        |  round(sum(CAST(l_discount AS DECIMAL(30,4)))::VARCHAR::DOUBLE
+        |    / count(*), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -985,16 +990,25 @@ object SparkEntry {
     // pays one inner product, not three — the same split-scoring trade
     // the engine's SumSquares riders make; ranking is the 3-pass cascade
     // (see duckTop3) because the window sort detonates at sf10
+    // the 16-way slice on side A is pure PARALLELISM, not semantics: the
+    // pair set is identical (each (a,b) matches exactly at b's slice,
+    // b_id % 16), but DuckDB parallelizes a hash join by PROBE-side
+    // morsels (~122k rows each), and the unsalted probe side is only
+    // vector-count rows — the sf10 replay ran ~4 threads and timed out
+    // on a Σcell² dot-product stage that parallelizes trivially
     "vec_knn_join" ->
       s"""WITH en AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v,
          |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
          |      AS nrm
          |  FROM embeddings),
+         |ap AS MATERIALIZED (SELECT en.*, s.s FROM en
+         |  CROSS JOIN unnest(range(0, 16)) AS s(s)),
          |pairs AS (
          |  SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
          |    round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
-         |  FROM en a JOIN en b
-         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |  FROM ap a JOIN en b
+         |    ON a.label = b.label AND a.s = b.vec_id % 16
+         |      AND a.vec_id <> b.vec_id),
          |${duckTop3("pairs", routed = false)}""".stripMargin,
     // lockstep with SearchOps.vecKnnJoinAuto: the oracle replays the cell
     // size census, routes each label through the exact block join
