@@ -186,7 +186,8 @@ object SparkEntry {
     * oracle only hash-matches while the corpus is too small/uniform to
     * mint near-threshold collision misses (the adversarial-skew corpus,
     * with half the vectors in one cell, surfaced exactly 7 of them). */
-  private def duckEmbBandCtes: String = {
+  private def duckEmbBandCtes(materialize: Boolean = true): String = {
+    val mat = if (materialize) " MATERIALIZED" else ""
     import operators.DedupOps.{EmbSeed, EmbBands, EmbBits, EmbDim,
       LshTargetBucketConf, LshTargetBucketDefault, LshBitsAutoMax}
     // geo replays DedupOps.autoBits: the signature width is the smallest
@@ -232,17 +233,48 @@ object SparkEntry {
            |      <= $lshTarget * (1::BIGINT << b)),
            |  $LshBitsAutoMax) AS bits)""".stripMargin
     }
-    // e and sg are MATERIALIZED: DuckDB 1.0 inlines CTEs, so every
-    // reference re-evaluates the chain — consumers reference e 3× and sg
-    // 2× (the candidate self-join), which at sf10 re-ran the 144M-row
-    // dots pipeline per side and spilled past the replay box's disk.
-    // Both relations are vector-bounded (N rows / N·bands rows), so the
-    // materialization is ~300 MB at sf10, not the pair-stream blow-up
-    // duckTop3's scaladoc warns against.
-    s"""e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+    // Materialization is a TRADE, controlled per consumer: DuckDB 1.0
+    // inlines plain CTEs (every reference re-evaluates the dots chain),
+    // but a MATERIALIZED CTE's scan carries estimated cardinality 0,
+    // which propagates to every join above it and flips hash-join build
+    // sides onto the pair stream (the ~140 GB spill this chain's first
+    // sf10 run died of). So: consumers whose LAST blocking operator sits
+    // directly on the band self-join (dedup_embedding — threshold filter
+    // then a result-bounded DISTINCT) materialize and pay one dots pass;
+    // consumers that feed the pair stream through further joins
+    // (duckTop3's bound join in ann/auto) must NOT materialize — they
+    // re-evaluate the dots chain per reference (~4 passes at sf10,
+    // ~a minute each) to keep sane estimates, the bound relation as the
+    // build side, and the pair stream strictly streaming.
+    //
+    // sv rides each vector (v, nrm) on its band rows so consumers score
+    // candidates INSIDE the band self-join's projection — a pure
+    // streaming pipeline. The earlier shape (DISTINCT candidate pairs,
+    // then join back to e for the vectors) detonated at sf10: DuckDB's
+    // estimator has no cardinality for a DISTINCT over a self-join
+    // (268M pairs at sf10), picked the pair stream as a hash-join BUILD
+    // side with the 64-double arrays riding, and spilled ~140 GB
+    // building a table that could never fit. sv is vector-bounded
+    // (N·bands rows ≈ 3.5 GB at sf10) so both sides of the self-join
+    // are safe to build; per-band duplicate candidate rows flow to
+    // consumers, which dedup AFTER the row stream has been cut down
+    // (post-threshold filter, or duckTop3's dup-insensitive max()).
+    // eu is the dots pipeline's SOURCE: when the chain is inlined
+    // (materialize=false) it slices e into a 16-branch UNION ALL so each
+    // dots evaluation runs 16 concurrent scan pipelines — the corpus
+    // writes one parquet row group, so a single scan caps at ~2 threads;
+    // when materialized, the CTE scan already parallelizes by chunk and
+    // eu degenerates to a pass-through.
+    val eu =
+      if (materialize) "eu AS (SELECT * FROM e)"
+      else "eu AS (" + (0 until 16)
+        .map(k => s"SELECT * FROM e WHERE vec_id % 16 = $k")
+        .mkString("\n  UNION ALL ") + ")"
+    s"""e AS$mat (SELECT vec_id, label, embedding::DOUBLE[] AS v,
        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
        |      AS nrm
        |  FROM embeddings),
+       |$eu,
        |$geoCte,
        |pl AS (SELECT p, list(w ORDER BY d) AS wl FROM (
        |    SELECT t.p, u.d,
@@ -254,12 +286,15 @@ object SparkEntry {
        |dots AS (SELECT e.vec_id, e.label, pl.p, g.bits,
        |    list_sum(list_transform(range($EmbDim),
        |      i -> e.v[i+1]*pl.wl[i+1])) AS dot
-       |  FROM e CROSS JOIN pl CROSS JOIN geo g
+       |  FROM eu e CROSS JOIN pl CROSS JOIN geo g
        |  WHERE pl.p < $bands * g.bits),
-       |sg AS MATERIALIZED (SELECT vec_id, label, (p // bits) AS band,
+       |sg AS$mat (SELECT vec_id, label, (p // bits) AS band,
        |    sum(CASE WHEN dot > 0
        |      THEN (1::BIGINT << (bits - 1 - (p % bits))) ELSE 0 END) AS sig
-       |  FROM dots GROUP BY 1, 2, 3)""" // margin pipes kept: consumers
+       |  FROM dots GROUP BY 1, 2, 3),
+       |sv AS$mat (SELECT sg.vec_id, sg.label, sg.band, sg.sig,
+       |    e.v, e.nrm
+       |  FROM sg JOIN e ON e.vec_id = sg.vec_id)""" // margin pipes kept: consumers
     // interpolate this mid-template and apply stripMargin exactly ONCE
     // (pre-stripping would let the outer strip eat the first '|' of a
     // '||' concat that lands at start-of-line)
@@ -311,24 +346,49 @@ object SparkEntry {
     * idea was measured WORSE (the materialization de-optimizes the
     * upstream join into a 70 GB spill); the 3-pass max/arg_max cascade
     * it replaced paid a third full evaluation.
+    *
+    * `src` MAY carry duplicate (a_id, b_id) rows — the banded candidate
+    * streams emit a pair once per colliding band, and deduping them
+    * up-front is exactly the blocking DISTINCT this shape exists to
+    * avoid. Every aggregate here is duplicate-insensitive (bm/bnd are
+    * max/min bounds), and sml — the only relation where duplicate ROWS
+    * would corrupt the ranking (row_number counts them) — is tiny
+    * (≲4 keys per vector × band-multiplicity), so IT dedups with a
+    * DISTINCT after the bound has already cut the stream.
+    *
+    * `src` must be a PLAIN JOIN relation, never a UNION ALL: DuckDB 1.0
+    * pre-aggregates bm thread-locally only when its statistics say the
+    * group count is far below the input count, and a union erases those
+    * statistics — the aggregate then materializes the ENTIRE pair
+    * stream into radix partitions (~60 GB at sf10) before grouping.
+    * Callers ranking a union of disjoint streams instantiate this once
+    * per branch via `sfx` (CTE names suffixed, result wrapped in CTE
+    * top$sfx instead of a bare SELECT) and UNION ALL the tiny per-branch
+    * results — sound whenever the branches partition a_ids, which
+    * label-disjoint routing guarantees.
     * `src` must expose (label, a_id, b_id, score[, routed]). */
-  private[graft] def duckTop3(src: String, routed: Boolean): String = {
+  private[graft] def duckTop3(src: String, routed: Boolean,
+      sfx: String = ""): String = {
     val rcol = if (routed) ", routed" else ""
-    s"""kk AS (SELECT *,
+    val sel =
+      s"""SELECT label, a_id, b_id, score, rk::INT AS rk$rcol FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY a_id
+         |    ORDER BY key DESC) AS rk FROM sml$sfx)
+         |WHERE rk <= 3""".stripMargin
+    val tail = if (sfx.isEmpty) s"\n$sel" else s",\ntop$sfx AS (\n$sel)"
+    s"""kk$sfx AS (SELECT *,
        |    (round(score * 10000))::BIGINT * 1099511627776 - b_id AS key
        |  FROM $src),
-       |bm AS (SELECT a_id, max(key) AS m FROM kk GROUP BY a_id, b_id % 4),
-       |bnd AS (SELECT a_id, CASE WHEN count(*) >= 3 THEN min(m)
+       |bm$sfx AS (SELECT a_id, max(key) AS m FROM kk$sfx
+       |  GROUP BY a_id, b_id % 4),
+       |bnd$sfx AS (SELECT a_id, CASE WHEN count(*) >= 3 THEN min(m)
        |      ELSE -9223372036854775807 END AS thr FROM (
        |    SELECT a_id, m,
        |      row_number() OVER (PARTITION BY a_id ORDER BY m DESC) AS r
-       |    FROM bm) WHERE r <= 3 GROUP BY a_id),
-       |sml AS (SELECT kk.* FROM kk
-       |  JOIN bnd ON kk.a_id = bnd.a_id AND kk.key >= bnd.thr)
-       |SELECT label, a_id, b_id, score, rk::INT AS rk$rcol FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY a_id
-       |    ORDER BY key DESC) AS rk FROM sml)
-       |WHERE rk <= 3""".stripMargin
+       |    FROM bm$sfx) WHERE r <= 3 GROUP BY a_id),
+       |sml$sfx AS (SELECT DISTINCT kk$sfx.* FROM kk$sfx
+       |  JOIN bnd$sfx ON kk$sfx.a_id = bnd$sfx.a_id
+       |    AND kk$sfx.key >= bnd$sfx.thr)""".stripMargin + tail
   }
 
   private val duckToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -996,13 +1056,29 @@ object SparkEntry {
     // morsels (~122k rows each), and the unsalted probe side is only
     // vector-count rows — the sf10 replay ran ~4 threads and timed out
     // on a Σcell² dot-product stage that parallelizes trivially
+    // en/ap are deliberately NOT materialized: DuckDB 1.0 gives a
+    // MATERIALIZED CTE's scan estimated cardinality 0, which propagates
+    // to every join above it — duckTop3's bound join then picks the
+    // Σcell² pair stream as the hash-join BUILD side (a ~240 GB table at
+    // sf10) instead of the vector-bounded threshold relation. Plain CTEs
+    // keep the parquet-scan estimates, the bound relation builds, and
+    // the pair stream only ever flows as probe; re-scanning the parquet
+    // per reference costs nothing by comparison. ap is a 16-branch
+    // UNION ALL rather than a CROSS JOIN with range(16): DuckDB's probe
+    // parallelism comes from the SOURCE pipeline's morsels, and the
+    // corpus writes one parquet row group — one scan = ~2 threads no
+    // matter how many rows a cross join multiplies it into. Union
+    // branches are independent pipelines and run concurrently (measured:
+    // 16 branches = 1 branch wall), so each slice probes on its own
+    // thread; the pair set is unchanged (pair (a,b) matches exactly at
+    // b_id % 16 = a's branch constant).
     "vec_knn_join" ->
-      s"""WITH en AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      s"""WITH en AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
          |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
          |      AS nrm
          |  FROM embeddings),
-         |ap AS MATERIALIZED (SELECT en.*, s.s FROM en
-         |  CROSS JOIN unnest(range(0, 16)) AS s(s)),
+         |ap AS (${(0 until 16).map(k => s"SELECT en.*, $k AS s FROM en")
+          .mkString("\n  UNION ALL ")}),
          |pairs AS (
          |  SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
          |    round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
@@ -1022,24 +1098,48 @@ object SparkEntry {
       val autoCap = org.apache.spark.sql.SparkSession.getActiveSession
         .flatMap(_.conf.getOption(operators.SearchOps.AutoCapConf))
         .map(_.toLong).getOrElse(operators.SearchOps.AutoCapDefault)
-      s"""WITH $duckEmbBandCtes,
+      // The two branches are ranked SEPARATELY and ASYMMETRICALLY, and
+      // every choice here is load-bearing at sf10 (each alternative was
+      // run to its ~60 GB spill before landing on this shape):
+      //  - rt carries NO census join and ranks ALL labels — joining cs
+      //    inside rt crushed kk_r's estimated cardinality below bnd_r's
+      //    and flipped the bound join's build side onto the pair stream;
+      //    the cell_n > cap routing filter applies to the RANKED top_r
+      //    (≤3 rows per vector) instead, equivalent because ranking is
+      //    per-a_id within one label. rt is exactly the ann oracle's
+      //    known-good plan.
+      //  - ex gets NO duckTop3 and NO probe salting: a plain row_number
+      //    window suffices because the routing contract bounds ex to
+      //    N·cap rows (only cells ≤ cap are enumerated exactly), and
+      //    every heavier variant — 16-branch salted probe, a second
+      //    duckTop3 instance — added over a dozen concurrent blocking-
+      //    operator memory reservations, starving kk_r's aggregate into
+      //    external (input-materializing) mode and spilling ~60 GB.
+      //    The branch that CAN be big gets the streaming cascade; the
+      //    branch that is small by contract stays operator-light.
+      s"""WITH ${duckEmbBandCtes(materialize = false)},
          |cs AS (SELECT label, count(*) AS cell_n FROM e GROUP BY 1),
          |ex AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
          |    round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score,
          |    FALSE AS routed
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
          |  JOIN cs ON cs.label = a.label AND cs.cell_n <= $autoCap),
-         |cand AS (SELECT DISTINCT a.label, a.vec_id AS a_id, b.vec_id AS b_id
-         |  FROM sg a JOIN sg b ON a.band = b.band AND a.label = b.label
-         |    AND a.sig = b.sig AND a.vec_id <> b.vec_id
-         |  JOIN cs ON cs.label = a.label AND cs.cell_n > $autoCap),
-         |rt AS (SELECT c.label, c.a_id, c.b_id,
-         |    round(list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 4)
+         |top_e AS (
+         |  SELECT label, a_id, b_id, score, rk::INT AS rk, routed FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY a_id
+         |      ORDER BY (round(score * 10000))::BIGINT * 1099511627776
+         |        - b_id DESC) AS rk
+         |    FROM ex)
+         |  WHERE rk <= 3),
+         |rt AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4)
          |      AS score, TRUE AS routed
-         |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id
-         |    JOIN e eb ON eb.vec_id = c.b_id),
-         |un AS (SELECT * FROM ex UNION ALL SELECT * FROM rt),
-         |${duckTop3("un", routed = true)}""".stripMargin
+         |  FROM sv a JOIN sv b ON a.band = b.band AND a.label = b.label
+         |    AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |${duckTop3("rt", routed = true, sfx = "_r")}
+         |SELECT * FROM top_e
+         |UNION ALL SELECT * FROM top_r
+         |WHERE label IN (SELECT label FROM cs WHERE cell_n > $autoCap)""".stripMargin
     },
     "fts_term_score" ->
       s"""SELECT doc_id, $duckTermScore AS score FROM documents
@@ -1202,15 +1302,15 @@ object SparkEntry {
     // (band, label, sig) bucket, verify = exact cosine, top-3 per query
     // by (score DESC, b_id) — TopKAgg's eval order
     "vec_knn_join_ann" -> {
-      s"""WITH $duckEmbBandCtes,
-         |cand AS (SELECT DISTINCT a.label, a.vec_id AS a_id, b.vec_id AS b_id
-         |  FROM sg a JOIN sg b ON a.band = b.band AND a.label = b.label
-         |    AND a.sig = b.sig AND a.vec_id <> b.vec_id),
-         |sc AS (SELECT c.label, c.a_id, c.b_id,
-         |    round(list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 4)
+      // sc streams one scored row per (pair, colliding band) straight out
+      // of the sv self-join — no DISTINCT, no join-back (the sv rationale
+      // in duckEmbBandCtes); duckTop3 absorbs the per-band duplicates
+      s"""WITH ${duckEmbBandCtes(materialize = false)},
+         |sc AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4)
          |      AS score
-         |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id
-         |    JOIN e eb ON eb.vec_id = c.b_id),
+         |  FROM sv a JOIN sv b ON a.band = b.band AND a.label = b.label
+         |    AND a.sig = b.sig AND a.vec_id <> b.vec_id),
          |${duckTop3("sc", routed = false)}""".stripMargin
     },
     // lockstep with SearchOps.vecKnnPq (ADC over the generated PQ chain:
@@ -1534,15 +1634,18 @@ object SparkEntry {
     // within the cell, cosine-verified), NOT all pairs: the operator's
     // contract is the deterministic Charikar banding, whose recall at
     // the threshold is high but sub-1 — see duckEmbBandCtes
+    // candidates are scored INSIDE the band self-join (vectors ride sv's
+    // band rows) and deduped only after the threshold filter has cut the
+    // stream to result-bounded size — see the sv rationale in
+    // duckEmbBandCtes for why the DISTINCT-then-join-back shape dies
     "dedup_embedding" ->
-      s"""WITH $duckEmbBandCtes,
-         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-         |  FROM sg a JOIN sg b ON a.band = b.band AND a.label = b.label
+      s"""WITH ${duckEmbBandCtes()},
+         |hits AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+         |      AS score
+         |  FROM sv a JOIN sv b ON a.band = b.band AND a.label = b.label
          |    AND a.sig = b.sig AND a.vec_id < b.vec_id)
-         |SELECT c.a_id, c.b_id,
-         |  round(${duckCos("ea.v", "eb.v")}, 4) AS score
-         |FROM cand c JOIN e ea ON ea.vec_id = c.a_id
-         |  JOIN e eb ON eb.vec_id = c.b_id
+         |SELECT DISTINCT a_id, b_id, score FROM hits
          |WHERE score >= 0.42""".stripMargin,
     "dedup_winnow" ->
       s"""WITH $duckWinnow,
