@@ -42,6 +42,12 @@ def connect(sf_dir):
     # Spark JVM that invites the OS OOM-killer (observed: exit 137 on the
     # skew replay). A fixed cap keeps the replay spilling instead of dying.
     con.execute(f"SET memory_limit = '{os.environ.get('ORACLE_MEM', '60GB')}'")
+    # ... and the spill goes to an explicit directory on the big volume:
+    # the round-12 sf10 replay filled the default temp location mid-sweep
+    # (5 of 8 FAILs were 'No space left on device' from DuckDB temp spill)
+    tmp = os.environ.get("ORACLE_TMP", "/tmp/duck_spill")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory = '{tmp}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -144,7 +150,15 @@ def main():
                       "(not in the by-design contract set)")
                 n_fail += 1
                 continue
-            want_rows = con.sql(c["rows_sql"]).fetchone()[0]
+            # the contract probe must fail PER QUERY like every other
+            # verdict path — a missing view/parquet aborting the whole
+            # sweep would hide every later query's verdict
+            try:
+                want_rows = con.sql(c["rows_sql"]).fetchone()[0]
+            except Exception as e:
+                print(f"{name}: FAIL contract rows_sql errored: {e}")
+                n_fail += 1
+                continue
             cols_ok = sorted(got.columns) == sorted(c["cols"])
             if cols_ok and len(got) == want_rows:
                 print(f"{name}: CONTRACT-PASS rows={len(got)} schema ok "

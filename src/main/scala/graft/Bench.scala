@@ -166,30 +166,43 @@ object Bench {
     // disables); if it never does, run anyway but record ok=false so the
     // artifact self-reports as load-tainted instead of silently lying.
     val artifactRun = only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_TAG")
-    val gateJson: String =
-      if (!artifactRun) "null"
-      else sys.env.get("SPARK_GRAFT_LOAD_GATE") match {
-        case Some("off") => """{"enabled": false}"""
-        case th0 =>
-          val th = th0.map(_.toDouble).getOrElse(cpus.toDouble / 4.0)
-          val waitMax = sys.env.get("SPARK_GRAFT_LOAD_WAIT_S")
-            .map(_.toInt).getOrElse(900)
-          val t0 = System.nanoTime()
-          def load(): Double =
-            scala.util.Try(loadAvg().toDouble).getOrElse(0.0)
-          var l = load()
-          while (l > th && (System.nanoTime() - t0) / 1e9 < waitMax) {
-            Console.err.println(
-              f"bench-load-gate waiting: load_1m=$l%.2f > $th%.2f")
-            Thread.sleep(20000)
-            l = load()
-          }
-          val waited = ((System.nanoTime() - t0) / 1e9).toInt
-          if (l > th) Console.err.println(f"bench-load-gate TIMED OUT at " +
-            f"load_1m=$l%.2f — artifact marked load-tainted")
-          s"""{"threshold": ${fmt(th)}, "waited_s": $waited, """ +
-            s""""ok": ${l <= th}, "load_at_start": ${fmt(l)}}"""
+    // a malformed knob must degrade to the default with a logged warning,
+    // not abort the whole bench with a NumberFormatException before any
+    // timed pass
+    def envNum[T](name: String, default: T)(parse: String => T): T =
+      sys.env.get(name).fold(default) { raw =>
+        scala.util.Try(parse(raw.trim)).getOrElse {
+          Console.err.println(
+            s"bench: ignoring malformed $name='$raw', using $default")
+          default
+        }
       }
+    val gateEnabled =
+      artifactRun && !sys.env.get("SPARK_GRAFT_LOAD_GATE").contains("off")
+    val gateTh = envNum("SPARK_GRAFT_LOAD_GATE", cpus.toDouble / 4.0)(_.toDouble)
+    val gateWaitMax = envNum("SPARK_GRAFT_LOAD_WAIT_S", 900)(_.toInt)
+    // Wait (up to waitMax) for load_1m to drop under the threshold; returns
+    // (final load, seconds waited). Called TWICE on artifact runs: before
+    // the JVM spins up (don't warm up on a storming host) and again right
+    // before the first timed pass — the round-12 artifact passed the
+    // pre-JVM gate at load 3.45 but benched at 6.89 with a green stamp, so
+    // ok must reflect the load at the instant the timing starts.
+    def gateWait(): (Double, Int) = {
+      val t0 = System.nanoTime()
+      def load(): Double = scala.util.Try(loadAvg().toDouble).getOrElse(0.0)
+      var l = load()
+      while (l > gateTh && (System.nanoTime() - t0) / 1e9 < gateWaitMax) {
+        Console.err.println(
+          f"bench-load-gate waiting: load_1m=$l%.2f > $gateTh%.2f")
+        Thread.sleep(20000)
+        l = load()
+      }
+      if (l > gateTh) Console.err.println(f"bench-load-gate TIMED OUT at " +
+        f"load_1m=$l%.2f — artifact marked load-tainted")
+      (l, ((System.nanoTime() - t0) / 1e9).toInt)
+    }
+    val (gateLoad0, gateWaited0) =
+      if (gateEnabled) gateWait() else (0.0, 0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -232,6 +245,19 @@ object Bench {
         val err = run(fn)
         name -> ((System.nanoTime() - t0) / 1e9, err)
       }
+    // re-gate AFTER warm-up, immediately before the first timed pass: the
+    // warm-up takes minutes and ambient load can rise meanwhile (our own
+    // now-idle JVM no longer contributes); ok requires BOTH instants quiet
+    val (gateLoad1, gateWaited1) =
+      if (gateEnabled) gateWait() else (0.0, 0)
+    val gateJson: String =
+      if (!artifactRun) "null"
+      else if (!gateEnabled) """{"enabled": false}"""
+      else s"""{"threshold": ${fmt(gateTh)}, """ +
+        s""""waited_s": ${gateWaited0 + gateWaited1}, """ +
+        s""""ok": ${gateLoad0 <= gateTh && gateLoad1 <= gateTh}, """ +
+        s""""load_at_start": ${fmt(gateLoad0)}, """ +
+        s""""load_at_timed": ${fmt(gateLoad1)}}"""
     val loadStart = loadAvg()
     val p1 = timedPass(); val p2 = timedPass()
     // self-qualifying noise guard: a query whose two passes disagree >2x

@@ -23,37 +23,55 @@ object GraftConf {
     * pinned 4 MB unconditionally, which fixed sf10 but shredded the tiny
     * (17 MB) sf0.1 corpus into ~30× more tasks per scan and regressed the
     * full sweep. Derived rule:
-    *   - corpora under 1 GiB cannot fill 32 cores with meaningful work
+    *   - corpora up to 512 MiB cannot fill 32 cores with meaningful work
     *     per task even at 4 MB splits — per-task overhead dominates — so
     *     they keep the 128 MB default (the configuration the local
     *     baselines in docs/BASELINE_LOCAL.md were pinned under);
-    *   - larger corpora size splits as dirBytes/(16·cpus) clamped to
+    *   - from 1.5 GiB up, splits size as dirBytes/(16·cpus) clamped to
     *     [4 MB, 128 MB]: 4 MB at the 1.7 GiB sf10 regeneration (the
     *     round-11 measured-good setting, ~16 tasks per core per
     *     full-corpus pass), growing back toward the default as the corpus
     *     does — a 100 TB deployment sits at the 128 MB ceiling with
-    *     parallelism coming from file count, as it should.
+    *     parallelism coming from file count, as it should;
+    *   - the GiB between ramps linearly between the two regimes, so a
+    *     corpus near the boundary never sees a 32× split cliff.
     * `SPARK_GRAFT_SPLIT_MB` overrides for experiments; Bench records the
     * resolved value in its artifact so round-over-round comparisons are
     * configuration-aware. */
-  private[graft] def deriveSplitBytes(dirBytes: Long, cpus: Int): Long =
-    if (dirBytes < (1L << 30)) 128 * MiB
-    else math.min(128 * MiB, math.max(4 * MiB, dirBytes / (16L * cpus)))
+  private[graft] def deriveSplitBytes(dirBytes: Long, cpus: Int): Long = {
+    val hi = 128 * MiB
+    val lo = math.min(hi, math.max(4 * MiB, dirBytes / (16L * cpus)))
+    // continuous ramp instead of a cliff at 1 GiB: ≤512 MiB keeps the
+    // baseline-pinned default, ≥1.5 GiB takes the derived fan-out value,
+    // and the GiB in between interpolates linearly — a stray file near
+    // the boundary moves the split a few MB, never 32×
+    val rampLo = 1L << 29 // 512 MiB
+    val rampHi = 3L << 29 // 1.5 GiB
+    if (dirBytes <= rampLo) hi
+    else if (dirBytes >= rampHi) lo
+    else {
+      val t = (dirBytes - rampLo).toDouble / (rampHi - rampLo)
+      (hi + t * (lo - hi)).toLong
+    }
+  }
 
   def splitBytes(sfDir: String, cpus: Int,
       env: Map[String, String] = sys.env): Long =
     env.get("SPARK_GRAFT_SPLIT_MB").map(_.trim.toLong * MiB)
       .getOrElse(deriveSplitBytes(dirBytes(sfDir), cpus))
 
-  /** Total bytes of regular files under `dir` (0 when missing — the
+  /** Total bytes of *.parquet files under `dir` (0 when missing — the
     * derivation then lands on the default split, and the scan itself
-    * reports the missing corpus). */
+    * reports the missing corpus). Parquet-only so stray logs, _SUCCESS
+    * markers, or checkpoint droppings never move a corpus along the
+    * split ramp. */
   private[graft] def dirBytes(dir: String): Long = {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(p)) 0L
     else {
       val s = java.nio.file.Files.walk(p)
-      try s.filter(java.nio.file.Files.isRegularFile(_))
+      try s.filter(f => java.nio.file.Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
         .mapToLong(java.nio.file.Files.size(_)).sum()
       finally s.close()
     }

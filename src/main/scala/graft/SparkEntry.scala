@@ -710,10 +710,12 @@ object SparkEntry {
         |    AS sum_base_price,
         |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
         |    ::VARCHAR::DOUBLE AS sum_disc_price,
-        |  round(sum(CAST(l_quantity AS DECIMAL(30,4)))::VARCHAR::DOUBLE
-        |    / count(*), 4) AS avg_qty,
-        |  round(sum(CAST(l_discount AS DECIMAL(30,4)))::VARCHAR::DOUBLE
-        |    / count(*), 4) AS avg_disc,
+        |  CAST((CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) * 10000
+        |        AS HUGEINT) * 2 + count(*)) // (count(*) * 2)
+        |    AS DOUBLE) / 10000 AS avg_qty,
+        |  CAST((CAST(sum(CAST(l_discount AS DECIMAL(30,4))) * 10000
+        |        AS HUGEINT) * 2 + count(*)) // (count(*) * 2)
+        |    AS DOUBLE) / 10000 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'

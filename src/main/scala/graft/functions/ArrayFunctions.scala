@@ -703,6 +703,89 @@ object KeywordDecls {
   }
 }
 
+/** The full perceptual-hash signature in ONE native code-point scan:
+  * the payload's first `nc` code points are tiled into `frames` equal
+  * slices (frame f covers 0-based indices [⌊f·nc/F⌋, ⌊(f+1)·nc/F⌋)),
+  * each slice's energy is the LONG sum of squared code points, and bit f
+  * of the result is set when energy·F > total — exactly the HOF
+  * formulation MultimodalOps.phashBands previously built from
+  * split("") + transform(ascii) + F slice/aggregate walks, which ran
+  * interpreted per frame and dominated the mm family at sf10 (8.9 s in
+  * the round-11 heavies artifact). `nc` is the table's stored n_chars:
+  * when the payload is shorter, the scan stops early and the missing
+  * frames read zero energy, matching slice-past-end semantics. Code
+  * points (not bytes) so multi-byte text hashes identically to the
+  * ascii()-per-split-token formulation the oracle replays; squares
+  * accumulate in LONG because a supplementary-plane code point
+  * (≥ 46341) overflows Int in b·b. */
+case class PhashSignature(left: Expression, right: Expression, frames: Int)
+    extends BinaryExpression {
+  require(frames > 0 && frames <= 64, "phash_signature needs 1..64 frames")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"phash_signature needs (string, int) inputs, got $l / $r")
+    }
+
+  override protected def nullSafeEval(s: Any, nc: Any): Any =
+    PhashSignature.compute(s.asInstanceOf[UTF8String],
+      nc.asInstanceOf[Int], frames)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, nc) =>
+      s"${ev.value} = graft.functions.PhashSignature.compute($s, $nc, $frames);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PhashSignature =
+    copy(left = newLeft, right = newRight)
+}
+
+object PhashSignature {
+  def compute(s: UTF8String, nc: Int, frames: Int): Long = {
+    if (nc <= 0) return 0L
+    val bytes = s.getBytes
+    val es = new Array[Long](frames)
+    var i = 0 // byte cursor
+    var ci = 0 // code-point index
+    var f = 0
+    var boundary = (nc.toLong / frames).toInt // end of frame 0 (exclusive)
+    while (i < bytes.length && ci < nc) {
+      val b = bytes(i) & 0xff
+      var cp = 0
+      if (b < 0x80) { cp = b; i += 1 }
+      else if ((b & 0xE0) == 0xC0) {
+        cp = ((b & 0x1F) << 6) | (bytes(i + 1) & 0x3F); i += 2
+      } else if ((b & 0xF0) == 0xE0) {
+        cp = ((b & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
+          (bytes(i + 2) & 0x3F); i += 3
+      } else {
+        cp = ((b & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
+          ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F); i += 4
+      }
+      while (ci >= boundary && f < frames - 1) {
+        f += 1
+        boundary = ((f + 1).toLong * nc / frames).toInt
+      }
+      es(f) += cp.toLong * cp.toLong
+      ci += 1
+    }
+    var tot = 0L
+    var k = 0
+    while (k < frames) { tot += es(k); k += 1 }
+    var sig = 0L
+    k = 0
+    while (k < frames) {
+      if (es(k) * frames > tot) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+}
+
 object ArrayFunctions {
   /** Codegen'd merge-scan intersection size over sorted string arrays. */
   def sortedIntersectSize(a: Column, b: Column): Column =
@@ -750,4 +833,9 @@ object ArrayFunctions {
   def keywordDecls(ts: Column, pairs: Seq[(String, String)]): Column =
     SqlBridge.column(KeywordDecls(SqlBridge.expression(ts),
       pairs.map(_._1), pairs.map(_._2)))
+
+  /** One-pass perceptual-hash signature (see [[PhashSignature]]). */
+  def phashSignature(text: Column, nc: Column, frames: Int): Column =
+    SqlBridge.column(PhashSignature(SqlBridge.expression(text),
+      SqlBridge.expression(nc), frames))
 }

@@ -109,36 +109,21 @@ object MultimodalOps {
   private[graft] def phashBands(spark: SparkSession, dir: String): DataFrame =
     spark.table(graft.sources.IndexStore.derivedBucketed(spark, dir,
       "phash_bands", Seq("band", "bv")) {
-      val nc = col("nc")
-      // whole-payload decode in ONE split pass (per-char substr from the
-      // document start is O(pos) each → O(len²) per payload), then each
-      // frame energy aggregates an O(frame) slice of the code array
-      val es = transform(sequence(lit(0), lit(PhashFrames - 1)), f => {
-        val s = floor(f * nc / PhashFrames).cast("int") + 1
-        val e = floor((f + 1) * nc / PhashFrames).cast("int")
-        aggregate(
-          slice(col("codes"), s, e - s + lit(1)),
-          // square in LONG: a supplementary-plane code point (>= 46341)
-          // would overflow Int.MaxValue in b*b and corrupt the signature
-          lit(0L), (acc, b) => acc + b.cast("long") * b.cast("long"))
-      })
-      val sig = (0 until PhashFrames).map { f =>
-        when(element_at(col("es"), f + 1) * PhashFrames > col("tot"),
-          lit(1L << f)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      // whole signature in ONE native code-point scan (PhashSignature,
+      // codegen'd): the previous formulation — split("") + transform
+      // (ascii) + 32 interpreted slice/aggregate walks per payload —
+      // was the dominant mm-family cost at sf10 (8.9 s heavies wall).
+      // PhashExprSpec pins hash-identity against the HOF formulation,
+      // including multi-byte and supplementary-plane payloads.
       val bandStructs = (0 until PhashBands).map { b =>
         struct(lit(b).as("band"),
           (shiftright(col("ph"), b * 8) % 256).as("bv"))
       }
       Tables.documents(spark, dir)
         .filter(col("n_chars") >= PhashFrames)
-        .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("nc"))
-        .withColumn("codes",
-          slice(transform(split(col("text"), ""), c => ascii(c)),
-            lit(1), col("nc")))
-        .withColumn("es", es)
-        .withColumn("tot", aggregate(col("es"), lit(0L), (a, x) => a + x))
-        .withColumn("ph", sig)
+        .select(col("doc_id"),
+          graft.functions.ArrayFunctions.phashSignature(
+            col("text"), col("n_chars").cast("int"), PhashFrames).as("ph"))
         .select(col("doc_id"), col("ph"),
           explode(array(bandStructs: _*)).as("b"))
         .select(col("doc_id"), col("ph"),

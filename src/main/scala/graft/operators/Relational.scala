@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -36,16 +36,33 @@ object Relational {
     val discD = col("l_discount").cast("decimal(30,4)")
     val discPriceD = (col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast("decimal(30,6)")
+    // Averages round in EXACT integer space, not round(double, 4): Spark's
+    // round on a double rounds its shortest decimal string while DuckDB
+    // rounds the binary value, so a quotient near an x.xxxx5 boundary is a
+    // cross-engine flake (the same hazard the round-12 text_quality rewrite
+    // closed). Here avg4 = HALF_UP(S4/C) where S4 is the sum in exact 1e-4
+    // units — (2·S4 + C) div (2·C) for positive values — then ONE exact
+    // double op (a ≤7-digit integer divided by 1e4) that every IEEE engine
+    // computes identically. The oracle mirrors this with HUGEINT //.
+    def avg4(sumCol: String): Column = expr(
+      s"CAST((CAST($sumCol * 10000 AS DECIMAL(38,0)) * 2 + count_order) " +
+        s"div (count_order * 2) AS DOUBLE) / 10000")
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(qtyD).cast("double").as("sum_qty"),
-        sum(priceD).cast("double").as("sum_base_price"),
-        sum(discPriceD).cast("double").as("sum_disc_price"),
-        round(sum(qtyD).cast("double") / count(lit(1)), 4).as("avg_qty"),
-        round(sum(discD).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        sum(qtyD).as("sq"),
+        sum(priceD).as("sp"),
+        sum(discPriceD).as("sdp"),
+        sum(discD).as("sd"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sq").cast("double").as("sum_qty"),
+        col("sp").cast("double").as("sum_base_price"),
+        col("sdp").cast("double").as("sum_disc_price"),
+        avg4("sq").as("avg_qty"),
+        avg4("sd").as("avg_disc"),
+        col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 

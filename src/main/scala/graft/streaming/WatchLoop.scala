@@ -166,7 +166,15 @@ object WatchLoop {
           // in the table now, so the next batch's anti-join dedupes them.
           if (hasRetry)
             try graft.sources.IndexStore.dropTable(sess, retryTbl)
-            catch { case scala.util.control.NonFatal(_) => () }
+            catch { case scala.util.control.NonFatal(e) =>
+              // swallowed by design (see above) but LOGGED: a persistently
+              // failing drop re-anti-joins the stash every batch forever,
+              // and without this line that cost is undiagnosable from the
+              // ledger
+              Console.err.println(
+                s"watch-loop: retry-stash drop failed for $retryTbl " +
+                  s"(stale stash is harmless, rows dedupe): $e")
+            }
         } catch {
           // record-and-continue, the reference's reload posture
           // (metrics.go:62: a failed reload bumps failedReloads and the

@@ -44,6 +44,26 @@ class GraftConfSpec extends AnyFunSuite {
     assert(GraftConf.deriveSplitBytes(1L << 50, 32) == 128 * MiB)
   }
 
+  test("derived scan split: the 512MB-1.5GB ramp is cliff-free") {
+    val MiB = GraftConf.MiB
+    // one byte across any boundary moves the split marginally, never 32x
+    val boundaries = Seq(1L << 29, 1L << 30, 3L << 29)
+    boundaries.foreach { b =>
+      val below = GraftConf.deriveSplitBytes(b - 1, 32)
+      val at = GraftConf.deriveSplitBytes(b, 32)
+      assert(math.abs(below - at) <= MiB,
+        s"split cliff at $b: $below vs $at")
+    }
+    // midpoint of the ramp sits strictly between the regimes
+    val mid = GraftConf.deriveSplitBytes(1L << 30, 32)
+    assert(mid > 4 * MiB && mid < 128 * MiB, s"mid-ramp split $mid")
+    // ramp is monotone non-increasing across its span (32 cpus: lo
+    // stays at the 4 MB floor until past the ramp)
+    val samples = (0 to 16).map(i =>
+      GraftConf.deriveSplitBytes((1L << 29) + i * (1L << 26), 32))
+    assert(samples.zip(samples.tail).forall { case (a, b) => a >= b })
+  }
+
   test("SPARK_GRAFT_SPLIT_MB overrides the derivation") {
     assert(GraftConf.splitBytes("/nonexistent", 32,
       Map("SPARK_GRAFT_SPLIT_MB" -> "7")) == 7 * GraftConf.MiB)
@@ -52,11 +72,14 @@ class GraftConfSpec extends AnyFunSuite {
       128 * GraftConf.MiB)
   }
 
-  test("dirBytes sums regular files recursively") {
+  test("dirBytes sums only *.parquet files, recursively") {
     val d = java.nio.file.Files.createTempDirectory("graft-split")
     val sub = java.nio.file.Files.createDirectory(d.resolve("sub"))
     java.nio.file.Files.write(d.resolve("a.parquet"), new Array[Byte](1000))
     java.nio.file.Files.write(sub.resolve("b.parquet"), new Array[Byte](500))
+    // stray non-parquet files must not move the corpus along the ramp
+    java.nio.file.Files.write(d.resolve("_SUCCESS"), new Array[Byte](0))
+    java.nio.file.Files.write(d.resolve("run.log"), new Array[Byte](9999))
     assert(GraftConf.dirBytes(d.toString) == 1500L)
   }
 }
