@@ -132,13 +132,21 @@ def main():
         return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else None
-    con = connect(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        # FRESH connection per query: DuckDB's temp-storage file grows
+        # with a query's spill and is not reclaimed while the connection
+        # lives, so a PASSING spill-heavy replay can starve the NEXT
+        # query's disk (observed at sf10: vec_knn_join PASS grew the temp
+        # file, then vec_knn_join_ann hit ENOSPC, then vec_knn_join_auto
+        # — a superset of ann's plan — PASSED once the errored connection
+        # dropped its temp file). Closing the connection deletes its temp
+        # files; re-registering 10 parquet views costs milliseconds.
+        con = connect(sf_dir)
         files = glob.glob(f"{d}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracles:
