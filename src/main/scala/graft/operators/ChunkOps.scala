@@ -74,8 +74,8 @@ object ChunkOps {
     // array through the Generate would copy O(doc_tokens) bytes into
     // EVERY line row, an O(tokens²/10) blowup per doc that dominated
     // this operator's cost before the rewrite.
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("sz"))
+    val docs = CurateOps.docTok(spark, dir)
+      .select(col("doc_id"), col("n_tok").as("sz"))
     val nLines = greatest(ceil(col("sz") / 10.0).cast("int"), lit(1))
     val lines = docs
       .select(col("doc_id"), col("sz"), posexplode(sequence(lit(0), nLines - 1)))
@@ -279,9 +279,9 @@ object ChunkOps {
       .orderBy(col("doc_id"))
     val byBatchKey = Window.partitionBy(col("source"))
       .orderBy(col("tokb"), col("sub"))
-    Tables.documents(spark, dir)
+    CurateOps.docTok(spark, dir)
       .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).as("n_tokens"))
+        col("n_tok").cast("int").as("n_tokens"))
       .withColumn("cum_before", coalesce(
         sum(col("n_tokens")).over(
           bySrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -417,7 +417,8 @@ object DedupOps {
     */
   def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
     val sel = graft.PlanCache.getOrBuild(spark, dir, "winnowSel") {
-      TextOps.winnowed(Tables.documents(spark, dir), col("text"))
+      TextOps.winnowedToks(PatternOps.indexedToks(spark, dir)
+          .select(col("doc_id"), col("toks").as("_t")))
         .select(col("doc_id"), col("sel"))
         .filter(size(col("sel")) > 0)
     }
@@ -699,8 +700,9 @@ object DedupOps {
     })
 
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
+    // only size(ts) is consumed below — the shared token-count memo
+    // serves it without a tokenizer pass
+    val d = CurateOps.docTok(spark, dir)
     val g = substrGrams(spark, dir)
     // df census over the gh-BUCKETED gram table: the groupBy clustering
     // is satisfied by the bucketing, so the census never shuffles at all
@@ -726,7 +728,9 @@ object DedupOps {
       .select(col("doc_id"),
         graft.functions.ArrayFunctions
           .gapCappedCoverage(col("ps"), SubstrL).as("nd"))
-    d.select(col("doc_id"), size(col("ts")).as("n_tok"))
+    // contract schema carries n_tok as int (the former size(ts)); the
+    // shared memo stores long — cast back, values unchanged
+    d.select(col("doc_id"), col("n_tok").cast("int").as("n_tok"))
       .join(cov, Seq("doc_id"), "left")
       .withColumn("n_dup_tok", coalesce(col("nd"), lit(0L)))
       .select(col("doc_id"), col("n_tok"), col("n_dup_tok"),

@@ -250,7 +250,16 @@ object PatternOps {
     * shuffle (plan-tested); at 100 TB this is an embarrassingly parallel
     * projection whose output is ~occurrences, not corpus bytes. */
   def symbolsExtract(spark: SparkSession, dir: String): DataFrame =
-    symbolsProjection(Tables.documents(spark, dir))
+    keywordDeclsPreTok(indexedToks(spark, dir), SymbolKinds, Nil)
+
+  /** The pre-tokenized docs index relation (doc_id, lang, source,
+    * n_chars, toks) — tokenization is INDEX-time work (the cortex
+    * chunk-writer posture IndexStore documents), so batch extractors
+    * read the stored token arrays instead of re-running the tokenizer
+    * regex over the corpus on every evaluation. Streaming twins keep the
+    * expression form (their input is not the indexed corpus). */
+  private[operators] def indexedToks(spark: SparkSession, dir: String): DataFrame =
+    spark.table(graft.sources.IndexStore.docsTable(spark, dir))
 
   /** Streaming twin of [[symbolsExtract]] — the projection is stateless
     * (per-row array expressions + a narrow Generate, no aggregation), so
@@ -281,7 +290,7 @@ object PatternOps {
     */
   def symbolsFormat(spark: SparkSession, dir: String): DataFrame = {
     val kinds = SymbolKinds :+ (ImportKeyword -> "import")
-    val decls = keywordDecls(Tables.documents(spark, dir), kinds, Nil)
+    val decls = keywordDeclsPreTok(indexedToks(spark, dir), kinds, Nil)
     val header = when(col("kind") === "type", lit("Types:"))
       .when(col("kind") === "function", lit("Functions:"))
       .otherwise(lit("Streams:"))
@@ -315,15 +324,26 @@ object PatternOps {
     * need `source` for file_path/module_path without a second scan +
     * join back to documents). Single narrow Generate, no shuffle. */
   private[graft] def keywordDecls(docs: DataFrame,
-      kinds: Seq[(String, String)], keep: Seq[String]): DataFrame = {
+      kinds: Seq[(String, String)], keep: Seq[String]): DataFrame =
     // ONE native token-array pass for all (keyword → kind) pairs
     // (KeywordDecls: symbol = token after the keyword, pos = 1-based
     // keyword index, per-pair output order = the concat of the former
     // per-keyword transform+filter walks)
+    keywordDeclsTs(docs, graft.functions.Tokenize.tokens(col("text")),
+      kinds, keep)
+
+  /** [[keywordDecls]] over a frame that already carries the `toks`
+    * array (the pre-tokenized docs index) — same Generate, no
+    * re-tokenization. */
+  private[graft] def keywordDeclsPreTok(docs: DataFrame,
+      kinds: Seq[(String, String)], keep: Seq[String]): DataFrame =
+    keywordDeclsTs(docs, col("toks"), kinds, keep)
+
+  private def keywordDeclsTs(docs: DataFrame, ts: Column,
+      kinds: Seq[(String, String)], keep: Seq[String]): DataFrame = {
     val keepCols = keep.map(col)
     docs
-      .select(col("doc_id") +: keepCols :+
-        graft.functions.Tokenize.tokens(col("text")).as("ts"): _*)
+      .select(col("doc_id") +: keepCols :+ ts.as("ts"): _*)
       .select(col("doc_id") +: keepCols :+
         explode(graft.functions.ArrayFunctions.keywordDecls(col("ts"), kinds))
           .as("d"): _*)

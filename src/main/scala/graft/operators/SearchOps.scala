@@ -146,9 +146,11 @@ object SearchOps {
   def ftsFuzzy(spark: SparkSession, dir: String): DataFrame = {
     val probe = "querry"
     val d = 1
-    Tables.documents(spark, dir)
+    // token-only query: read the pre-tokenized docs index (tokenization
+    // is index-time work) instead of re-running the tokenizer regex
+    PatternOps.indexedToks(spark, dir)
       .select(col("doc_id"),
-        size(filter(tokens(col("text")),
+        size(filter(col("toks"),
           // length prune first: edit distance >= |len(a) - len(b)|, so
           // tokens outside the length band can never match and skip the
           // O(len^2) levenshtein entirely
@@ -170,10 +172,12 @@ object SearchOps {
   def ftsNear(spark: SparkSession, dir: String): DataFrame = {
     val (ta, tb, k) = ("data", "query", 6)
     val q = FtsQuery.Near(Seq(ta, tb), k)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), lower(col("text")).as("lt"),
-        tokens(col("text")).as("ts"))
-      .filter(FtsQuery.compile(q, col("lt"), col("ts")))
+    // NEAR admission + gap ranking read only the token array — the
+    // pre-tokenized index serves it without a tokenizer pass (the
+    // lowText operand is unused by Near compilation)
+    PatternOps.indexedToks(spark, dir)
+      .select(col("doc_id"), col("toks").as("ts"))
+      .filter(FtsQuery.compile(q, lit(""), col("ts")))
       .select(col("doc_id"),
         array_min(flatten(transform(FtsQuery.positionsOf(col("ts"), ta),
           pa => transform(FtsQuery.positionsOf(col("ts"), tb),
@@ -193,10 +197,9 @@ object SearchOps {
     val (pa, pb, k) = ("data query", "table", 6)
     val laLen = 2 // tokens in pa; pb is a single token
     val q = FtsQuery.Near(Seq(pa, pb), k)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), lower(col("text")).as("lt"),
-        tokens(col("text")).as("ts"))
-      .filter(FtsQuery.compile(q, col("lt"), col("ts")))
+    PatternOps.indexedToks(spark, dir)
+      .select(col("doc_id"), col("toks").as("ts"))
+      .filter(FtsQuery.compile(q, lit(""), col("ts")))
       .select(col("doc_id"),
         array_min(flatten(transform(FtsQuery.positionsOf(col("ts"), pa),
           p1 => transform(FtsQuery.positionsOf(col("ts"), pb),
@@ -374,9 +377,12 @@ object SearchOps {
     val budget = knnPairBudget(spark)
     require(budget >= 1, s"$KnnPairBudgetConf must be >= 1, got $budget")
     val emb = spark.table(graft.sources.IndexStore.index(spark, dir).embByLabel)
-    val maxCell = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).collect().headOption
-      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    // the routing census is exactly IndexStore.maxCellSize's memoized
+    // scalar — the previous inline groupBy+collect re-ran the census
+    // aggregate on EVERY plan construction (three jobs per bench run);
+    // the memo computes it once per (dir, corpus state) like the LSH
+    // geometry census does
+    val maxCell = graft.sources.IndexStore.maxCellSize(spark, dir)
     if (maxCell * maxCell <= budget) knnPairsScored(spark, dir, 1, cellCap)
     else {
       val ssq = graft.functions.VectorFunctions.sumSquares _
@@ -907,16 +913,25 @@ object SearchOps {
     val emb = spark.table(graft.sources.IndexStore.index(spark, dir).embByLabel)
     val cellSizes = emb.groupBy(col("label"))
       .agg(count(lit(1)).as("cell_n"))
-    val small = cellSizes.filter(col("cell_n") <= cap).select(col("label"))
-    val big = cellSizes.filter(col("cell_n") > cap).select(col("label"))
-    // exact branch: block join inside small cells only; split scoring
-    // (dot per pair, norms per vector) as in vecKnnJoin
+    // ONE broadcast census relation shared by every branch: the former
+    // small/big filtered projections were four DISTINCT broadcast
+    // subtrees, each re-running the census aggregate as its own job
+    // (ReuseExchange only reuses identical subtrees). Filtering AFTER the
+    // identical broadcast join keeps one census build + one broadcast,
+    // reused across the exact and routed branches — same rows either way.
     val ssq = graft.functions.VectorFunctions.sumSquares _
-    val a = emb.join(broadcast(small), "label")
+    val a = emb.join(broadcast(cellSizes), "label")
+      .filter(col("cell_n") <= cap)
       .select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         ssq(col("embedding")).as("a_ss"))
-    val b = emb.select(col("label").as("b_label"), col("vec_id").as("b_id"),
-      col("embedding").as("b_emb"), ssq(col("embedding")).as("b_ss"))
+    // the probe side is pre-filtered to small cells too (the join's
+    // label equality restricts it to small labels anyway — filtering
+    // early just skips the oversize cells' rows in the build): strictly
+    // less per-bucket probe work, identical join output
+    val b = emb.join(broadcast(cellSizes), "label")
+      .filter(col("cell_n") <= cap)
+      .select(col("label").as("b_label"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), ssq(col("embedding")).as("b_ss"))
     // same once-per-unordered-pair discipline as the routed branch below:
     // a < b through the block join, one dot per pair, directions restored
     // by mirrorScored's narrow explode
@@ -930,7 +945,10 @@ object SearchOps {
     // same once-per-unordered-pair discipline as vecKnnJoinAnn: a < b
     // through collision/dedup/scoring, directions restored by a narrow
     // explode — half the rows through the heavy middle, same result set
-    val bands = DedupOps.embBands(spark, dir).join(broadcast(big), "label")
+    val bands = DedupOps.embBands(spark, dir)
+      .join(broadcast(cellSizes), "label")
+      .filter(col("cell_n") > cap)
+      .drop("cell_n")
     // embeddings ride the band rows (see DedupOps.embBands) so collision
     // scoring happens inside the co-located join — pair rows never
     // exchange (the sf10 lesson vecKnnJoinAnn documents)
@@ -964,8 +982,8 @@ object SearchOps {
     * analogue, internal/mcp/exact_sqlite.go:141).
     */
   def ftsTermScore(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), termScore(tokens(col("text"))).as("score"))
+    PatternOps.indexedToks(spark, dir)
+      .select(col("doc_id"), termScore(col("toks")).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
@@ -1015,18 +1033,19 @@ object SearchOps {
     * (N, avgdl, dfs) are INDEX-wide — computed over the whole corpus
     * before any query-time filter, as FTS5's rank is — and reduce to a
     * single broadcast row. */
-  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+  private def bm25ScoredOver(docs0: DataFrame, carry: Seq[String]): DataFrame = {
     // per-term tf in ONE native token-array pass (TermFreqs) instead of
     // an interpreted ArrayFilter walk per term; the tfs array is its own
-    // aliased stage so the pass runs once however the plan collapses
-    val baseCols = Seq(col("doc_id"), col("lang"), col("n_chars"), col("text"),
-      lower(col("text")).as("lt"), col("ts"),
+    // aliased stage so the pass runs once however the plan collapses.
+    // `docs0` must carry (doc_id, ts) plus the pass-through columns —
+    // the rank-only consumer (ftsBm25) feeds the pre-tokenized index
+    // with no text columns at all, the page consumer keeps them.
+    val baseCols = (Seq(col("doc_id")) ++ carry.map(col) :+ col("ts") :+
       size(col("ts")).cast("double").as("dl")) ++
       Terms.indices.map { i =>
         element_at(col("tfs"), i + 1).cast("double").as(s"tf$i")
       }
-    val base = Tables.documents(spark, dir)
-      .withColumn("ts", tokens(col("text")))
+    val base = docs0
       .withColumn("tfs",
         graft.functions.ArrayFunctions.termFreqs(col("ts"), Terms))
       .select(baseCols: _*)
@@ -1043,12 +1062,20 @@ object SearchOps {
       idf * (col(s"tf$i") * lit(k1 + 1)) / norm
     }.reduce(_ + _)
     base.crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
-        col("lt"), col("ts"), graft.functions.VectorFunctions.fastRound(score, 4).as("score"))
+      .select(Seq(col("doc_id")) ++ carry.map(col) :+ col("ts") :+
+        graft.functions.VectorFunctions.fastRound(score, 4).as("score"): _*)
   }
 
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame =
+    bm25ScoredOver(
+      Tables.documents(spark, dir)
+        .withColumn("lt", lower(col("text")))
+        .withColumn("ts", tokens(col("text"))),
+      Seq("lang", "n_chars", "text", "lt"))
+
   def ftsBm25(spark: SparkSession, dir: String): DataFrame =
-    bm25Scored(spark, dir)
+    bm25ScoredOver(PatternOps.indexedToks(spark, dir)
+        .select(col("doc_id"), col("toks").as("ts")), Nil)
       .select(col("doc_id"), col("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
@@ -1074,8 +1101,8 @@ object SearchOps {
   /** Wildcard (prefix) term search: rank by the number of tokens matching
     * `dat*` (FTS5 wildcard query analogue). */
   def ftsWildcard(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
+    PatternOps.indexedToks(spark, dir)
+      .select(col("doc_id"), col("toks").as("ts"))
       .select(col("doc_id"),
         graft.functions.ArrayFunctions.prefixCount(col("ts"), "dat")
           .cast("int").as("score"))

@@ -98,9 +98,9 @@ object TextOps {
     * order/whitespace-insensitive identity used for fuzzy change
     * detection (cortex hashes raw bytes; this survives reformatting). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    PatternOps.indexedToks(spark, dir)
       .select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
+        md5(concat_ws(" ", array_sort(array_distinct(col("toks")))))
           .as("fp"))
 
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003,
@@ -121,7 +121,12 @@ object TextOps {
     * ~10× per row — both are moot now that each stage is one native
     * expression over the previous aliased column. */
   private[graft] def winnowed(df: DataFrame, text: Column): DataFrame =
-    df.withColumn("_t", tokens(text))
+    winnowedToks(df.withColumn("_t", tokens(text)))
+
+  /** [[winnowed]] over a frame already carrying its token array as
+    * `_t` — the pre-tokenized index path skips the tokenizer pass. */
+  private[graft] def winnowedToks(df: DataFrame): DataFrame =
+    df
       // 4-gram build is ONE native pass (NGramJoin) — byte-identical to
       // the former zip_with shift-chain without its interpreted
       // per-element lambdas and intermediate arrays
@@ -137,7 +142,8 @@ object TextOps {
       .drop("_t", "_g4", "_hs")
 
   def textWinnow(spark: SparkSession, dir: String): DataFrame =
-    winnowed(Tables.documents(spark, dir), col("text"))
+    winnowedToks(PatternOps.indexedToks(spark, dir)
+        .select(col("doc_id"), col("toks").as("_t")))
       .select(col("doc_id"), size(col("sel")).as("n_fps"),
         md5(concat_ws(",", transform(col("sel"), _.cast("string"))))
           .as("fp_digest"))
@@ -212,10 +218,16 @@ object TextOps {
     * 4-decimal rounding both engines share. */
   def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val bi = bigramRel(spark, dir)
-    val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val v = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("t"))
+    // w1 is functionally dependent on bg (its first token), so grouping
+    // by (bg, w1) is the same aggregate as by bg alone — and c1 then
+    // derives from the VOCABULARY-sized c2 table (Σ c2 per w1) instead
+    // of a second corpus-sized pass over the bigram relation: identical
+    // counts, one less full-relation aggregate at any scale
+    val c2w = bi.groupBy(col("bg"), col("w1")).agg(count(lit(1)).as("c2"))
+    val c2 = c2w.select(col("bg"), col("c2"))
+    val c1 = c2w.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = PatternOps.indexedToks(spark, dir)
+      .select(explode(col("toks")).as("t"))
       .agg(count_distinct(col("t")).as("v"))
     // FORCE the count tables to broadcast: both are vocabulary-bounded
     // (millions of rows at any corpus size) while bi is corpus-sized, and
@@ -349,8 +361,8 @@ object TextOps {
         split(col("pair"), " ").as("ps")))).as("rules"))
     def rulePart(k: Int, i: Int): Column =
       element_at(col("rules"), k).getField("ps").getItem(i)
-    val vocab = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("w")).distinct()
+    val vocab = PatternOps.indexedToks(spark, dir)
+      .select(explode(col("toks")).as("w")).distinct()
       .crossJoin(broadcast(rules))
       .select(col("w"),
         array_join(array_remove(split(col("w"), ""), ""), " ").as("_m0"),
@@ -376,14 +388,14 @@ object TextOps {
     val wordUnits = staged.select(col("w"),
       units(col("_m0")).as("w_sym"),
       units(col(s"_m$BpeMerges")).as("w_bpe"))
-    val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val perDoc = PatternOps.indexedToks(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
       .join(broadcast(wordUnits), "w")
       .groupBy(col("doc_id"))
       .agg(sum(col("w_sym")).cast("int").as("n_sym"),
         sum(col("w_bpe")).cast("int").as("n_bpe"))
     // token-free docs still get a (0, 0) row, like the string form did
-    Tables.documents(spark, dir).select(col("doc_id"))
+    PatternOps.indexedToks(spark, dir).select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_sym"), lit(0)).as("n_sym"),

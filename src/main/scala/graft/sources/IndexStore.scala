@@ -354,33 +354,68 @@ object IndexStore {
     }
   }
 
+  /** Just the pre-tokenized docs table of [[index]] — buildable for a
+    * docs-only corpus (no embeddings.parquet required), which the
+    * token-array consumers (symbol extraction, FTS token scoring, BPE
+    * apply, winnowing) need: their test fixtures and docs-only corpora
+    * must not fail on the embedding relations they never read. The name
+    * is IDENTICAL to index()'s docs table, so whichever builder runs
+    * first the other reuses the same table. */
+  def docsTable(spark: SparkSession, dir: String): String = {
+    val n = buckets(spark, dir)
+    val t = tableNames(dir, n)
+    // same monitor key as index(): the two builders write the same docs
+    // table and must serialize against each other, not just themselves
+    withBuildLock((spark, dir, n)) {
+      if (!spark.catalog.tableExists(t.docs)) {
+        clearStale(spark, Seq(t.docs))
+        writeBucketed(tokenizedDocs(spark, dir), t.docs, "doc_id", n)
+      }
+    }
+    t.docs
+  }
+
+  private def tableNames(dir: String, n: Int): IndexTables = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_b$n"
+    IndexTables(s"graft_docs$tag", s"graft_emb_id$tag", s"graft_emb_lbl$tag")
+  }
+
+  private def tokenizedDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        graft.functions.Tokenize.tokens(col("text")).as("toks"))
+
+  /** Drop lingering catalog entries AND physical leftovers for `names` —
+    * a prior PROCESS's warehouse dir may survive while this catalog is
+    * empty, and saveAsTable then fails with LOCATION_ALREADY_EXISTS. */
+  private def clearStale(spark: SparkSession, names: Seq[String]): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    names.foreach { name =>
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val p = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   private def buildIndex(spark: SparkSession, dir: String,
       key: (SparkSession, String, Int)): IndexTables = {
       val n = key._3
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_b$n"
-      val t = IndexTables(s"graft_docs$tag", s"graft_emb_id$tag",
-        s"graft_emb_lbl$tag")
-      val names = Seq(t.docs, t.embById, t.embByLabel)
+      val t = tableNames(dir, n)
       // if another session sharing this catalog already built the index
       // for this dir, REUSE it; dropping here would yank tables out from
-      // under that session's running queries
-      if (!names.forall(spark.catalog.tableExists)) {
-        // a prior PROCESS's warehouse dir may linger while this catalog is
-        // empty — saveAsTable then fails with LOCATION_ALREADY_EXISTS, so
-        // clear both catalog entry and physical location before writing
-        val wh = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"))
-        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        names.foreach { name =>
-          spark.sql(s"DROP TABLE IF EXISTS $name")
-          val p = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
-          if (fs.exists(p)) fs.delete(p, true)
-        }
-        val docs = graft.Tables.documents(spark, dir)
-          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-            graft.functions.Tokenize.tokens(col("text")).as("toks"))
+      // under that session's running queries. The docs table may exist
+      // alone (docsTable builds it independently) — build only what is
+      // missing.
+      if (!spark.catalog.tableExists(t.docs))
+        clearStale(spark, Seq(t.docs))
+      if (!Seq(t.embById, t.embByLabel).forall(spark.catalog.tableExists))
+        clearStale(spark, Seq(t.embById, t.embByLabel))
+      if (!spark.catalog.tableExists(t.docs))
+        writeBucketed(tokenizedDocs(spark, dir), t.docs, "doc_id", n)
+      if (!Seq(t.embById, t.embByLabel).forall(spark.catalog.tableExists)) {
         val emb = graft.Tables.embeddings(spark, dir)
-        writeBucketed(docs, t.docs, "doc_id", n)
         writeBucketed(emb, t.embById, "vec_id", n)
         writeBucketed(emb, t.embByLabel, "label", n)
       }
