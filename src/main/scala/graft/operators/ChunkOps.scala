@@ -484,7 +484,12 @@ object ChunkOps {
       conv(substring(md5(concat(lit("reload#"),
         col("reload_id").cast("string"))), 1, 15), 16, 10).cast("long"),
       lit(ReloadFailMod)) === 0
-    graft.operators.GraphOps.batchEdges(spark, dir)
+    // the BATCH edge relation (never the stream override — this twin
+    // pins the batch ledger shape), memoized: un-memoized it re-scanned
+    // and re-distincted lineitem on every evaluation
+    graft.PlanCache.getOrBuild(spark, dir, "batch_edges") {
+      graft.operators.GraphOps.batchEdges(spark, dir)
+    }
       .select((pmod(
         conv(substring(md5(concat(col("src").cast("string"), lit("#"),
           col("dst").cast("string"))), 1, 15), 16, 10).cast("long"),

@@ -615,20 +615,28 @@ object CurateOps {
       dir: String): (DataFrame, DataFrame) = {
     val isPos = col("doc_id") % QcSeedMod === 0
     val isNeg = col("doc_id") % QcSeedMod === 1
-    // one seed pass for the five totals and ONE token-key exchange for
-    // both per-class counts (conditional aggregates) — two groupBys plus
-    // a full-outer vocab merge collapse into a single aggregate, and a
-    // token absent from one class counts 0 exactly as the outer-join
-    // null did
+    // ONE token-key exchange over the seed rows yields the per-class
+    // vocab counts — and every corpus-sized constant then DERIVES from
+    // that vocabulary-bounded table instead of its own pass over the
+    // seed tokens: np/nn are Σcp/Σcn, v is the vocab row count. The two
+    // distinct-doc counts (pd/nd) come from the thin per-doc token-count
+    // memo: a doc appears in qcTok iff it has ≥1 token, i.e. n_tok > 0 —
+    // identical counts, a 50k-row scan instead of a corpus-token scan.
     val seed = qcTok(spark, dir).filter(isPos || isNeg)
-    val consts = seed.agg(
-      count(when(isPos, 1)).as("np"),
-      count_distinct(when(isPos, col("doc_id"))).as("pd"),
-      count(when(isNeg, 1)).as("nn"),
-      count_distinct(when(isNeg, col("doc_id"))).as("nd"),
-      count_distinct(col("t")).as("v"))
-    val lo = seed.groupBy(col("t"))
+    val loCounts = seed.groupBy(col("t"))
       .agg(count(when(isPos, 1)).as("cp"), count(when(isNeg, 1)).as("cn"))
+    val docConsts = docTok(spark, dir).filter(col("n_tok") > 0).agg(
+      count(when(isPos, 1)).as("pd"),
+      count(when(isNeg, 1)).as("nd"))
+    val consts = loCounts
+      // coalesce: an empty vocabulary must yield the former count()'s 0,
+      // not sum()'s null (degenerate-corpus fixtures)
+      .agg(coalesce(sum(col("cp")), lit(0L)).as("np"),
+        coalesce(sum(col("cn")), lit(0L)).as("nn"),
+        count(lit(1)).as("v"))
+      .crossJoin(docConsts)
+      .select(col("np"), col("pd"), col("nn"), col("nd"), col("v"))
+    val lo = loCounts
       .crossJoin(broadcast(consts))
       .select(col("t"),
         (log((col("cp") + 1).cast("double") / (col("np") + col("v"))) -

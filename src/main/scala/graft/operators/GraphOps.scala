@@ -756,21 +756,34 @@ object GraphOps {
     // distinct, one probe method per iface), so there is NO (doc, iface)
     // aggregate at all: containment is a per-row SortedIntersectSize
     // merge scan over the sorted name arrays.
-    val rnAgg = resolved.groupBy(col("iface_doc"), col("iface_symbol"))
-      .agg(array_sort(collect_list(col("m"))).as("ms"),
-        count(lit(1)).as("n_m"))
-    val rn = rnAgg.select(col("iface_doc"), col("iface_symbol"), col("n_m"))
     val probe = perDoc.filter(size(col("tys")) > 0 && size(col("fns")) > 0)
-    val dfm = probe.select(explode(col("fns")).as("m"))
-      .groupBy(col("m")).agg(count(lit(1)).as("df"))
-    val rarest = resolved.join(dfm, "m")
-      .groupBy(col("iface_doc"), col("iface_symbol"))
-      .agg(min(struct(col("df"), col("m"))).as("r"))
-      .select(col("iface_doc"), col("iface_symbol"), col("r.m").as("m"))
+    // The division side (per-iface rarest probe method + sorted method
+    // array + method count) is interface-sized and derives from two
+    // memoized relations plus one df census — memoized like the closure
+    // it reads, so repeated calls pay only the probe scan + merge-scan
+    // verify (the corpus-sized part) instead of rebuilding three
+    // broadcast subtrees and the census each evaluation.
+    val division = graft.PlanCache.getOrBuild(spark, dir, "iface:division") {
+      val rnAgg = resolved.groupBy(col("iface_doc"), col("iface_symbol"))
+        .agg(array_sort(collect_list(col("m"))).as("ms"),
+          count(lit(1)).as("n_m"))
+      val dfm = probe.select(explode(col("fns")).as("m"))
+        .groupBy(col("m")).agg(count(lit(1)).as("df"))
+      // LEFT join: an iface whose methods occur in NO probe doc has no
+      // rarest probe (null m — the matched join drops it, correctly: no
+      // doc can contain its methods) but must STAY in rn, else the
+      // wildcard anti-join would mis-classify it as an empty interface
+      rnAgg.join(
+        resolved.join(dfm, "m")
+          .groupBy(col("iface_doc"), col("iface_symbol"))
+          .agg(min(struct(col("df"), col("m"))).as("r"))
+          .select(col("iface_doc"), col("iface_symbol"), col("r.m").as("m")),
+        Seq("iface_doc", "iface_symbol"), "left")
+    }
+    val rn = division.select(col("iface_doc"), col("iface_symbol"), col("n_m"))
     val matched = probe
       .select(col("doc_id"), col("tys"), col("fns"), explode(col("fns")).as("m"))
-      .join(broadcast(rarest), "m")
-      .join(broadcast(rnAgg), Seq("iface_doc", "iface_symbol"))
+      .join(broadcast(division), "m")
       .filter(graft.functions.ArrayFunctions
         .sortedIntersectSize(col("fns"), col("ms")) === col("n_m"))
     val edges = matched.select(col("doc_id").as("type_doc"),

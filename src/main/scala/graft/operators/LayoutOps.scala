@@ -75,7 +75,19 @@ object LayoutOps {
     * absolutely reaches. IntegralDivide on decimals returns BIGINT, so
     * everything downstream stays long. */
   private def scaled16(x: String, lo: String, hi: String): Column =
+    // fast path: when the dimension's range fits (hi-lo ≤ 2^63/65535 ≈
+    // 1.4e14) the whole scale is pure long arithmetic — the DECIMAL(38)
+    // staging is only needed past that range, and it costs a per-row
+    // decimal multiply/divide on EVERY row of the scan. Both branches
+    // compute the identical exact integer where both are defined, so
+    // results cannot differ across corpora — only the cost does. The
+    // range test is per-corpus-constant (broadcast bounds), so the hot
+    // branch is branch-predicted per batch.
     expr(s"CASE WHEN $hi = $lo THEN 0 " +
+      // the >= 0 guard catches hi-lo itself wrapping for extreme spans
+      // (hi ≥ lo always holds, so a negative difference IS an overflow)
+      s"WHEN ($hi - $lo) >= 0 AND ($hi - $lo) <= ${Long.MaxValue / 65535L} " +
+      s"THEN (($x - $lo) * 65535) div ($hi - $lo) " +
       s"ELSE ((CAST($x AS DECIMAL(38,0)) - $lo) * 65535) div ($hi - $lo) END")
 
   /** Events scan with the z-value attached — shared by the manifest op

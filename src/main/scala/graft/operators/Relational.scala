@@ -31,9 +31,26 @@ object Relational {
     * IEEE double op per group.
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
-    val qtyD = col("l_quantity").cast("decimal(30,4)")
-    val priceD = col("l_extendedprice").cast("decimal(30,4)")
-    val discD = col("l_discount").cast("decimal(30,4)")
+    // RAW columns (quantity, price, discount) convert to exact 1e-4-unit
+    // longs via floor(x·10⁴ + 0.5) instead of CAST(… AS DECIMAL(30,4)):
+    // the stored doubles sit ~1e-11 (relative) from their 4-decimal
+    // rationals, so both conversions land on the same grid point — but
+    // the decimal cast allocates a BigDecimal through Double.toString
+    // per row per column (the dominant per-row cost of this plan,
+    // measured), while the floor form is three codegen'd FP/long ops.
+    // disc_price is a COMPUTED product and keeps the decimal cast: its
+    // values are not grid-anchored, and the shortest-string rounding the
+    // cast performs is the cross-engine contract sf10 verified.
+    // Overflow posture: qty sums to ~3e15 and disc to ~6e13 in 1e-4
+    // units at a 100 TB lineitem (6e9 rows) — far inside long — so those
+    // two accumulate as primitive longs; price would reach ~2.4e18
+    // (under 4× headroom), so it accumulates in DECIMAL built from the
+    // exact long (compact representation — no BigDecimal churn, and it
+    // PROMOTES on overflow instead of wrapping).
+    def u4(c: Column): Column = floor(c * 10000d + 0.5d).cast("long")
+    val qtyL = u4(col("l_quantity"))
+    val priceU = u4(col("l_extendedprice")).cast("decimal(38,0)")
+    val discL = u4(col("l_discount"))
     val discPriceD = (col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast("decimal(30,6)")
     // Averages round in EXACT integer space, not round(double, 4): Spark's
@@ -44,21 +61,30 @@ object Relational {
     // units — (2·S4 + C) div (2·C) for positive values — then ONE exact
     // double op (a ≤7-digit integer divided by 1e4) that every IEEE engine
     // computes identically. The oracle mirrors this with HUGEINT //.
+    // sums are already exact 1e-4-unit integers (longs / an exact-long
+    // decimal), so avg4 = HALF_UP(S4/C) is pure long arithmetic:
+    // (2·S4 + C) div (2·C) for positive values. The /10000 output
+    // conversions are each a SINGLE correctly-rounded IEEE op on an
+    // exact integer — identical to the former decimal→double cast of the
+    // same rational (both are one correct rounding of S4·10⁻⁴).
     def avg4(sumCol: String): Column = expr(
-      s"CAST((CAST($sumCol * 10000 AS DECIMAL(38,0)) * 2 + count_order) " +
+      s"CAST(($sumCol * 2 + count_order) " +
         s"div (count_order * 2) AS DOUBLE) / 10000")
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(qtyD).as("sq"),
-        sum(priceD).as("sp"),
+        sum(qtyL).as("sq"),
+        sum(priceU).as("sp"),
         sum(discPriceD).as("sdp"),
-        sum(discD).as("sd"),
+        sum(discL).as("sd"),
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"),
-        col("sq").cast("double").as("sum_qty"),
-        col("sp").cast("double").as("sum_base_price"),
+        (col("sq").cast("double") / 10000.0).as("sum_qty"),
+        // sp is DECIMAL(48,0) after sum: divide by 10⁴ in decimal space
+        // (exact — the quotient terminates in ≤4 decimals) and round
+        // ONCE to double, reproducing the old decimal(30,4)→double cast
+        expr("CAST(sp / 10000 AS DOUBLE)").as("sum_base_price"),
         col("sdp").cast("double").as("sum_disc_price"),
         avg4("sq").as("avg_qty"),
         avg4("sd").as("avg_disc"),
