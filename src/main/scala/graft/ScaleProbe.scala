@@ -577,6 +577,60 @@ object ScaleProbe {
         s"over ${rows.size} queries (skipped ${SparkEntry.queries.size - rows.size})")
   }
 
+  /** Per-stage attribution for named queries (guide §1.1 "empirical"):
+    * warm once (index/memo builds land there, as in Bench), then run once
+    * timed under a listener and print each stage's executor run time, task
+    * count and shuffle bytes, plus the job count. The profile the UI would
+    * show, printable in a headless run — this is where "which pass
+    * dominates this operator" numbers come from. */
+  private def stagesProbe(spark: SparkSession, dir: String,
+      names: Seq[String]): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerJobStart}
+    import scala.collection.mutable.ArrayBuffer
+    val queries = SparkEntry.queries.filter {
+      case (n, _) => names.isEmpty || names.exists(n.contains) }
+    queries.foreach { case (name, f) =>
+      f(spark, dir).write.format("noop").mode("overwrite").save() // warm
+      val stages = ArrayBuffer[(Int, String, Long, Int, Long, Long)]()
+      var jobs = 0
+      val listener = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val m = si.taskMetrics
+          stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60),
+            m.executorRunTime, si.numTasks,
+            m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      // split the wall into construct (DataFrame build: memo lookups,
+      // scalar censuses), plan (analysis+optimization+physical planning)
+      // and execute — planning is driver-side time the sweep pays once
+      // per evaluation and the stage metrics never show
+      val t0 = System.nanoTime()
+      val df = f(spark, dir)
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan
+      val t2 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t3 = System.nanoTime()
+      val wall = (t3 - t0) / 1e9
+      Thread.sleep(500) // let the async listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"STAGES $name wall=$wall%6.3fs construct=${(t1 - t0) / 1e9}%6.3fs " +
+        f"plan=${(t2 - t1) / 1e9}%6.3fs exec=${(t3 - t2) / 1e9}%6.3fs " +
+        f"jobs=$jobs stages=${stages.size}")
+      if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      stages.sortBy(-_._3).take(10).foreach { case (id, nm, rt, nt, sr, sw) =>
+        println(f"  stage=$id%4d run=${rt / 1000.0}%7.3fs tasks=$nt%4d " +
+          f"shufR=${sr / 1024}%8dKB shufW=${sw / 1024}%8dKB $nm")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -594,6 +648,9 @@ object ScaleProbe {
       .config("spark.sql.files.maxPartitionBytes",
         s"${GraftConf.splitBytes(splitDir, cpus.toInt)}")
       .config("spark.sql.session.timeZone", "UTC")
+      // match the driver mains' codegen cache (see Bench) so probe
+      // timings attribute plan work, not janino recompilation
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .config(GraftConf.fromEnv())
       .getOrCreate()
@@ -624,6 +681,44 @@ object ScaleProbe {
     }
     if (args.headOption.contains("auto")) {
       args.drop(1).map(_.toInt).foreach(c => autoProbe(spark, base, c))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("bandparts")) {
+      // decompose vec_knn_join_ann's single collision stage: full band
+      // scan+decode alone, then scan+join (count only), then the operator
+      val dir = args.lift(1).getOrElse(base)
+      val bands = operators.DedupOps.embBands(spark, dir)
+      def noop(df: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      noop(bands); val tScan = noop(bands)
+      def colScan(cols: String*): Double = {
+        val df = bands.select(cols.map(col): _*)
+        noop(df); noop(df)
+      }
+      println(f"BANDCOLS keys=${colScan("band", "cell_sig")}%6.3fs " +
+        f"sigs=${colScan("sigs")}%6.3fs emb=${colScan("emb")}%6.3fs " +
+        f"ids=${colScan("vec_id", "label", "ss")}%6.3fs")
+      val joined = bands
+        .select(col("vec_id").as("a_id"), col("sigs"), col("band"), col("cell_sig"))
+        .join(bands.select(col("vec_id").as("b_id"), col("sigs").as("b_sigs"),
+            col("band").as("b_band"), col("cell_sig").as("b_cell_sig")),
+          col("band") === col("b_band") && col("cell_sig") === col("b_cell_sig") &&
+            col("a_id") < col("b_id") &&
+            operators.DedupOps.firstBandMatch(col("sigs"), col("b_sigs"), col("band")))
+        .select(col("a_id"), col("b_id"))
+      noop(joined); val tJoin = noop(joined)
+      val full = operators.SearchOps.vecKnnJoinAnn(spark, dir)
+      noop(full); val tFull = noop(full)
+      println(f"BANDPARTS scan=$tScan%6.3fs thinJoin=$tJoin%6.3fs full=$tFull%6.3fs")
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("stages")) {
+      stagesProbe(spark, args.lift(1).getOrElse(base), args.drop(2).toSeq)
       spark.stop()
       return
     }

@@ -13,6 +13,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * projections push down to the scan.
   */
 object Tables {
+  /** Resolved-scan memo for the raw parquet loads: `spark.read.parquet`
+    * re-lists the directory and re-reads the footer schema (a small
+    * driver-side job) on EVERY call, and the sweep constructs ~129 plans
+    * per pass with several table reads each — measured 0.1-0.2 s of
+    * per-query construct time, none of it data work. The memoized
+    * DataFrame pins only the resolved relation (file index + schema);
+    * every execution still scans the parquet fresh. Same lifecycle as
+    * IndexStore's sizing memos: swept by the data-changed invalidation
+    * hook, so a corpus rewritten in place re-resolves on next use. At
+    * cluster scale this is what a catalog table does — resolve once,
+    * scan per query. */
+  private val loaded = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  locally {
+    PlanCache.onInvalidate {
+      case Some(d) => loaded.keySet.removeIf(_._2 == d); ()
+      case None => loaded.clear()
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
       // virtual views the DSL can query like stored tables — the six
@@ -36,7 +57,9 @@ object Tables {
         if (spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
             .forall(_ != "false"))
           spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        spark.read.parquet(s"$dir/$name.parquet")
+        loaded.keySet.removeIf(_._1.sparkContext.isStopped)
+        loaded.computeIfAbsent((spark, dir, name),
+          _ => spark.read.parquet(s"$dir/$name.parquet"))
     }
 
   /** The reference's `files` table shape (internal/storage/schema.go;

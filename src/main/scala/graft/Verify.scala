@@ -25,6 +25,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark reads it as a long
       // (nanos since epoch) under this flag — Tables.events normalizes.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // generated-class cache sized to the 129-query surface (see the
+      // Bench builder note; default 100 thrashes on a full sweep)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .config(GraftConf.fromEnv())
       .getOrCreate()

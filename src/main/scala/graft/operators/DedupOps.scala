@@ -589,7 +589,7 @@ object DedupOps {
     * the bounded partial top-k / the verify filter. The v2 tag keeps a
     * warehouse with the old narrow layout from answering for the new
     * schema. */
-  private[operators] def embBands(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def embBands(spark: SparkSession, dir: String): DataFrame = {
     val (bands, bits) = lshGeometry(spark, dir)
     // the geometry folds into the table identity the same way the bucket
     // count does — a warehouse can hold one table per geometry, and a
@@ -625,7 +625,7 @@ object DedupOps {
     * per collision row with zero allocation (a zip_with/array_position
     * composition allocated a boolean array per row — measured 4× slower
     * over 89M sf1 collision rows). */
-  private[operators] def firstBandMatch(aSigs: Column, bSigs: Column,
+  private[graft] def firstBandMatch(aSigs: Column, bSigs: Column,
       band: Column): Column =
     graft.functions.ArrayFunctions.firstEqualIndex(aSigs, bSigs) === band
 

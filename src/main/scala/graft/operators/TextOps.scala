@@ -222,13 +222,27 @@ object TextOps {
     // by (bg, w1) is the same aggregate as by bg alone — and c1 then
     // derives from the VOCABULARY-sized c2 table (Σ c2 per w1) instead
     // of a second corpus-sized pass over the bigram relation: identical
-    // counts, one less full-relation aggregate at any scale
-    val c2w = bi.groupBy(col("bg"), col("w1")).agg(count(lit(1)).as("c2"))
+    // counts, one less full-relation aggregate at any scale.
+    //
+    // All three LM tables are MEMOIZED per (session, dir) — the trained
+    // model, same posture as bpe_merges / the NB classifier: they feed
+    // three broadcast subqueries, and broadcast subqueries plan their
+    // subtrees independently (no cross-subquery ReuseExchange), so
+    // without the memo every evaluation re-ran the bigram aggregate
+    // once per broadcast (measured: 13 jobs, three ~0.2-0.3 s count
+    // stages per run).
+    val c2w = graft.PlanCache.getOrBuild(spark, dir, "bigram_c2") {
+      bi.groupBy(col("bg"), col("w1")).agg(count(lit(1)).as("c2"))
+    }
     val c2 = c2w.select(col("bg"), col("c2"))
-    val c1 = c2w.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val v = PatternOps.indexedToks(spark, dir)
-      .select(explode(col("toks")).as("t"))
-      .agg(count_distinct(col("t")).as("v"))
+    val c1 = graft.PlanCache.getOrBuild(spark, dir, "bigram_c1") {
+      c2w.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    }
+    val v = graft.PlanCache.getOrBuild(spark, dir, "vocab_size") {
+      PatternOps.indexedToks(spark, dir)
+        .select(explode(col("toks")).as("t"))
+        .agg(count_distinct(col("t")).as("v"))
+    }
     // FORCE the count tables to broadcast: both are vocabulary-bounded
     // (millions of rows at any corpus size) while bi is corpus-sized, and
     // bigram frequencies are Zipfian — a shuffle join on bg would make

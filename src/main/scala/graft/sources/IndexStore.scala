@@ -46,6 +46,7 @@ object IndexStore {
   /** Auto-sizing target: docs+emb bytes per bucket (see [[BucketsConf]]). */
   val TargetBytesConf = "spark.graft.bucketTargetBytes"
   private val TargetBytesDefault = 4L * 1024 * 1024
+
   private val BucketsMin = 8
   private val BucketsMax = 4096
 
@@ -154,6 +155,17 @@ object IndexStore {
         .getOrElse(TargetBytesDefault)
       require(target >= 1, s"$TargetBytesConf must be >= 1, got $target")
       val want = (corpusBytes(spark, dir) + target - 1) / target
+      // NO parallelism floor toward the session's cores: measured in
+      // round 13 (pinned indexBuckets 8 vs 32, same session, sf0.1) —
+      // 32-bucket collision stages cost 8× the CPU (2.2 s → 17.4 s for
+      // vec_knn_join_ann) and 1.5-2× the wall. Two causes: this VM's
+      // kernel makes CONCURRENT first-touch faults very expensive (see
+      // build.sbt's heap note), so 32 allocating tasks stall where 8
+      // don't; and the partial TopK/agg above the collision join emits
+      // one group instance per task it appears in (shuffle bytes 745 KB
+      // → 1900 KB). A deployment that needs more co-located parallelism
+      // raises it explicitly via BucketsConf/TargetBytesConf — the sf10
+      // campaign's corpus already derives ≥64 buckets from bytes alone.
       math.max(BucketsMin, pow2ceil(want))
     }
 
