@@ -590,7 +590,10 @@ object ScaleProbe {
     val queries = SparkEntry.queries.filter {
       case (n, _) => names.isEmpty || names.exists(n.contains) }
     queries.foreach { case (name, f) =>
+      val w0 = System.nanoTime()
       f(spark, dir).write.format("noop").mode("overwrite").save() // warm
+      println(f"WARM $name ${(System.nanoTime() - w0) / 1e9}%6.3fs " +
+        "(first evaluation: memo/index builds land here)")
       val stages = ArrayBuffer[(Int, String, Long, Int, Long, Long)]()
       var jobs = 0
       val listener = new SparkListener {

@@ -300,6 +300,76 @@ case class SumSquares(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Squared L2 distance between two array<double> columns, accumulated
+  * in index order — BIT-IDENTICAL to the HOF chain it replaces
+  * (`aggregate(zip_with(v, c, (a,b) => (a-b)*(a-b)), 0.0, _+_)`): same
+  * IEEE ops in the same order, compiled instead of interpreted per
+  * element (Spark HOF lambdas do not codegen; the k-means / PQ Lloyd
+  * assignment steps ran millions of interpreted lambda evals per
+  * training round). Null semantics mirror the HOF exactly: zip_with
+  * pads unequal lengths with null and the lambda/fold propagate it, so
+  * the result is NULL iff the lengths differ or any element is null;
+  * two empty arrays yield the fold's 0.0 init. The k-means oracle
+  * contract ("distances accumulate in DOUBLE over the array in index
+  * order") is unchanged — this is the same accumulation. */
+case class SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"squared_distance needs array<double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Decimal HALF_UP rounding of a double, bit-identical to Spark's
   * `round(x, scale)` but without its per-row `BigDecimal.valueOf` —
   * which stringifies the double (Double.toString inside valueOf) and
@@ -401,6 +471,12 @@ object VectorFunctions {
     val den = sqrt(ssa) * sqrt(ssb)
     when(den === 0.0, lit(0.0)).otherwise(dot / den)
   }
+
+  /** Codegen'd squared L2 distance between two array<double> columns —
+    * bit-identical to the aggregate(zip_with(…)) fold (see
+    * [[SquaredDistance]]). */
+  def squaredDistance(a: Column, b: Column): Column =
+    SqlBridge.column(SquaredDistance(SqlBridge.expression(a), SqlBridge.expression(b)))
 
   /** Codegen'd hyperplane-LSH band signatures for a vector column. */
   def bandSigs(v: Column, seed: Int, bands: Int, bits: Int, dim: Int): Column =

@@ -577,10 +577,15 @@ object SearchOps {
     * AND extending the unrolled CTEs in SparkEntry in lockstep.
     */
   /** Squared L2 in array index order — identical accumulation order in
-    * Spark's HOFs and DuckDB's list ops, so values match bit-for-bit. */
+    * Spark's HOFs and DuckDB's list ops, so values match bit-for-bit.
+    * Native since round 13 ([[graft.functions.SquaredDistance]], the
+    * same ops in the same order compiled): the former
+    * aggregate(zip_with(…)) chain ran its lambdas interpreted per
+    * ELEMENT — millions of evals per Lloyd assignment round across the
+    * k-means/PQ training builds. Bit-identity vs the HOF chain is
+    * property-tested (SquaredDistanceSpec). */
   private def sqDist(v: Column, c: Column): Column =
-    aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.squaredDistance(v, c)
 
   private def embAsDouble(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
