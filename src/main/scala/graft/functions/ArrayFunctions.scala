@@ -632,6 +632,78 @@ object WsWordStats {
   }
 }
 
+/** Gopher-rule line statistics over the raw text in ONE native pass:
+  * struct(n_lines, n_bullet, n_ellip) where lines split at '\n' (0x0a
+  * never occurs inside a UTF-8 multibyte sequence, so byte-splitting
+  * equals the regex split), a line COUNTS iff rtrim leaves it non-empty
+  * (⇔ it holds any byte ≠ 0x20 — since SPARK-17299 the trim functions
+  * strip ONLY the space character), bullets test ltrim(line).startsWith
+  * ("-"|"*"|"•") and ellipses rtrim(line).endsWith("..."|"…"). The
+  * trim/startsWith/endsWith steps call the SAME UTF8String methods the
+  * Spark expressions they replace delegate to, so the counts are
+  * value-identical to the former filter(split(text,"\n"), …) HOF chains
+  * — which allocated the split array plus three filtered arrays and ran
+  * their predicates interpreted per LINE per pass. */
+case class LineStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_bullet", IntegerType, nullable = false),
+    StructField("n_ellip", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"line_stats needs a string input, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LineStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LineStats.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): LineStats =
+    copy(child = newChild)
+}
+
+object LineStats {
+  private val Dash = UTF8String.fromString("-")
+  private val Star = UTF8String.fromString("*")
+  private val Bullet = UTF8String.fromString("•")
+  private val Dots = UTF8String.fromString("...")
+  private val Hellip = UTF8String.fromString("…")
+
+  def compute(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var nLines = 0; var nBullet = 0; var nEllip = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == '\n') {
+        // kept iff any byte ≠ 0x20: rtrim strips only trailing SPACES
+        // (SPARK-17299), so any non-space byte survives it
+        var j = start; var kept = false
+        while (j < i && !kept) { kept = bytes(j) != 0x20; j += 1 }
+        if (kept) {
+          nLines += 1
+          val line = UTF8String.fromBytes(bytes, start, i - start)
+          val lt = line.trimLeft()
+          if (lt.startsWith(Dash) || lt.startsWith(Star) ||
+            lt.startsWith(Bullet)) nBullet += 1
+          val rt = line.trimRight()
+          if (rt.endsWith(Dots) || rt.endsWith(Hellip)) nEllip += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    InternalRow(nLines, nBullet, nEllip)
+  }
+}
+
 /** Keyword-declaration extraction over a token array in ONE native
   * pass: for each (keyword, kind) pair, every position i (0-based)
   * with ts[i] = keyword and a following token emits
@@ -828,6 +900,10 @@ object ArrayFunctions {
   /** One-pass whitespace-word stats: struct(n_words, len_sum, n_alpha). */
   def wsWordStats(text: Column): Column =
     SqlBridge.column(WsWordStats(SqlBridge.expression(text)))
+
+  /** One-pass Gopher line stats: struct(n_lines, n_bullet, n_ellip). */
+  def lineStats(text: Column): Column =
+    SqlBridge.column(LineStats(SqlBridge.expression(text)))
 
   /** One-pass keyword-declaration extraction (see [[KeywordDecls]]). */
   def keywordDecls(ts: Column, pairs: Seq[(String, String)]): Column =

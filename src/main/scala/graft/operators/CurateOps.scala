@@ -874,15 +874,20 @@ object CurateOps {
     * so the driver hash-checks digit-for-digit.
     */
   def curateGopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val lines = filter(split(col("text"), "\n"), l => length(rtrim(l)) > 0)
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     Tables.documents(spark, dir)
       // word count / length sum / has-letter count fold in ONE native
       // byte scan (WsWordStats) — replaces the regex \s+ split plus
-      // three interpreted array-lambda walks (incl. an rlike per word)
+      // three interpreted array-lambda walks (incl. an rlike per word).
+      // Line / bullet / ellipsis counts fold in a second native byte
+      // scan (LineStats) — replaces the regex \n split plus three
+      // interpreted filter(…) walks with per-line trim copies; counts
+      // value-identical by construction (same UTF8String trim/prefix/
+      // suffix methods), pinned by LineStatsSpec.
       .select(col("doc_id"), col("text"),
         graft.functions.ArrayFunctions.wsWordStats(col("text")).as("wst"),
-        lines.as("ls"), tokens(col("text")).as("ts"))
+        graft.functions.ArrayFunctions.lineStats(col("text")).as("lst"),
+        tokens(col("text")).as("ts"))
       .select(col("doc_id"),
         col("wst.n_words").as("n_words"),
         round(col("wst.len_sum").cast("double") /
@@ -890,13 +895,10 @@ object CurateOps {
         expr("(length(text) - length(replace(text, '#', ''))) + " +
           "(length(text) - length(replace(text, '...', ''))) div 3")
           .as("n_sym"),
-        size(filter(col("ls"), l => ltrim(l).startsWith("-") ||
-          ltrim(l).startsWith("*") || ltrim(l).startsWith("•")))
-          .as("n_bullet"),
-        size(filter(col("ls"), l => rtrim(l).endsWith("...") ||
-          rtrim(l).endsWith("…"))).as("n_ellip"),
+        col("lst.n_bullet").as("n_bullet"),
+        col("lst.n_ellip").as("n_ellip"),
         col("wst.n_alpha").as("n_alpha"),
-        greatest(size(col("ls")), lit(1)).as("n_lines"),
+        greatest(col("lst.n_lines"), lit(1)).as("n_lines"),
         size(array_intersect(array_distinct(col("ts")),
           array(stops.map(lit): _*))).as("n_stop"))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
