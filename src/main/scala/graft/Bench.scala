@@ -114,7 +114,7 @@ object Bench {
       results: Seq[(String, Double, Option[String])], sfDir: String,
       loadStart: String, loadEnd: String, requeried: Int,
       tagOverride: Option[String], splitBytes: Long,
-      gateJson: String): Unit = {
+      gateJson: String, cpus: Int, warmSec: Map[String, Double]): Unit = {
     val sfTok = tagOverride.getOrElse(sfToken(sfDir))
     val baseline = LocalBaselineSec.get(sfTok).fold("") { b =>
       s"""  "vs_local_baseline": ${fmt(results.map(_._2).sum / b)},
@@ -123,13 +123,21 @@ object Bench {
     }
     val entries = results.sortBy(-_._2).map { case (k, v, e) =>
       val err = e.fold("")(m => ""","err":""" + jstr(m.take(200)))
-      s"""    ${jstr(k)}: {"sec": ${"%.3f".format(v)}$err}"""
+      // "warm" is the query's FIRST (untimed) evaluation: index builds,
+      // PlanCache memo materializations and model training land there,
+      // so cold-path cost is first-class in the artifact instead of
+      // hidden by the steady-state min-of-passes methodology (the
+      // round-13 verdict's work-relocation caveat).
+      val warm = warmSec.get(k).fold("")(w => s""","warm": ${"%.3f".format(w)}""")
+      s"""    ${jstr(k)}: {"sec": ${"%.3f".format(v)}$warm$err}"""
     }
     val body =
       s"""{
          |  "sf": ${jstr(sfTok)},
          |  "total_sec": ${fmt(results.map(_._2).sum)},
          |  "n_queries": ${results.size},
+         |  "cpus": $cpus,
+         |  "build_sec": ${fmt(warmSec.values.sum)},
          |$baseline  "load_1m_start": ${jstr(loadStart)},
          |  "load_1m_end": ${jstr(loadEnd)},
          |  "max_partition_bytes": $splitBytes,
@@ -240,7 +248,18 @@ object Bench {
         Some((t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage)).take(300)) }
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
-    queries.foreach { case (_, fn) => run(fn) }
+    // the warm pass is TIMED per query (but stays untimed for the
+    // steady-state metric): a query's first evaluation is where the
+    // shared index tables, PlanCache memos and model training build, so
+    // the committed artifact carries the cold-path wall ("warm" per
+    // query, "build_sec" total) alongside the steady-state seconds —
+    // otherwise moving work into the index layer reads as a speedup the
+    // bench cannot audit (round-13 verdict item 2).
+    val warmSec: Map[String, Double] = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      run(fn)
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     // TWO timed passes, per-query MIN: this host intermittently stalls
     // >10 cores in kernel page-fault storms (docs/SCALE_NOTES.md), which
     // lands multi-second spikes on arbitrary single runs — the min of
@@ -305,7 +324,7 @@ object Bench {
     val benchTag = sys.env.get("SPARK_GRAFT_BENCH_TAG")
     if (only.isEmpty || benchTag.isDefined)
       writeFullArtifact(results, sfDir, loadStart, loadEnd, flaky.size,
-        benchTag, splitBytes, gateJson)
+        benchTag, splitBytes, gateJson, cpus.toInt, warmSec)
     // the 2x-of-baseline criterion, against the pinned local wall (see
     // LocalBaselineSec / docs/BASELINE_LOCAL.md); prefixed so the tail
     // parser never matches it. Full sweeps only — a filtered run's

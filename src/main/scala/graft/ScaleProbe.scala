@@ -594,16 +594,23 @@ object ScaleProbe {
       f(spark, dir).write.format("noop").mode("overwrite").save() // warm
       println(f"WARM $name ${(System.nanoTime() - w0) / 1e9}%6.3fs " +
         "(first evaluation: memo/index builds land here)")
+      // the listener bus delivers events on its own thread: guard the
+      // buffer (events raced the post-run read before) and drain the bus
+      // explicitly instead of a fixed sleep that silently dropped late
+      // SparkListenerStageCompleted events on a loaded bus
       val stages = ArrayBuffer[(Int, String, Long, Int, Long, Long)]()
       var jobs = 0
       val listener = new SparkListener {
-        override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          stages.synchronized { jobs += 1 }
         override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
           val m = si.taskMetrics
-          stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60),
-            m.executorRunTime, si.numTasks,
-            m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten))
+          stages.synchronized {
+            stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60),
+              m.executorRunTime, si.numTasks,
+              m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten))
+          }
         }
       }
       spark.sparkContext.addSparkListener(listener)
@@ -619,7 +626,12 @@ object ScaleProbe {
       df.write.format("noop").mode("overwrite").save()
       val t3 = System.nanoTime()
       val wall = (t3 - t0) / 1e9
-      Thread.sleep(500) // let the async listener bus drain
+      // wait until the async bus has delivered everything queued so far
+      // (bounded, so a wedged bus degrades to the old fixed-wait behavior
+      // instead of hanging the probe)
+      try org.apache.spark.graft.CoreBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext, 10000)
+      catch { case _: Throwable => Thread.sleep(500) }
       spark.sparkContext.removeSparkListener(listener)
       println(f"STAGES $name wall=$wall%6.3fs construct=${(t1 - t0) / 1e9}%6.3fs " +
         f"plan=${(t2 - t1) / 1e9}%6.3fs exec=${(t3 - t2) / 1e9}%6.3fs " +
@@ -722,6 +734,33 @@ object ScaleProbe {
     }
     if (args.headOption.contains("stages")) {
       stagesProbe(spark, args.lift(1).getOrElse(base), args.drop(2).toSeq)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("storage")) {
+      // persisted-memo footprint (round-14 verdict item 7): run the
+      // memo-building queries once, then print every cached relation's
+      // memory/disk size — the "is MEMORY_AND_DISK the right posture for
+      // the corpus-scale memos" evidence. DataFrame persist() stores
+      // COMPRESSED COLUMNAR batches (not deserialized row objects), so
+      // memSize here is the real resident cost.
+      val dir = args.lift(1).getOrElse(base)
+      val names = if (args.length > 2) args.drop(2).toSeq
+        else Seq("curate_pack_sequences", "curate_dsir", "text_perplexity",
+          "curate_quality_classifier", "dedup_minhash_lsh", "dedup_winnow",
+          "curate_report", "curate_ppl_buckets", "dedup_ngram_jaccard")
+      names.foreach { n =>
+        SparkEntry.queries(n)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val infos = spark.sparkContext.getRDDStorageInfo
+      infos.sortBy(-_.memSize).foreach { i =>
+        println(f"STORAGE mem=${i.memSize / 1048576.0}%9.3f MiB " +
+          f"disk=${i.diskSize / 1048576.0}%9.3f MiB parts=${i.numPartitions}%3d " +
+          i.name.replaceAll("\\s+", " ").take(140))
+      }
+      println(f"STORAGE-TOTAL mem=${infos.map(_.memSize).sum / 1048576.0}%.3f MiB " +
+        f"disk=${infos.map(_.diskSize).sum / 1048576.0}%.3f MiB over ${infos.length} relations")
       spark.stop()
       return
     }

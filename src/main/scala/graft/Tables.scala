@@ -57,9 +57,30 @@ object Tables {
         if (spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
             .forall(_ != "false"))
           spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        // Lifecycle note (shared with PlanCache): eviction keys off the
+        // session's CONTEXT being stopped, so newSession() clones sharing
+        // a live context accumulate entries for the context's lifetime —
+        // a long-lived multi-session deployment should route clones
+        // through one canonical session or call PlanCache.invalidate()
+        // on clone teardown. Embedding callers that rewrite a corpus dir
+        // in place must call PlanCache.invalidate(dir) (the watch loop's
+        // per-batch hook) or this memo serves the pre-rewrite listing.
         loaded.keySet.removeIf(_._1.sparkContext.isStopped)
-        loaded.computeIfAbsent((spark, dir, name),
-          _ => spark.read.parquet(s"$dir/$name.parquet"))
+        // get + putIfAbsent, NOT computeIfAbsent: the builder runs a
+        // driver-side Spark job (directory listing + footer schema read)
+        // and computeIfAbsent would hold the map's bin lock across it,
+        // serializing concurrent first loads that hash to the same bin —
+        // the same rule PlanCache documents. A racing duplicate
+        // resolution is cheap and side-effect free; the loser's
+        // DataFrame is simply dropped.
+        val key = (spark, dir, name)
+        val hit = loaded.get(key)
+        if (hit != null) hit
+        else {
+          val resolved = spark.read.parquet(s"$dir/$name.parquet")
+          val prev = loaded.putIfAbsent(key, resolved)
+          if (prev != null) prev else resolved
+        }
     }
 
   /** The reference's `files` table shape (internal/storage/schema.go;

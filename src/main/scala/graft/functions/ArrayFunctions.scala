@@ -816,6 +816,95 @@ case class PhashSignature(left: Expression, right: Expression, frames: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-frame (sample count, energy) over fixed 50-code-point frames in
+  * ONE native code-point scan — the mm_frame_energy hot loop. Replaces a
+  * per-frame substr (each an O(position) scan from the string start, so
+  * O(len²/50) per document) followed by split("") + transform(ascii) +
+  * aggregate — three interpreted HOF walks allocating a per-char string
+  * array per frame. Value-identical by construction:
+  *
+  *  - frame f (0-based) covers 1-based code points [1+Fr·f, Fr·(f+1)],
+  *    exactly substr(text, 1+Fr·f, Fr)'s slice; the frame COUNT comes
+  *    from the stored n_chars (sequence(1, nc, Fr)) while slices read
+  *    the REAL text — when they disagree, frames past the text read
+  *    (0, 0) like substr-past-end, and text past the last frame is
+  *    ignored, both as before;
+  *  - each sample is the code point (ascii() semantics: full code point,
+  *    supplementary planes included — the [[PhashSignature]] decode);
+  *  - energy accumulates cp·cp in LONG (the [[PhashSignature]] rule and
+  *    the DuckDB oracle's BIGINT arithmetic). The replaced lambda
+  *    `acc + b * b` multiplied in IntegerType, which under Spark 4's
+  *    default ANSI mode THREW on a supplementary-plane code point
+  *    (cp ≥ 46341 overflows Int in cp²) — an input the corpus contract
+  *    excludes and the oracle would NOT have failed on; the long
+  *    accumulation matches the oracle everywhere instead.
+  *    FrameEnergiesSpec pins identity against the HOF formulation (cast
+  *    to long, the oracle form) in both codegen modes. */
+case class FrameEnergies(left: Expression, right: Expression, frame: Int)
+    extends BinaryExpression {
+  require(frame > 0, "frame_energies needs a positive frame length")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("e", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"frame_energies needs (string, int) inputs, got $l / $r")
+    }
+
+  override protected def nullSafeEval(s: Any, nc: Any): Any =
+    FrameEnergies.compute(s.asInstanceOf[UTF8String],
+      nc.asInstanceOf[Int], frame)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, nc) =>
+      s"${ev.value} = graft.functions.FrameEnergies.compute($s, $nc, $frame);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FrameEnergies =
+    copy(left = newLeft, right = newRight)
+}
+
+object FrameEnergies {
+  def compute(s: UTF8String, nc: Int, frame: Int): ArrayData = {
+    if (nc <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[AnyRef](0))
+    val nFrames = (nc - 1) / frame + 1
+    val ns = new Array[Int](nFrames)
+    val es = new Array[Long](nFrames)
+    val bytes = s.getBytes
+    val limit = nFrames.toLong * frame // code points past the last frame
+    var i = 0 // byte cursor
+    var ci = 0L // code-point index
+    while (i < bytes.length && ci < limit) {
+      val b = bytes(i) & 0xff
+      var cp = 0
+      if (b < 0x80) { cp = b; i += 1 }
+      else if ((b & 0xE0) == 0xC0) {
+        cp = ((b & 0x1F) << 6) | (bytes(i + 1) & 0x3F); i += 2
+      } else if ((b & 0xF0) == 0xE0) {
+        cp = ((b & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
+          (bytes(i + 2) & 0x3F); i += 3
+      } else {
+        cp = ((b & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
+          ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F); i += 4
+      }
+      val f = (ci / frame).toInt
+      ns(f) += 1
+      es(f) += cp.toLong * cp.toLong // LONG accumulation: the oracle's
+      ci += 1                        // BIGINT arithmetic (scaladoc)
+    }
+    val out = new Array[AnyRef](nFrames)
+    var k = 0
+    while (k < nFrames) { out(k) = InternalRow(ns(k), es(k)); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object PhashSignature {
   def compute(s: UTF8String, nc: Int, frames: Int): Long = {
     if (nc <= 0) return 0L
@@ -914,4 +1003,9 @@ object ArrayFunctions {
   def phashSignature(text: Column, nc: Column, frames: Int): Column =
     SqlBridge.column(PhashSignature(SqlBridge.expression(text),
       SqlBridge.expression(nc), frames))
+
+  /** One-pass per-frame (n_samples, energy) stats (see [[FrameEnergies]]). */
+  def frameEnergies(text: Column, nc: Column, frame: Int): Column =
+    SqlBridge.column(FrameEnergies(SqlBridge.expression(text),
+      SqlBridge.expression(nc), frame))
 }

@@ -60,6 +60,53 @@ object AsciiTokens {
   }
 }
 
+/** `length(regexp_replace(lower(text), "[^a-z]", ""))` as one native
+  * byte scan: lowercase via the SAME UTF8String.toLowerCase the
+  * built-in lower() calls, then count bytes in [a-z]. Exact over UTF-8
+  * for the same reason [[AsciiTokens]] is: the kept characters are the
+  * single-byte ASCII letters, multi-byte sequences never contain a byte
+  * under 0x80, and `length` of the regex-filtered string counts exactly
+  * those kept characters — value-identical without building the
+  * filtered string per row (the regexp_replace allocated a scratch
+  * copy of every document on every quality scan). Property-tested
+  * against the regexp formulation on Unicode-bearing inputs (incl.
+  * İ→"i̇", whose lowercase ADDS an ASCII letter — both sides see it
+  * through the same toLowerCase) in both eval modes. */
+case class AlphaCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"alpha_count needs a string input, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    AlphaCount.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AlphaCount.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): AlphaCount =
+    copy(child = newChild)
+}
+
+object AlphaCount {
+  def compute(s: UTF8String): Int = {
+    val bytes = s.toLowerCase.getBytes
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 'a' && b <= 'z') n += 1
+      i += 1
+    }
+    n
+  }
+}
+
 /** The ONE canonical corpus tokenizer — every operator and every DuckDB
   * oracle (`regexp_extract_all(lower(text), '[a-z0-9]+')`) must agree on
   * tokenization or cross-engine verification falls apart, so it lives in
@@ -70,6 +117,12 @@ object Tokenize {
   def tokens(c: Column): Column =
     org.apache.spark.sql.graft.SqlBridge.column(
       AsciiTokens(org.apache.spark.sql.graft.SqlBridge.expression(c)))
+
+  /** `length(regexp_replace(lower(text), "[^a-z]", ""))` as one native
+    * byte scan (see [[AlphaCount]]). */
+  def alphaCount(c: Column): Column =
+    org.apache.spark.sql.graft.SqlBridge.column(
+      AlphaCount(org.apache.spark.sql.graft.SqlBridge.expression(c)))
 
   /** `a` shifted left by `by` (size clamped at 0) — the building block of
     * every zip_with n-gram/window doubling chain (positional grams, MOSS

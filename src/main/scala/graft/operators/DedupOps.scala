@@ -183,9 +183,15 @@ object DedupOps {
     // bands pair signatures (2j, 2j+1); explode 8 band structs per doc,
     // each row also carrying the doc's FULL 8-sig array so candidate
     // joins can apply the first-match-band discipline (see
-    // [[firstBandMatch]]) instead of a distinct exchange over pair rows
+    // [[firstBandMatch]]) instead of a distinct exchange over pair rows.
+    // PACKED since round 14: sig = mh₂ⱼ·2³¹ + mh₂ⱼ₊₁ (a long), injective
+    // because every minhash is in [0, P) = [0, 2³¹) — equality semantics
+    // identical to the former "mh_mh" string, at 8 bytes per sig instead
+    // of a ~20-char string (the sf1 band table carried an 8-string array
+    // per row: 53 MB on disk, string hashing per join probe). The v2
+    // table tag keeps an old-layout warehouse from answering.
     val sigCols = (0 until 8).map { j =>
-      concat_ws("_", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))
+      col(s"mh${2 * j}") * lit(2147483648L) + col(s"mh${2 * j + 1}")
     }
     val bandStructs = (0 until 8).map { j =>
       struct(lit(j.toLong).as("band"), sigCols(j).as("sig"))
@@ -202,7 +208,7 @@ object DedupOps {
   private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame =
     spark.table(
       graft.sources.IndexStore.derivedBucketed(spark, dir,
-        "minhash_bands", Seq("band", "sig")) {
+        "minhash_bands_v2", Seq("band", "sig")) {
         minhashBandsOf(shingled(spark, dir))
       })
 
@@ -593,28 +599,66 @@ object DedupOps {
     val (bands, bits) = lshGeometry(spark, dir)
     // the geometry folds into the table identity the same way the bucket
     // count does — a warehouse can hold one table per geometry, and a
-    // conf flip can never silently reuse signatures built another way
-    val tag = if (bands == EmbBands && bits == EmbBits) "emb_bands_v2"
-      else s"emb_bands_v2_g${bands}x$bits"
-    spark.table(graft.sources.IndexStore.derivedBucketed(spark, dir,
+    // conf flip can never silently reuse signatures built another way.
+    // v3 = PACKED rider layout (round 14): emb and sigs are STORED as
+    // binary, cell_sig as a packed long — the band rows amplify each
+    // vector 32×, so rider bytes ARE the band scan (173 MB table vs a
+    // 162 MB corpus at sf1); packed-float blobs and packed signatures
+    // are single parquet BINARY values (dictionary-encodable across a
+    // vector's 32 band rows, no per-element levels). Consumers receive
+    // the UNPACKED v2 column shapes (see the select below), so candidate
+    // semantics and scores are bit-identical: pack→unpack is the
+    // identity on every bit pattern, and cell_sig = label·2^32 + sig is
+    // injective over (label, sig < 2^bits ≤ 2^32) exactly like the
+    // former "label:sig" string. The v3 name keeps an old-layout
+    // warehouse from answering for the new schema.
+    val tag = if (bands == EmbBands && bits == EmbBits) "emb_bands_v3"
+      else s"emb_bands_v3_g${bands}x$bits"
+    val packed = spark.table(graft.sources.IndexStore.derivedBucketed(spark, dir,
       tag, Seq("band", "cell_sig")) {
       import graft.functions.VectorFunctions.{bandSigs, sumSquares}
+      import graft.functions.PackedVectorFunctions.{packFloats, packLongs}
       Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("label"), col("embedding").as("emb"),
+        .select(col("vec_id"), col("label"),
+          packFloats(col("embedding")).as("emb"),
           sumSquares(col("embedding")).as("ss"),
           bandSigs(col("embedding"), EmbSeed, bands, bits, EmbDim).as("sigs"))
-        // every band row carries the vector's FULL signature array too:
-        // consumers emit a colliding pair from its first matching band
-        // only ([[firstBandMatch]]) — local arithmetic in the collision
-        // join replaces a corpus-scale distinct exchange over pair rows
+        // every band row carries the vector's FULL (packed) signature
+        // set too: consumers emit a colliding pair from its first
+        // matching band only ([[firstBandMatch]]) — local arithmetic in
+        // the collision join replaces a corpus-scale distinct exchange
+        // over pair rows. Packed ONCE per vector, before the explode.
         .select(col("vec_id"), col("label"), col("emb"), col("ss"),
-          col("sigs"), posexplode(col("sigs")))
-        // the IVF cell folds into the signature (cell_sig = label:sig) so
-        // both band self-joins key exactly on the bucket cols
+          packLongs(col("sigs")).as("psigs"), posexplode(col("sigs")))
+        // the IVF cell folds into the signature (cell_sig =
+        // label·2^32 + sig) so both band self-joins key exactly on the
+        // bucket cols
         .select(col("vec_id"), col("label"), col("emb"), col("ss"),
-          col("sigs"), col("pos").as("band"),
-          concat_ws(":", col("label"), col("col")).as("cell_sig"))
+          col("psigs").as("sigs"), col("pos").as("band"),
+          (col("label").cast("long") * lit(4294967296L) + col("col"))
+            .as("cell_sig"))
     })
+    // UNPACK at the scan boundary, once per band row: BinaryType column
+    // accesses copy the byte[] per evaluation, so the collision joins'
+    // per-PAIR probes must run over zero-copy UnsafeArrayData views —
+    // consumers see the exact v2 column shapes (emb array<float>, sigs
+    // array<long>) built from the exact original bits, while the parquet
+    // layout keeps the packed/dictionary-encoded riders.
+    //
+    // hint("merge"): the packing shrank the table's size ESTIMATE under
+    // the 10 MB auto-broadcast threshold at sf0.1 (14 → 5.5 MB), and
+    // Catalyst flipped the band self-joins from the DESIGNED co-located
+    // bucketed SortMergeJoin into a BroadcastHashJoin that rebuilds a
+    // corpus-sized hash relation per evaluation — measured 2× slower at
+    // sf0.1 and growing with the corpus (the broadcast would hit the
+    // 8 GiB cap long before 100 TB). The bucketed layout exists
+    // precisely so this join reads both sides co-located; pin the
+    // strategy instead of letting a size estimate pick it (guide §3.1).
+    import graft.functions.PackedVectorFunctions.{unpackFloats, unpackLongs}
+    packed.select(col("vec_id"), col("label"),
+      unpackFloats(col("emb")).as("emb"), col("ss"),
+      unpackLongs(col("sigs")).as("sigs"), col("band"), col("cell_sig"))
+      .hint("merge")
   }
 
   /** True when `band` is the FIRST index where the two signature arrays
@@ -628,6 +672,7 @@ object DedupOps {
   private[graft] def firstBandMatch(aSigs: Column, bSigs: Column,
       band: Column): Column =
     graft.functions.ArrayFunctions.firstEqualIndex(aSigs, bSigs) === band
+
 
   /** Embedding-cosine near-dup pairs (>= 0.42) inside IVF label cells.
     *

@@ -526,23 +526,24 @@ object GraphOps {
     */
   def graphContext(spark: SparkSession, dir: String): DataFrame = {
     val ts = col("ts")
-    def decls(kw: String, kind: String): org.apache.spark.sql.Column =
-      filter(
-        transform(ts, (x, i) =>
-          when(x === lit(kw) && i < size(ts) - 1,
-            struct(
-              element_at(ts, (i + lit(2)).cast("int")).as("symbol"),
-              lit(kind).as("kind"),
-              (i + lit(1)).cast("long").as("pos")))
-            .otherwise(lit(null))),
-        _.isNotNull)
     val lo = greatest(col("pos") - ContextK, lit(1L))
     val hi = least(col("pos") + 1 + ContextK, size(ts).cast("long"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), graft.functions.Tokenize.tokens(col("text")).as("ts"))
+    // round 14: the decl extraction ran as one interpreted
+    // transform+filter walk PER KEYWORD PAIR over every token (Spark
+    // HOF lambdas don't codegen), re-tokenizing the corpus besides —
+    // the exact shape KeywordDecls replaced for the symbols/DSL family
+    // in round 12. Same native single pass here, reading the
+    // pre-tokenized index: output structs (symbol = token after the
+    // keyword, kind, pos = 1-based keyword index) match the HOF
+    // formulation field-for-field, and the per-pair concat order the
+    // HOF produced is KeywordDecls' documented output order. The
+    // snippet assembly still slices the SAME ridden token array — a
+    // projection, not a join.
+    PatternOps.indexedToks(spark, dir)
+      .select(col("doc_id"), col("toks").as("ts"))
       .select(col("doc_id"), ts,
-        explode(concat(PatternOps.SymbolKinds.map {
-          case (k, v) => decls(k, v) }: _*)).as("d"))
+        explode(graft.functions.ArrayFunctions.keywordDecls(
+          ts, PatternOps.SymbolKinds)).as("d"))
       .select(col("doc_id"), col("d.symbol").as("symbol"),
         col("d.kind").as("kind"), col("d.pos").as("pos"), ts)
       .select(col("doc_id"), col("symbol"), col("kind"), col("pos"),

@@ -58,31 +58,25 @@ object MultimodalOps {
   def mmFrameEnergy(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("n_chars") >= 1)
-      // FRAME-SLICED: the outer Generate explodes frame OFFSETS (one row
-      // per 50-byte frame), and each row decodes only its own frame's
-      // slice — peak memory per value is one frame, never one payload
-      // (decoding the whole payload into a single array would allocate
-      // multi-MB values for real media). The per-frame aggregate then
-      // runs as array HOFs inside the row — no shuffle at all, where the
-      // explode-every-byte shape needed a (doc, frame) groupBy exchange.
-      .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("nc"),
-        posexplode(sequence(lit(1), col("n_chars").cast("int"), lit(50))))
-      // slice the frame string FIRST: substr on a UTF8String scans from
-      // the start to find the char offset, so per-byte substr(text, p, 1)
-      // makes each doc O(len²/frame) — decoding from the 50-char frame
-      // slice bounds every scan to the frame (measured 1.5 s → 0.6 s at
-      // sf0.1, identical values)
+      // ONE native code-point scan per payload (FrameEnergies): the
+      // previous shape exploded frame offsets and sliced per frame, but
+      // substr(text, p, 50) re-scans the string from the start to FIND
+      // char offset p (O(len²/frame) per doc), and the per-frame decode
+      // ran split("") + transform(ascii) + aggregate — three interpreted
+      // HOF walks allocating a per-char string array per frame. The
+      // native pass decodes each code point once, in order, and emits
+      // the per-frame (n_samples, energy) structs the explode turns into
+      // the same rows (value-identity pinned in FrameEnergiesSpec,
+      // including the n_chars≠length(text) and int-wrap edges). Still no
+      // shuffle, still frame-bounded peak memory — the struct array is
+      // 2 fields per 50-char frame, ~50× smaller than one frame's
+      // exploded per-char array.
+      .select(col("doc_id"),
+        posexplode(graft.functions.ArrayFunctions.frameEnergies(
+          col("text"), col("n_chars").cast("int"), 50)))
       .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
-        col("text").substr(col("col"), lit(50)).as("frame"))
-      // split("") decodes the whole frame in ONE pass (per-char substr
-      // would re-scan the frame per byte); slice by length drops the
-      // trailing empty token split emits
-      .select(col("doc_id"), col("frame_idx"),
-        slice(transform(split(col("frame"), ""), c => ascii(c)),
-          lit(1), length(col("frame"))).as("bs"))
-      .select(col("doc_id"), col("frame_idx"),
-        size(col("bs")).cast("long").as("n_samples"),
-        aggregate(col("bs"), lit(0L), (acc, b) => acc + b * b).as("energy_sum"))
+        col("col.n").cast("long").as("n_samples"),
+        col("col.e").as("energy_sum"))
 
   /** Perceptual-hash geometry: [[PhashFrames]] equal payload slices, one
     * average-hash bit each (energy above the payload mean ⇒ 1) → a 32-bit

@@ -254,19 +254,81 @@ object Relational {
 
   /** Exact interpolated percentiles per group (cortex's metrics tool
     * reports size/complexity distributions, internal/mcp/metrics.go).
-    * Spark's `percentile` matches DuckDB's quantile_cont definition
-    * (linear interpolation), so the oracle verifies digit-for-digit.
-    * One shuffle on the group key; at 100 TB swap in approx_percentile
-    * the same way q9b swaps in the HLL sketch.
+    * Matches DuckDB's quantile_cont definition (linear interpolation),
+    * so the oracle verifies digit-for-digit.
+    *
+    * SORT-BASED since round 14: Spark's `percentile` aggregate buffers
+    * EVERY group value in an ObjectHashAggregate map (a group of a
+    * billion rows is a multi-GB in-memory buffer on one reducer — the
+    * guide's §5 OOM shape; this was the engine's slowest query and its
+    * only unbounded-memory aggregate). The same exact result computes
+    * with bounded memory as a rank selection over a per-group SORT:
+    * row_number() over (group, value) is a streaming window over the
+    * externally-sorted shuffle (spills gracefully at any group size),
+    * the group counts broadcast back (one thin 5-row aggregate), and
+    * each percentile reads at most two ranked rows,
+    * interpolated exactly as Spark's Percentile.getPercentile does:
+    * pos = q·(n-1); lower = ⌊pos⌋; higher = ⌈pos⌉;
+    * result = (higher-pos)·v[lower] + (pos-lower)·v[higher], all in
+    * IEEE double — the identical operations in the identical order, so
+    * outputs are bit-identical to the buffering aggregate (hash-checked
+    * at 3 SFs + sf1). Ties cost nothing: equal values make any
+    * row_number order among them select the same value. At 100 TB the
+    * per-group sort is the documented cost (5 groups ⇒ 5 sorting
+    * reducers); q13b/q13c stay the sketch/sample paths.
     */
-  def q13Percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
-        round(max(col("o_totalprice")), 4).as("p100"))
+  def q13Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    // thin per-group stats: count for the rank arithmetic, max = p100.
+    // percentile ignores NULLs, so n counts the value column, the ranked
+    // side drops them, and an all-null group keeps its row via the left
+    // join (null percentiles, like the aggregate form).
+    val counts = o.groupBy(col("o_orderpriority"))
+      .agg(count(col("o_totalprice")).as("n"),
+        max(col("o_totalprice")).as("mx"))
+    val ranked = o.filter(col("o_totalprice").isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"))).cast("long") - 1L)
+      .join(broadcast(counts.select(col("o_orderpriority"), col("n"))),
+        "o_orderpriority")
+    // per-quantile rank bounds (n is constant within a group, so these
+    // are per-row constants): keep only the ≤4 rows per group any
+    // percentile can read, then reduce them with conditional aggregates
+    val qs = Seq(("50", 0.5), ("95", 0.95))
+    def pos(q: Double): Column = lit(q) * (col("n") - 1L).cast("double")
+    def lo(q: Double): Column = floor(pos(q)).cast("long")
+    def hi(q: Double): Column = ceil(pos(q)).cast("long")
+    val needed = qs.map { case (_, q) =>
+      col("rn") === lo(q) || col("rn") === hi(q) }.reduce(_ || _)
+    val picked = ranked.filter(needed)
+    val aggs = qs.flatMap { case (tag, q) => Seq(
+      min(when(col("rn") === lo(q), col("o_totalprice"))).as(s"vlo$tag"),
+      min(when(col("rn") === hi(q), col("o_totalprice"))).as(s"vhi$tag"))
+    } :+ max(col("n")).as("n")
+    val interp = picked.groupBy(col("o_orderpriority"))
+      .agg(aggs.head, aggs.tail: _*)
+    def pct(tag: String, q: Double): Column = {
+      val (vlo, vhi) = (col(s"vlo$tag"), col(s"vhi$tag"))
+      // Percentile.getPercentile's exact branch structure: integral
+      // position or equal keys short-circuit to the lower value with no
+      // arithmetic; otherwise the two-sided interpolation form (NOT
+      // vlo + frac·(vhi-vlo), whose rounding differs)
+      when(hi(q) === lo(q), vlo)
+        .otherwise(when(vhi === vlo, vlo)
+          .otherwise((hi(q).cast("double") - pos(q)) * vlo +
+            (pos(q) - lo(q).cast("double")) * vhi))
+    }
+    counts.join(interp.select(col("o_orderpriority"),
+        round(pct("50", 0.5), 4).as("p50"),
+        round(pct("95", 0.95), 4).as("p95")),
+      Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"), col("p50"), col("p95"),
+        round(col("mx"), 4).as("p100"))
       .orderBy(col("o_orderpriority"))
+  }
 
   /** The 100 TB path for [[q13Percentiles]]: percentile_approx builds a
     * MERGEABLE quantile sketch per partition (map-side partial, one thin

@@ -20,8 +20,20 @@ object TextOps {
 
   private def tokens(c: Column): Column = graft.functions.Tokenize.tokens(c)
 
+  /** Count of tokens in `terms` — ONE native pass (TermFreqs) + a fold
+    * over the tiny per-term count array. The former
+    * `size(filter(toks, _.isin(terms)))` ran an interpreted HOF lambda
+    * per TOKEN per call site (predLangExpr alone holds three such
+    * walks, evaluated over every document on every scan); the terms are
+    * distinct, so the per-term counts sum to exactly the isin filter's
+    * size (the SearchOps.termScore equivalence). The fold stays an
+    * aggregate() over `terms.size` elements — per-DOCUMENT work, not
+    * per-token, and folding avoids the inlined-array trap (element_at
+    * over an inline expression re-evaluates the whole array per
+    * element; this file's winnowing notes). */
   private def tf(toks: Column, terms: Seq[String]): Column =
-    size(filter(toks, t => t.isin(terms: _*)))
+    aggregate(graft.functions.ArrayFunctions.termFreqs(toks, terms),
+      lit(0L), (acc, x) => acc + x).cast("int")
 
   /** Marker-argmax language/register prediction over a `text` column —
     * shared by textLangid and the single-scan corpusCurate projection. */
@@ -55,8 +67,10 @@ object TextOps {
     val nTok = size(t).cast("long")
     val nTokG = greatest(nTok, lit(1L))
     val charsG = greatest(col("n_chars").cast("long"), lit(1L))
-    val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
-      .cast("long")
+    // native byte scan (AlphaCount): value-identical to
+    // length(regexp_replace(lower(text), "[^a-z]", "")) without
+    // allocating the filtered copy of every document per scan
+    val alpha = graft.functions.Tokenize.alphaCount(col("text")).cast("long")
     val stops = tf(t, Seq("the", "a")).cast("long")
     // 10⁴·(0.4·alpha/chars + 0.3·(1 − stops/nTok)) = p/q exactly
     val p = lit(4000L) * alpha * nTokG +

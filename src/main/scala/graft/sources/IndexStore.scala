@@ -186,6 +186,17 @@ object IndexStore {
   def writeBucketedMulti(df: DataFrame, table: String,
       bucketCols: Seq[String], buckets: Int): Unit =
     df.write.mode("overwrite").format("parquet")
+      // the band tables ride one packed binary blob per row, repeated
+      // `bands`× per vector — exactly what parquet's value dictionary
+      // deduplicates. The writer's default dictionary-page threshold
+      // (1 MB) aborts the dictionary once a bucket holds a few thousand
+      // distinct ~260 B blobs and falls back to PLAIN (measured at sf1:
+      // the emb column wrote 20 MB/bucket plain where sf0.1's smaller
+      // dictionary encoded the same layout 2.5× smaller). 8 MB keeps
+      // the dictionary viable through the auto bucket sizing's
+      // ~4 MB-of-corpus-per-bucket target at any SF; scan-side cost is
+      // nil (dictionary pages are decoded once per row group).
+      .option("parquet.dictionary.page.size", s"${8 * 1024 * 1024}")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)

@@ -60,11 +60,11 @@ class LshGeometrySpec extends AnyFunSuite with SparkFixture {
   test("geometry folds into the derived-table identity") {
     withGeometry(16, 8) {
       assert(operators.DedupOps.dedupEmbedding(spark, SfDir).count() >= 0)
-      val t = IndexStore.derivedTableName(spark, SfDir, "emb_bands_v2_g16x8")
+      val t = IndexStore.derivedTableName(spark, SfDir, "emb_bands_v3_g16x8")
       assert(spark.catalog.tableExists(t), t)
     }
     // default confs answer from the default table, not a geometry-tagged one
-    val d = IndexStore.derivedTableName(spark, SfDir, "emb_bands_v2")
+    val d = IndexStore.derivedTableName(spark, SfDir, "emb_bands_v3")
     assert(operators.DedupOps.dedupEmbedding(spark, SfDir).count() >= 0)
     assert(spark.catalog.tableExists(d), d)
   }
@@ -105,7 +105,7 @@ class LshGeometrySpec extends AnyFunSuite with SparkFixture {
     // pinned one (no silent reuse of signatures built another way)
     assert(operators.DedupOps.dedupEmbedding(spark, dir).count() >= 0)
     assert(spark.catalog.tableExists(
-      IndexStore.derivedTableName(spark, dir, "emb_bands_v2_g32x5")))
+      IndexStore.derivedTableName(spark, dir, "emb_bands_v3_g32x5")))
     // pinned bits beat the census
     spark.conf.set(DedupOps.LshBitsConf, "4")
     try assert(DedupOps.lshGeometry(spark, dir) == (32, 4))
