@@ -60,7 +60,21 @@ object ScaleUp {
   private def writeSingle(df: DataFrame, target: String): Unit = {
     val spark = df.sparkSession
     val tmp = target + ".tmp"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // SPARK_GRAFT_ROWGROUP_MB: optional parquet row-group size for the
+    // generated corpus. The default single-file write lands ONE row
+    // group per table (a 108 MB sf1 lineitem included), and Spark
+    // cannot split inside a row group — every raw-table scan then runs
+    // one task regardless of maxPartitionBytes, which a real corpus of
+    // many files never exhibits. A multi-row-group variant (same rows,
+    // same oracle bytes) lets the scan-parallelism headroom be measured
+    // instead of guessed; the default stays single-group so historical
+    // artifacts remain comparable.
+    val w = sys.env.get("SPARK_GRAFT_ROWGROUP_MB").map(_.trim.toLong) match {
+      case Some(mb) => df.coalesce(1).write
+        .option("parquet.block.size", s"${mb * 1024 * 1024}")
+      case None => df.coalesce(1).write
+    }
+    w.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
     val part = fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "part-*.parquet"))

@@ -155,17 +155,24 @@ object IndexStore {
         .getOrElse(TargetBytesDefault)
       require(target >= 1, s"$TargetBytesConf must be >= 1, got $target")
       val want = (corpusBytes(spark, dir) + target - 1) / target
-      // NO parallelism floor toward the session's cores: measured in
-      // round 13 (pinned indexBuckets 8 vs 32, same session, sf0.1) —
-      // 32-bucket collision stages cost 8× the CPU (2.2 s → 17.4 s for
-      // vec_knn_join_ann) and 1.5-2× the wall. Two causes: this VM's
-      // kernel makes CONCURRENT first-touch faults very expensive (see
-      // build.sbt's heap note), so 32 allocating tasks stall where 8
-      // don't; and the partial TopK/agg above the collision join emits
-      // one group instance per task it appears in (shuffle bytes 745 KB
-      // → 1900 KB). A deployment that needs more co-located parallelism
-      // raises it explicitly via BucketsConf/TargetBytesConf — the sf10
-      // campaign's corpus already derives ≥64 buckets from bytes alone.
+      // NO parallelism floor toward the session's cores. Re-measured at
+      // sf1 in round 14 (pinned indexBuckets 8 vs 32, same filtered
+      // heavies, quiet-gated host) — the result SPLITS by family and
+      // nets to a wash, so the byte-derived default stands:
+      //   - embedding band joins (heavy per-pair dot/cosine) run
+      //     1.1-1.4× FASTER at 32 buckets (vec_knn_join 5.8→5.0 s,
+      //     vec_knn_join_ann 1.8→1.3 s, dedup_embedding 1.3→1.1 s) —
+      //     the round-13 sf0.1 measurement of "8× stage CPU at 32
+      //     buckets" was the 17 MB corpus's per-task overhead + this
+      //     VM's concurrent-fault pathology, and does NOT reproduce at
+      //     sf1;
+      //   - text-dedup joins (minhash/ngram/incremental: cheap per-pair
+      //     work, more smaller tables) run ~1.3-1.4× faster at 8
+      //     (dedup_ngram_jaccard 2.25→3.29 s at 32).
+      // A deployment whose wall is the embedding family raises
+      // BucketsConf/TargetBytesConf explicitly; the sf10-scale corpus
+      // already derives ≥64 buckets from bytes alone, where the
+      // per-bucket overhead amortizes for every family.
       math.max(BucketsMin, pow2ceil(want))
     }
 
